@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Column-level building blocks shared across modules.
+  *
+  * Everything here stays in `org.apache.spark.sql.functions` territory
+  * (codegen'd, Catalyst-visible) — no UDFs in hot paths. Reference
+  * semantics covered: Jaccard over sets (reference `Src/utils.py:8-13`),
+  * token rewriting via higher-order functions (reference
+  * `Src/processes.py:158-186`), base-26 cluster ids (reference
+  * `Src/servers.py:151-157`).
+  */
+package object functions {
+
+  /** Whitespace tokenization after trim; empty string → empty array. */
+  def tokens(c: Column): Column =
+    when(length(trim(c)) === 0, array().cast("array<string>"))
+      .otherwise(split(trim(c), "\\s+"))
+
+  /** Jaccard similarity of two array columns treated as sets ∈ [0,1].
+    * `1 - jaccardSim` is the Jaccard distance MinHashLSH approximates. */
+  def jaccardSim(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    val union = size(array_union(a, b)).cast("double")
+    when(union === 0d, lit(1.0)).otherwise(inter / union)
+  }
+
+  def jaccardDist(a: Column, b: Column): Column = lit(1.0) - jaccardSim(a, b)
+
+  /** Cosine similarity of two equal-length numeric array columns.
+    * Pure `zip_with` + `aggregate` — whole-stage-codegen friendly, no UDF. */
+  def cosineSim(a: Column, b: Column): Column = {
+    def dot(x: Column, y: Column): Column =
+      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0d), (acc, v) => acc + v)
+    val na = sqrt(dot(a, a))
+    val nb = sqrt(dot(b, b))
+    when(na === 0d || nb === 0d, lit(0.0)).otherwise(dot(a, b) / (na * nb))
+  }
+
+  /** L2 (Euclidean) distance of two numeric array columns. */
+  def l2Dist(a: Column, b: Column): Column =
+    sqrt(aggregate(zip_with(a, b, (p, q) => (p - q) * (p - q)),
+      lit(0.0d), (acc, v) => acc + v))
+
+  /** Base-26 identifier A..Z, AA..ZZ for a 0-based rank column (rank < 702).
+    * Column-level port of the reference's cluster-id scheme
+    * (`Src/servers.py:151-157`); pure expressions so it stays distributed. */
+  def base26Id(rank0: Column): Column = {
+    val r = rank0.cast("int")
+    when(r < 26, chr(r + 65))
+      .otherwise(concat(chr((r / 26) + 64), chr((r % 26) + 65)))
+  }
+
+  /** Sliding word n-grams over a token-array column: `n` consecutive tokens
+    * joined by a single space. Arrays shorter than n → empty array. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - n),
+        i => array_join(slice(toks, i + 1, n), " ")))
+
+  /** Token-level Levenshtein (unit-cost edit distance over string tokens).
+    *
+    * Intended semantics of the reference's `process_string_edit_distance`
+    * (`Src/utils.py:32-71`, the commented-out correct recursion). The active
+    * DP there (`Src/utils.py:74-110`) has an off-by-one that never fills the
+    * last row/column and returns 0 for every pair — we implement the full DP
+    * instead and document the divergence (SURVEY.md §2.9).
+    */
+  def tokenLevenshtein(s: IndexedSeq[String], t: IndexedSeq[String]): Int = {
+    if (s.isEmpty) return t.length
+    if (t.isEmpty) return s.length
+    var prev = Array.tabulate(t.length + 1)(identity)
+    var cur = new Array[Int](t.length + 1)
+    var i = 1
+    while (i <= s.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= t.length) {
+        val cost = if (s(i - 1) == t(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(cur(j - 1) + 1, prev(j) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    prev(t.length)
+  }
+}

@@ -1,0 +1,568 @@
+package graft.ops
+
+import graft.{GQuery, QueryModule, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational core: every SQL-expressible operator family from SURVEY.md §2
+  * (projections/filters P*, joins J*, aggregations A*, windows, sorts O*,
+  * set ops U*, scalar functions F*) expressed over the harness TPC-H-ish
+  * tables, each with a DuckDB oracle.
+  *
+  * Scale notes (100 TB posture): filters/projections sit directly on the
+  * parquet scan (pushdown + pruning); dimension joins take explicit
+  * `broadcast` hints; aggregations are partial-agg friendly (no
+  * collect_list on high-cardinality keys except bounded-group cases);
+  * every output is deterministically ordered and rounded so the oracle
+  * hash-compare is stable.
+  */
+object Relational extends QueryModule {
+
+  override def queries: Seq[GQuery] = Seq(
+
+    // ---- P: projections / filters -------------------------------------
+    // P1+P2: select, alias, drop.
+    GQuery("p1_project_alias",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+          col("l_extendedprice").as("price"))
+        .filter(col("okey") % 1000 === 0)
+        .orderBy("okey", "lnum"),
+      Some("""SELECT l_orderkey AS okey, l_linenumber AS lnum,
+             |       l_extendedprice AS price
+             |FROM lineitem WHERE l_orderkey % 1000 = 0
+             |ORDER BY okey, lnum""".stripMargin)),
+
+    // P3+P7: withColumn derivation, CASE bucketing, cast via floor.
+    GQuery("p3_withcolumn_cast",
+      (s, d) => Tables.orders(s, d)
+        .withColumn("bucket",
+          when(col("o_totalprice") > 200000, "big")
+            .when(col("o_totalprice") > 100000, "mid")
+            .otherwise("small"))
+        .withColumn("price_long", floor(col("o_totalprice")).cast("long"))
+        .select("o_orderkey", "bucket", "price_long")
+        .filter(col("o_orderkey") % 500 === 0)
+        .orderBy("o_orderkey"),
+      Some("""SELECT o_orderkey,
+             |  CASE WHEN o_totalprice > 200000 THEN 'big'
+             |       WHEN o_totalprice > 100000 THEN 'mid'
+             |       ELSE 'small' END AS bucket,
+             |  CAST(floor(o_totalprice) AS BIGINT) AS price_long
+             |FROM orders WHERE o_orderkey % 500 = 0
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // P4+P6: equality + inequality predicates, conjunctions.
+    GQuery("p4_filter_predicates",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R" && col("l_linestatus") =!= "O" &&
+          col("l_quantity") >= 45 && col("l_discount") < 0.02)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber"),
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_linestatus <> 'O'
+             |  AND l_quantity >= 45 AND l_discount < 0.02
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+
+    // P8+F3: split + positional array element access.
+    GQuery("p8_array_access",
+      (s, d) => Tables.part(s, d)
+        .withColumn("toks", split(col("p_type"), " "))
+        .select(col("p_partkey"),
+          element_at(col("toks"), 1).as("first_tok"),
+          element_at(col("toks"), -1).as("last_tok"),
+          size(col("toks")).as("n_toks"))
+        .filter(col("p_partkey") % 50 === 0)
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  string_split(p_type, ' ')[1] AS first_tok,
+             |  string_split(p_type, ' ')[-1] AS last_tok,
+             |  len(string_split(p_type, ' ')) AS n_toks
+             |FROM part WHERE p_partkey % 50 = 0 ORDER BY p_partkey""".stripMargin)),
+
+    // ---- J: joins -------------------------------------------------------
+    // J1: inner equi-join, aggregated.
+    GQuery("j1_join_inner",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"), "inner")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("c_mktsegment"),
+      Some("""SELECT c_mktsegment, count(*) AS n_orders,
+             |       round(sum(o_totalprice), 2) AS total
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin)),
+
+    // J2: double dimension join resolving two endpoints (cust/supp nation).
+    GQuery("j2_join_double",
+      (s, d) => {
+        val n1 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("cn_key"), col("n_name").as("cust_nation"))
+        val n2 = Tables.nation(s, d)
+          .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+          .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+          .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+          .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+          .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+          .groupBy("cust_nation", "supp_nation")
+          .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("volume"))
+          .filter(col("n") >= 10)
+          .orderBy("cust_nation", "supp_nation")
+      },
+      Some("""SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+             |       count(*) AS n, round(sum(l_extendedprice),2) AS volume
+             |FROM lineitem
+             |JOIN orders   ON l_orderkey = o_orderkey
+             |JOIN customer ON o_custkey = c_custkey
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+             |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+             |GROUP BY 1, 2 HAVING count(*) >= 10
+             |ORDER BY cust_nation, supp_nation""".stripMargin)),
+
+    // J3: left outer join — customers with their order count (0 for none).
+    GQuery("j3_join_left",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("n_orders"))
+        .groupBy("n_orders")
+        .agg(count(lit(1)).as("n_customers"))
+        .orderBy("n_orders"),
+      Some("""SELECT n_orders, count(*) AS n_customers FROM (
+             |  SELECT c_custkey, count(o_orderkey) AS n_orders
+             |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+             |  GROUP BY c_custkey)
+             |GROUP BY n_orders ORDER BY n_orders""".stripMargin)),
+
+    // J4: left anti join — customers with no orders.
+    GQuery("j4_join_anti",
+      (s, d) => Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
+          "left_anti")
+        .select("c_custkey", "c_mktsegment")
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, c_mktsegment FROM customer
+             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // J4b: left semi join — suppliers that shipped any qty-50 line.
+    GQuery("j4b_join_semi",
+      (s, d) => Tables.supplier(s, d)
+        .join(Tables.lineitem(s, d).filter(col("l_quantity") >= 50),
+          col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_suppkey"),
+      Some("""SELECT s_suppkey, s_name FROM supplier
+             |WHERE EXISTS (SELECT 1 FROM lineitem
+             |              WHERE l_suppkey = s_suppkey AND l_quantity >= 50)
+             |ORDER BY s_suppkey""".stripMargin)),
+
+    // J5: theta/range join — event pairs of the same user within 120s.
+    // Equi on user_id keeps it a sort-merge join; the range predicate rides
+    // along (at 100 TB this is the bucketed-by-user + time-range pattern).
+    GQuery("j5_join_range",
+      (s, d) => {
+        val e1 = Tables.events(s, d).filter(col("event_type") === "click")
+          .select(col("user_id").as("u"), col("event_id").as("click_id"),
+            unix_micros(col("ts")).as("t1"))
+        val e2 = Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id").as("u2"), col("event_id").as("purchase_id"),
+            unix_micros(col("ts")).as("t2"))
+        e1.join(e2, col("u") === col("u2") &&
+            col("t2") > col("t1") && col("t2") <= col("t1") + 120000000L)
+          .groupBy("u").agg(count(lit(1)).as("n_pairs"))
+          .orderBy("u")
+      },
+      Some("""SELECT e1.user_id AS u, count(*) AS n_pairs
+             |FROM events e1 JOIN events e2
+             |  ON e1.user_id = e2.user_id
+             | AND e1.event_type = 'click' AND e2.event_type = 'purchase'
+             | AND epoch_us(e2.ts) > epoch_us(e1.ts)
+             | AND epoch_us(e2.ts) <= epoch_us(e1.ts) + 120000000
+             |GROUP BY 1 ORDER BY u""".stripMargin)),
+
+    // J7: explicit broadcast of small dims (region/nation) on a fact scan.
+    GQuery("j7_join_broadcast",
+      (s, d) => Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("r_name"),
+      Some("""SELECT r_name, round(sum(l_extendedprice * (1 - l_discount)), 2)
+             |       AS revenue
+             |FROM lineitem
+             |JOIN supplier ON l_suppkey = s_suppkey
+             |JOIN nation ON s_nationkey = n_nationkey
+             |JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin)),
+
+    // J8: self-join with swapped keys — symmetry check of a symmetric
+    // relation (reference `Src/utils.py:15-30`, its disabled invariant).
+    GQuery("j8_self_join_symmetry",
+      (s, d) => {
+        val pairs = Tables.events(s, d)
+          .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        val a = pairs.select(col("user_id").as("ua"), col("event_type").as("ta"),
+          col("n").as("na"))
+        val b = pairs.select(col("user_id").as("ub"), col("event_type").as("tb"),
+          col("n").as("nb"))
+        a.join(b, col("ua") === col("ub") && col("ta") === col("tb"))
+          .filter(col("na") =!= col("nb"))
+          .agg(count(lit(1)).as("asymmetries"))
+      },
+      Some("""SELECT count(*) AS asymmetries FROM
+             |  (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1,2) a
+             |JOIN
+             |  (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1,2) b
+             |ON a.user_id = b.user_id AND a.event_type = b.event_type
+             |WHERE a.n <> b.n""".stripMargin)),
+
+    // ---- A: aggregations ------------------------------------------------
+    // A1-ish pricing summary (TPC-H Q1 shape): sums/avg/count per flag.
+    GQuery("a1_groupby_agg",
+      (s, d) => Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT l_returnflag, l_linestatus,
+             |  round(sum(l_quantity), 2) AS sum_qty,
+             |  round(sum(l_extendedprice), 2) AS sum_base,
+             |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc,
+             |  round(avg(l_quantity), 4) AS avg_qty,
+             |  count(*) AS n
+             |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+             |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // A2: map-building agg, emitted as canonical sorted "k:v" string.
+    GQuery("a2_map_agg",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(array_join(array_sort(
+          collect_list(concat_ws(":", col("event_type"), col("n")))), ",")
+          .as("type_counts"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id, string_agg(event_type || ':' || n, ','
+             |         ORDER BY event_type || ':' || n) AS type_counts
+             |FROM (SELECT user_id, event_type, count(*) AS n
+             |      FROM events GROUP BY 1, 2)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // A3: first-per-group dedup — intended `min(time)` semantics of the
+    // reference's orderBy-then-groupBy-first (`Src/processes.py:247-250`).
+    GQuery("a3_first_per_group",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(min(unix_micros(col("ts"))).as("first_ts_us"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "event_type"),
+      Some("""SELECT user_id, event_type, min(epoch_us(ts)) AS first_ts_us,
+             |       count(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // A4: any_value carrying a constant-per-group column through the agg.
+    GQuery("a4_any_value",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(any_value(col("c_name")).as("name"),
+          count(lit(1)).as("n_orders"))
+        .filter(col("c_custkey") % 100 === 0)
+        .orderBy("c_custkey"),
+      Some("""SELECT c_custkey, any_value(c_name) AS name,
+             |       count(*) AS n_orders
+             |FROM orders JOIN customer ON o_custkey = c_custkey
+             |GROUP BY c_custkey HAVING c_custkey % 100 = 0
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // A5: report-style string-concat agg: header + deterministic top-20 body.
+    GQuery("a5_string_concat_agg",
+      (s, d) => {
+        val w = Window.partitionBy("c_mktsegment").orderBy("c_name", "c_custkey")
+        Tables.customer(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .groupBy("c_mktsegment")
+          .agg(concat(lit("segment="), col("c_mktsegment"), lit(" members="),
+            array_join(array_sort(collect_list(col("c_name"))), "|"))
+            .as("report"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment,
+             |  'segment=' || c_mktsegment || ' members=' ||
+             |  string_agg(c_name, '|' ORDER BY c_name) AS report
+             |FROM (
+             |  SELECT c_mktsegment, c_name,
+             |    row_number() OVER (PARTITION BY c_mktsegment
+             |                       ORDER BY c_name, c_custkey) AS rn
+             |  FROM customer)
+             |WHERE rn <= 20 GROUP BY c_mktsegment
+             |ORDER BY c_mktsegment""".stripMargin)),
+
+    // A6: distinct-set agg: array_distinct(flatten(collect_list(...))).
+    GQuery("a6_distinct_set_agg",
+      (s, d) => Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(array_join(array_sort(collect_set(col("c_mktsegment"))), ",")
+          .as("segments"),
+          count(lit(1)).as("n_customers"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+             |  string_agg(DISTINCT c_mktsegment, ',' ORDER BY c_mktsegment)
+             |    AS segments,
+             |  count(*) AS n_customers
+             |FROM customer JOIN nation ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin)),
+
+    // A7: distinct + count (exact; approx_count_distinct is the 100 TB path).
+    GQuery("a7_count_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |       count(DISTINCT l_suppkey) AS n_supps, count(*) AS n
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A8: distinct rows.
+    GQuery("a8_distinct_rows",
+      (s, d) => Tables.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus"),
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY 1, 2""".stripMargin)),
+
+    // A9: contiguous group-id assignment via dense_rank (deterministic
+    // replacement for monotonically_increasing_id group ids).
+    GQuery("a9_group_ids",
+      (s, d) => Tables.part(s, d)
+        .groupBy("p_brand").agg(count(lit(1)).as("n"))
+        .withColumn("brand_id", dense_rank().over(
+          Window.orderBy(col("p_brand"))))
+        .orderBy("brand_id"),
+      Some("""SELECT p_brand, count(*) AS n,
+             |  dense_rank() OVER (ORDER BY p_brand) AS brand_id
+             |FROM part GROUP BY p_brand ORDER BY brand_id""".stripMargin)),
+
+    // ---- W: windows -----------------------------------------------------
+    // W1: row_number top-1 per group with deterministic tiebreak.
+    GQuery("w1_row_number",
+      (s, d) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1 && col("o_custkey") % 10 === 0)
+          .select("o_custkey", "o_orderkey", "o_totalprice")
+          .orderBy("o_custkey")
+      },
+      Some("""SELECT o_custkey, o_orderkey, o_totalprice FROM (
+             |  SELECT *, row_number() OVER (PARTITION BY o_custkey
+             |    ORDER BY o_totalprice DESC, o_orderkey) AS rn
+             |  FROM orders)
+             |WHERE rn = 1 AND o_custkey % 10 = 0 ORDER BY o_custkey""".stripMargin)),
+
+    // W2: running sum over a deterministic per-user event order.
+    GQuery("w2_running_sum",
+      (s, d) => {
+        val w = Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .withColumn("running", round(sum("value").over(w), 4))
+          .filter(col("event_id") % 100 === 0)
+          .select("user_id", "event_id", "running")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, running FROM (
+             |  SELECT user_id, event_id,
+             |    round(sum(value) OVER (PARTITION BY user_id
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+             |      AS running
+             |  FROM events)
+             |WHERE event_id % 100 = 0 ORDER BY user_id, event_id""".stripMargin)),
+
+    // W3: lag/lead — previous event type per user (transition source).
+    GQuery("w3_lag_lead",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev_type", lag("event_type", 1).over(w))
+          .withColumn("next_type", lead("event_type", 1).over(w))
+          .filter(col("event_id") % 100 === 0)
+          .select("user_id", "event_id", "prev_type", "next_type")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, prev_type, next_type FROM (
+             |  SELECT user_id, event_id,
+             |    lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS prev_type,
+             |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+             |      AS next_type
+             |  FROM events)
+             |WHERE event_id % 100 = 0 ORDER BY user_id, event_id""".stripMargin)),
+
+    // ---- O: sorts / limits ---------------------------------------------
+    // O1: global order + limit with unique tiebreak (top-k).
+    GQuery("o1_sort_limit",
+      (s, d) => Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(25),
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_totalprice DESC, o_orderkey LIMIT 25""".stripMargin)),
+
+    // ---- U: set operations ----------------------------------------------
+    // U1: unionByName + distinct (nations that have customers or suppliers).
+    GQuery("u1_union_distinct",
+      (s, d) => Tables.customer(s, d)
+        .select(col("c_nationkey").as("nationkey"))
+        .unionByName(Tables.supplier(s, d).select(col("s_nationkey").as("nationkey")))
+        .distinct()
+        .orderBy("nationkey"),
+      Some("""SELECT DISTINCT c_nationkey AS nationkey FROM customer
+             |UNION SELECT DISTINCT s_nationkey FROM supplier
+             |ORDER BY nationkey""".stripMargin)),
+
+    // U2: union-all preserving duplicates, then counted.
+    GQuery("u2_union_all",
+      (s, d) => Tables.orders(s, d).filter(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+        .union(Tables.orders(s, d).filter(col("o_totalprice") > 150000)
+          .select(col("o_custkey").as("k")))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .filter(col("k") % 25 === 0)
+        .orderBy("k"),
+      Some("""SELECT k, count(*) AS n FROM (
+             |  SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'
+             |  UNION ALL
+             |  SELECT o_custkey FROM orders WHERE o_totalprice > 150000)
+             |GROUP BY k HAVING k % 25 = 0 ORDER BY k""".stripMargin)),
+
+    // U3: array set algebra + Jaccard (reference `Src/utils.py:8-13`).
+    GQuery("u3_jaccard_sets",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+        .select(col("user_id"),
+          array_join(col("types"), ",").as("type_set"),
+          round(graft.functions.jaccardSim(col("types"),
+            array(lit("click"), lit("view"), lit("purchase"))), 4).as("jac"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  string_agg(DISTINCT event_type, ',' ORDER BY event_type) AS type_set,
+             |  round(len(list_intersect(list(DISTINCT event_type),
+             |                           ['click','view','purchase'])) * 1.0 /
+             |        len(list_distinct(list(DISTINCT event_type) ||
+             |                          ['click','view','purchase'])), 4) AS jac
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // ---- F: scalar functions ---------------------------------------------
+    // F4/F5/F-string: concat_ws, upper, substring, replace, length.
+    GQuery("f1_string_funcs",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"),
+          concat_ws("/", upper(col("p_brand")),
+            substring(col("p_name"), 1, 8)).as("tag"),
+          length(col("p_name")).as("name_len"),
+          regexp_replace(col("p_type"), "[aeiou]", "_").as("devowel"))
+        .filter(col("p_partkey") % 40 === 0)
+        .orderBy("p_partkey"),
+      Some("""SELECT p_partkey,
+             |  upper(p_brand) || '/' || substr(p_name, 1, 8) AS tag,
+             |  length(p_name) AS name_len,
+             |  regexp_replace(p_type, '[aeiou]', '_', 'g') AS devowel
+             |FROM part WHERE p_partkey % 40 = 0 ORDER BY p_partkey""".stripMargin)),
+
+    // F-date: timestamp parts + truncation.
+    GQuery("f2_date_funcs",
+      (s, d) => Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"),
+          month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total"))
+        .orderBy("yr", "mo"),
+      Some("""SELECT year(o_orderdate) AS yr, month(o_orderdate) AS mo,
+             |       count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
+
+    // F-json: JSON field extraction from a string column.
+    GQuery("f3_json_extract",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n"))
+        .orderBy("k"),
+      Some("""SELECT CAST(json_extract_string(props, '$.k') AS INT) AS k,
+             |       count(*) AS n
+             |FROM events GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // F-regexp: extraction + predicate match.
+    GQuery("f4_regexp",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "^(\\w+)", 1).as("first_word"),
+          col("text").rlike("table .* scan").cast("int").as("has_pattern"))
+        .filter(col("doc_id") % 20 === 0)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, regexp_extract(text, '^(\w+)', 1) AS first_word,
+             |  CAST(regexp_matches(text, 'table .* scan') AS INT) AS has_pattern
+             |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin)),
+
+    // F-HOF: transform / filter / aggregate over token arrays.
+    GQuery("f5_higher_order",
+      (s, d) => Tables.documents(s, d)
+        .withColumn("toks", graft.functions.tokens(col("text")))
+        .select(col("doc_id"),
+          size(col("toks")).as("n_toks"),
+          aggregate(transform(col("toks"), t => length(t)),
+            lit(0), (acc, v) => acc + v).as("sum_tok_len"),
+          size(filter(col("toks"), t => length(t) > 4)).as("n_long"))
+        .filter(col("doc_id") % 20 === 0)
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split(trim(text), ' ')) AS n_toks,
+             |  list_sum(list_transform(string_split(trim(text), ' '),
+             |           t -> length(t))) AS sum_tok_len,
+             |  len(list_filter(string_split(trim(text), ' '),
+             |      t -> length(t) > 4)) AS n_long
+             |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin)),
+
+    // F10: base-26 identifier assignment over a ranked dimension.
+    GQuery("f6_base26_ids",
+      (s, d) => Tables.nation(s, d)
+        .withColumn("rank0",
+          dense_rank().over(Window.orderBy(col("n_name"))) - 1)
+        .select(col("n_name"), graft.functions.base26Id(col("rank0")).as("nid"))
+        .orderBy("n_name"),
+      Some("""SELECT n_name,
+             |  CASE WHEN rank0 < 26 THEN chr(rank0 + 65)
+             |       ELSE chr((rank0 // 26) + 64) ||
+             |            chr(rank0 % 26 + 65) END AS nid
+             |FROM (SELECT n_name,
+             |        dense_rank() OVER (ORDER BY n_name) - 1 AS rank0
+             |      FROM nation)
+             |ORDER BY n_name""".stripMargin))
+  )
+}
