@@ -58,7 +58,7 @@ package object functions {
   def wordNgrams(toks: Column, n: Int): Column =
     when(size(toks) < n, array().cast("array<string>")).otherwise(
       transform(sequence(lit(0), size(toks) - n),
-        i => array_join(slice(toks, i + 1, n), " ")))
+        i => array_join(slice(toks, i + 1, lit(n)), " ")))
 
   /** Token-level Levenshtein (unit-cost edit distance over string tokens).
     *

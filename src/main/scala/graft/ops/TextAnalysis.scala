@@ -1,0 +1,131 @@
+package graft.ops
+
+import graft.{GQuery, QueryModule, Tables}
+import graft.functions.tokens
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline over `documents`:
+  * word-list language/register identification, quality scoring
+  * (length / stopword / punctuation ratios), token counting (whitespace +
+  * BPE-ish regex), and a rolling-hash document fingerprint.
+  *
+  * Everything is pure Column expressions (codegen'd, no UDFs); the
+  * fingerprint hash uses the first 8 hex chars of MD5 per token so the
+  * DuckDB oracle computes the identical value.
+  */
+object TextAnalysis extends QueryModule {
+
+  /** Three word lists partitioning the corpus vocabulary — the scoring
+    * skeleton of an n-gram language-ID heuristic (argmax of per-class
+    * token hits with a deterministic tiebreak). */
+  private val listA = Seq("the", "a", "fast", "slow", "big", "small")
+  private val listB = Seq("table", "scan", "join", "merge", "hash", "filter", "sort")
+  private val listC = Seq("spark", "stream", "batch", "vector", "agg", "group")
+
+  private def hits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*))).cast("long")
+
+  private def sqlHits(words: Seq[String]): String =
+    s"len(list_filter(string_split(trim(text), ' '), " +
+      s"t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+
+  private val stopwords = Seq("the", "a", "of", "and")
+
+  override def queries: Seq[GQuery] = Seq(
+
+    // Language-ID skeleton: per-class word-list scores + argmax.
+    GQuery("x1_langid",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            hits(toks, listA).as("s_a"),
+            hits(toks, listB).as("s_b"),
+            hits(toks, listC).as("s_c"))
+          .withColumn("pred",
+            when(col("s_a") >= col("s_b") && col("s_a") >= col("s_c"), "a")
+              .when(col("s_b") >= col("s_c"), "b")
+              .otherwise("c"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, s_a, s_b, s_c,
+              |  CASE WHEN s_a >= s_b AND s_a >= s_c THEN 'a'
+              |       WHEN s_b >= s_c THEN 'b' ELSE 'c' END AS pred
+              |FROM (SELECT doc_id,
+              |        ${sqlHits(listA)} AS s_a,
+              |        ${sqlHits(listB)} AS s_b,
+              |        ${sqlHits(listC)} AS s_c
+              |      FROM documents)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Quality scoring: token count, mean token length, stopword ratio,
+    // combined into one bounded score. Formula written identically on
+    // both sides so the doubles match bit-for-bit.
+    GQuery("x2_quality",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"),
+            size(toks).cast("long").as("n_toks"),
+            hits(toks, stopwords).as("n_stop"),
+            aggregate(toks, lit(0L), (acc, t) => acc + length(t)).as("tok_chars"))
+          .select(col("doc_id"), col("n_toks"),
+            round(col("tok_chars") * 1.0 / col("n_toks"), 4).as("avg_tok_len"),
+            round(col("n_stop") * 1.0 / col("n_toks"), 4).as("stop_ratio"),
+            round(least(col("n_toks") / 60.0, lit(1.0)) * 0.5 +
+              (lit(1.0) - col("n_stop") * 1.0 / col("n_toks")) * 0.5, 4)
+              .as("quality"))
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, n_toks,
+              |  round(tok_chars * 1.0 / n_toks, 4) AS avg_tok_len,
+              |  round(n_stop * 1.0 / n_toks, 4) AS stop_ratio,
+              |  round(least(n_toks / 60.0, 1.0) * 0.5 +
+              |        (1.0 - n_stop * 1.0 / n_toks) * 0.5, 4) AS quality
+              |FROM (SELECT doc_id,
+              |        len(string_split(trim(text), ' ')) AS n_toks,
+              |        ${sqlHits(stopwords)} AS n_stop,
+              |        list_sum(list_transform(string_split(trim(text), ' '),
+              |          t -> length(t)))::BIGINT AS tok_chars
+              |      FROM documents)
+              |ORDER BY doc_id""".stripMargin)),
+
+    // Token counting: whitespace tokens vs a BPE-ish regex (word pieces +
+    // single non-word non-space marks), plus chars-per-token.
+    GQuery("x3_token_count",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_ws"),
+          regexp_count(col("text"), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"))
+            .cast("long").as("n_bpe"),
+          length(col("text")).cast("long").as("n_chars_m"))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id,
+             |  len(string_split(trim(text), ' ')) AS n_ws,
+             |  len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))
+             |    AS n_bpe,
+             |  length(text) AS n_chars_m
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // Document fingerprint: polynomial rolling hash over per-token
+    // portable hashes (first 8 hex chars of MD5), mod 2^31-1.
+    GQuery("x4_fingerprint",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val tokHashes = transform(toks,
+          t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
+        Tables.documents(s, d)
+          .select(col("doc_id"),
+            aggregate(tokHashes, lit(0L),
+              (acc, h) => (acc * 1000003L + h) % 2147483647L).as("fp"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  list_reduce([0::BIGINT] ||
+             |    list_transform(string_split(trim(text), ' '),
+             |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
+             |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin))
+  )
+}

@@ -1,0 +1,273 @@
+package graft.ops
+
+import graft.{GQuery, QueryModule, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** One event row for the typed reduceGroups query (A11). */
+final case class EvRow(user_id: Long, event_id: Long, value: Double)
+
+/** Trace-analytics layer: the reference's core domain semantics
+  * (sessionize → request path / euler string → depth features → cluster
+  * rewrite → equal-process grouping; reference `Src/processes.py:10-232`,
+  * `Src/servers.py:35-80`) mapped onto the harness `events` table with
+  * `user_id ≈ process_id`, `ts ≈ time` (long nanoseconds — read with
+  * nanosAsLong), `event_type ≈ action`.
+  *
+  * Scale posture: every per-entity ordering happens INSIDE the group via
+  * `array_sort(collect_list(struct(ts, event_id, …)))` — never
+  * global-sort-then-group, whose per-group order Spark does not guarantee
+  * (the reference's latent bug at `Src/processes.py:38-40`). Groups are
+  * bounded by session size, aggregations are partial-agg friendly, and the
+  * tiny event-type dimension is broadcast for the rewrite join.
+  */
+object Trace extends QueryModule {
+
+  /** Event types treated as "opening" brackets in the euler encoding
+    * (the reference's Request; the rest act as Response). */
+  private val openTypes = Seq("click", "view", "signup")
+
+  /** Per-user events sorted by (ts, event_id) as a struct array — the
+    * shuffle-safe sessionize primitive (A10/O2). */
+  private def sessionized(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy("user_id")
+      .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+        col("event_type")))).as("evs"))
+
+  private def pathOf(evs: Column): Column =
+    array_join(transform(evs, e => e.getField("event_type")), "-")
+
+  override def queries: Seq[GQuery] = Seq(
+
+    // A10: sessionize — per-user time-ordered action path.
+    GQuery("t1_sessionize",
+      (s, d) => sessionized(s, d)
+        .select(col("user_id"), pathOf(col("evs")).as("path"),
+          size(col("evs")).cast("long").as("n_events"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  string_agg(event_type, '-' ORDER BY ts, event_id) AS path,
+             |  count(*) AS n_events
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Euler-string encoding: '1'+type for opening actions, '0'+type for
+    // closing ones, '-'-joined in time order (`Src/processes.py:23-33`).
+    GQuery("t2_euler_string",
+      (s, d) => sessionized(s, d)
+        .select(col("user_id"),
+          array_join(transform(col("evs"), e =>
+            concat(when(e.getField("event_type").isin(openTypes: _*), "1")
+              .otherwise("0"), e.getField("event_type"))), "-").as("euler"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  string_agg(CASE WHEN event_type IN ('click','view','signup')
+             |               THEN '1' ELSE '0' END || event_type,
+             |             '-' ORDER BY ts, event_id) AS euler
+             |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Notebook depth counter: running +1/-1 cumulative sum per user
+    // (`bigdata (2).ipynb` cell 8 semantics) as a window cumsum.
+    GQuery("t3_depth_counter",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val delta = when(col("event_type").isin("click", "view"), 1)
+          .when(col("event_type").isin("purchase", "error"), -1)
+          .otherwise(0)
+        Tables.events(s, d)
+          .withColumn("depth", sum(delta).over(w))
+          .filter(col("event_id") % 100 === 0)
+          .select("user_id", "event_id", "depth")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, depth FROM (
+             |  SELECT user_id, event_id,
+             |    CAST(sum(CASE WHEN event_type IN ('click','view') THEN 1
+             |             WHEN event_type IN ('purchase','error') THEN -1
+             |             ELSE 0 END)
+             |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+             |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS BIGINT) AS depth
+             |  FROM events)
+             |WHERE event_id % 100 = 0 ORDER BY user_id, event_id""".stripMargin)),
+
+    // Request path: "prev:curr" edge tokens in time order
+    // (`Src/processes.py:12-21`), edges from a lag window.
+    GQuery("t4_request_path",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("edge",
+            concat(lag("event_type", 1).over(w), lit(":"), col("event_type")))
+          .filter(col("edge").isNotNull)
+          .groupBy("user_id")
+          .agg(array_join(transform(array_sort(collect_list(
+            struct(col("ts"), col("event_id"), col("edge")))),
+            e => e.getField("edge")), "-").as("request_path"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id,
+             |  string_agg(edge, '-' ORDER BY ts, event_id) AS request_path
+             |FROM (SELECT user_id, ts, event_id,
+             |        lag(event_type) OVER (PARTITION BY user_id
+             |          ORDER BY ts, event_id) || ':' || event_type AS edge
+             |      FROM events)
+             |WHERE edge IS NOT NULL
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // Depth-map features: map<type,count> per user via
+    // map_from_entries(collect_list(struct(...))) (A2/F7,
+    // `Src/processes.py:108-129`), read back through map_keys /
+    // map_values (F6) and element_at-with-default
+    // (`Src/processes.py:137-143`: coalesce(element_at, -1)).
+    GQuery("t5_depth_map",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"),
+          array_join(map_keys(col("m")), ",").as("ks"),
+          array_join(transform(map_values(col("m")), _.cast("string")), ",")
+            .as("vs"),
+          size(map_keys(col("m"))).cast("long").as("n_types"),
+          coalesce(element_at(col("m"), "click"), lit(-1L)).as("click_n"),
+          coalesce(element_at(col("m"), "refund"), lit(-1L)).as("refund_n"))
+        .orderBy("user_id"),
+      Some("""SELECT user_id,
+             |  string_agg(event_type, ',' ORDER BY event_type) AS ks,
+             |  string_agg(CAST(n AS VARCHAR), ',' ORDER BY event_type) AS vs,
+             |  count(*) AS n_types,
+             |  coalesce(max(CASE WHEN event_type = 'click' THEN n END), -1)
+             |    AS click_n,
+             |  CAST(-1 AS BIGINT) AS refund_n
+             |FROM (SELECT user_id, event_type, count(*) AS n
+             |      FROM events GROUP BY 1, 2)
+             |GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // F1: explode(map) back to (key, value) rows.
+    GQuery("t6_explode_map",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id", "event_type").agg(count(lit(1)).as("n"))
+        .groupBy("user_id")
+        .agg(map_from_entries(array_sort(collect_list(
+          struct(col("event_type"), col("n"))))).as("m"))
+        .select(col("user_id"), explode(col("m")).as(Seq("etype", "n")))
+        .orderBy("user_id", "etype"),
+      Some("""SELECT user_id, event_type AS etype, count(*) AS n
+             |FROM events GROUP BY 1, 2 ORDER BY user_id, etype""".stripMargin)),
+
+    // F2: explode(array) with position (posexplode).
+    GQuery("t7_explode_array",
+      (s, d) => Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(array_sort(collect_set(col("event_type"))).as("types"))
+        .select(col("user_id"), posexplode(col("types")).as(Seq("pos", "etype")))
+        .select(col("user_id"), col("pos").cast("long").as("pos"), col("etype"))
+        .orderBy("user_id", "pos"),
+      Some("""SELECT user_id,
+             |  row_number() OVER (PARTITION BY user_id ORDER BY etype) - 1
+             |    AS pos, etype
+             |FROM (SELECT DISTINCT user_id, event_type AS etype FROM events)
+             |ORDER BY user_id, pos""".stripMargin)),
+
+    // M9 flagship: equal-process grouping — sessions (user, day) with
+    // identical action paths grouped together (`Src/processes.py:228-232`).
+    GQuery("t8_equal_groups",
+      (s, d) => Tables.events(s, d)
+        .withColumn("day", expr("ts div 86400000000000"))
+        .groupBy("user_id", "day")
+        .agg(array_sort(collect_list(struct(col("ts"), col("event_id"),
+          col("event_type")))).as("evs"))
+        .select(col("user_id"), pathOf(col("evs")).as("path"))
+        .groupBy("path")
+        .agg(count(lit(1)).as("n_sessions"),
+          array_join(transform(sort_array(collect_list(col("user_id"))),
+            _.cast("string")), ",").as("members"),
+          min(col("user_id")).as("min_user"))
+        .orderBy("path"),
+      Some("""WITH sess AS (
+             |  SELECT user_id, epoch_ns(ts) // 86400000000000 AS day,
+             |         string_agg(event_type, '-' ORDER BY ts, event_id) AS path
+             |  FROM events GROUP BY 1, 2)
+             |SELECT path, count(*) AS n_sessions,
+             |       string_agg(CAST(user_id AS VARCHAR), ',' ORDER BY user_id)
+             |         AS members,
+             |       min(user_id) AS min_user
+             |FROM sess GROUP BY path ORDER BY path""".stripMargin)),
+
+    // Notebook transition counter (`bigdata (2).ipynb` cell 9): global
+    // (prev → curr) transition histogram.
+    GQuery("t9_transitions",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        Tables.events(s, d)
+          .withColumn("prev", lag("event_type", 1).over(w))
+          .filter(col("prev").isNotNull)
+          .groupBy(col("prev"), col("event_type").as("curr"))
+          .agg(count(lit(1)).as("n"))
+          .orderBy("prev", "curr")
+      },
+      Some("""SELECT prev, curr, count(*) AS n FROM (
+             |  SELECT lag(event_type) OVER (PARTITION BY user_id
+             |           ORDER BY ts, event_id) AS prev,
+             |         event_type AS curr
+             |  FROM events)
+             |WHERE prev IS NOT NULL
+             |GROUP BY 1, 2 ORDER BY prev, curr""".stripMargin)),
+
+    // F9+F10: cluster-space rewrite — assign base-26 cluster ids to the
+    // event-type dimension, then rewrite every user's path token-by-token
+    // through the broadcast map (replaces the reference's five rewrite
+    // UDFs, `Src/processes.py:152-192`, with higher-order functions).
+    GQuery("t10_cluster_rewrite",
+      (s, d) => {
+        val dim = Tables.events(s, d).select("event_type").distinct()
+          .withColumn("cid", graft.functions.base26Id(
+            dense_rank().over(Window.orderBy("event_type")) - 1))
+        val m = dim.agg(map_from_entries(collect_list(
+          struct(col("event_type"), col("cid")))).as("m"))
+        sessionized(s, d).crossJoin(broadcast(m))
+          .select(col("user_id"),
+            array_join(transform(col("evs"),
+              e => element_at(col("m"), e.getField("event_type"))), "-")
+              .as("cluster_path"))
+          .orderBy("user_id")
+      },
+      Some("""WITH dim AS (
+             |  SELECT event_type,
+             |         chr(CAST(dense_rank() OVER (ORDER BY event_type) - 1 + 65
+             |             AS INT)) AS cid
+             |  FROM (SELECT DISTINCT event_type FROM events)),
+             |ev AS (SELECT e.user_id, e.ts, e.event_id, d.cid
+             |       FROM events e JOIN dim d USING (event_type))
+             |SELECT user_id,
+             |       string_agg(cid, '-' ORDER BY ts, event_id) AS cluster_path
+             |FROM ev GROUP BY user_id ORDER BY user_id""".stripMargin)),
+
+    // A11: typed reduceGroups — max-value event per user via Dataset
+    // reduce (the RDD reduceByKey surface, `Src/dbscan.py:100-104`).
+    GQuery("t11_reduce_groups",
+      (s, d) => {
+        val sess = s
+        import sess.implicits._
+        Tables.events(s, d).select("user_id", "event_id", "value").as[EvRow]
+          .groupByKey(_.user_id)
+          .reduceGroups((a, b) =>
+            if (a.value > b.value || (a.value == b.value && a.event_id < b.event_id)) a
+            else b)
+          .map(_._2)
+          .toDF()
+          .select(col("user_id"), col("event_id"),
+            round(col("value"), 2).as("value"))
+          .orderBy("user_id")
+      },
+      Some("""SELECT user_id, event_id, round(value, 2) AS value FROM (
+             |  SELECT user_id, event_id, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY value DESC, event_id) AS rn
+             |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin))
+  )
+}
