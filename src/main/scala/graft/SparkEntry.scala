@@ -17,7 +17,9 @@ object SparkEntry {
     graft.ops.Trace,
     graft.ops.Dedup,
     graft.ops.TextAnalysis,
-    graft.ops.Ann)
+    graft.ops.Ann,
+    graft.ops.Cluster,
+    graft.ops.Sources)
 
   private lazy val all: Seq[GQuery] = modules.flatMap(_.queries)
 

@@ -1,0 +1,133 @@
+package graft.ops
+
+import graft.{GQuery, QueryModule, Tables}
+import graft.cluster.Dbscan
+import graft.similarity.Similarity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Registered queries for the algorithmic core (SURVEY.md §2.10):
+  * MinHashLSH similarity join (M2), neighbor-list clustering (M3),
+  * distributed DBSCAN in both jaccard and edit-distance flavors
+  * (M5–M7), and connected components (M8). DBSCAN/CC outputs are
+  * deterministic (min-label components) but not SQL-expressible, so
+  * those entries carry no oracle — the property/fixture specs in
+  * `src/test/scala` are their correctness gate (SURVEY.md §5.4).
+  */
+object Cluster extends QueryModule {
+
+  /** (user_id, day) sessions with their '-'-joined action path —
+    * the process analog fed to the DBSCAN wrappers. */
+  private def sessions(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("day", expr("ts div 86400000000000"))
+      .groupBy("user_id", "day")
+      .agg(array_join(transform(array_sort(collect_list(struct(col("ts"),
+        col("event_id"), col("event_type")))),
+        e => e.getField("event_type")), "-").as("path"))
+      .select((col("user_id") * 1000000 + col("day")).as("sid"), col("path"))
+
+  override def queries: Seq[GQuery] = Seq(
+
+    // M2/J6: Spark ML seeded MinHashLSH approx similarity self-join over
+    // document shingles at Jaccard distance <= 0.5. Oracle: exact
+    // all-pairs Jaccard (valid because the data's similarity gap makes
+    // LSH recall 1.0 here; the ScalaTest spec asserts recall >= 0.9 on
+    // adversarial fixtures).
+    GQuery("m2_minhash_ml",
+      (s, d) => {
+        val docs = Tables.documents(s, d)
+          .select(col("doc_id"), array_distinct(graft.functions.wordNgrams(
+            graft.functions.tokens(col("text")), 3)).as("sh"))
+        Similarity.minhashJoin(docs, "doc_id", "sh", 0.5)
+          .select(col("ida"), col("idb"), round(lit(1.0) - col("dist"), 4)
+            .as("jac"))
+          .orderBy("ida", "idb")
+      },
+      Some(Dedup.shingleSqlCte +
+        """
+          |SELECT a.doc_id AS ida, b.doc_id AS idb,
+          |  round(len(list_intersect(a.sh, b.sh)) * 1.0 /
+          |        len(list_distinct(a.sh || b.sh)), 4) AS jac
+          |FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          |      len(list_distinct(a.sh || b.sh)) >= 0.5
+          |ORDER BY ida, idb""".stripMargin)),
+
+    // M3: neighbor-list clustering of near-dup documents — each doc's
+    // cluster is {itself} ∪ {LSH neighbors at sim >= 0.5}, canonical
+    // '+'-joined name; singletons via anti-join (`Src/servers.py:121-147`).
+    GQuery("m3_neighbor_clusters",
+      (s, d) => {
+        val pairs = Dedup.lshPairs(s, d, 0.5)
+          .select(col("da").as("ida"), col("db").as("idb"))
+        Similarity.neighborClusters(
+          Tables.documents(s, d).select("doc_id"), "doc_id", pairs)
+          .select(col("doc_id"), col("cluster_name"),
+            size(col("members")).cast("long").as("n_members"))
+          .orderBy("doc_id")
+      },
+      Some(Dedup.shingleSqlCte +
+        """,
+          |p AS (SELECT a.doc_id AS da, b.doc_id AS db
+          |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          |            len(list_distinct(a.sh || b.sh)) >= 0.5),
+          |sym AS (SELECT da AS id, db AS nbr FROM p
+          |        UNION ALL SELECT db, da FROM p),
+          |mem AS (SELECT id, nbr AS m FROM sym
+          |        UNION ALL SELECT DISTINCT id, id FROM sym),
+          |cl AS (SELECT id, string_agg(CAST(m AS VARCHAR), '+' ORDER BY m)
+          |         AS cluster_name, count(*) AS n_members
+          |       FROM mem GROUP BY id)
+          |SELECT doc_id,
+          |  coalesce(cl.cluster_name, CAST(doc_id AS VARCHAR)) AS cluster_name,
+          |  coalesce(cl.n_members, 1) AS n_members
+          |FROM documents LEFT JOIN cl ON documents.doc_id = cl.id
+          |ORDER BY doc_id""".stripMargin)),
+
+    // M5+M7: pivot-partitioned DBSCAN over session paths with token
+    // edit distance (eps=2, minPts=3). Deterministic min-label
+    // components; correctness gate = DbscanSpec.
+    GQuery("m5_dbscan_editdist",
+      (s, d) => {
+        val sess = s
+        import sess.implicits._
+        Dbscan.editDistanceDbscan(s,
+          sessions(s, d).as[(Long, String)], 2.0, 3)
+          .orderBy("id")
+      },
+      None),
+
+    // M5+M6: DBSCAN with Jaccard distance over session action sets
+    // (eps=0.4, minPts=3).
+    GQuery("m6_dbscan_jaccard",
+      (s, d) => {
+        val sess = s
+        import sess.implicits._
+        Dbscan.jaccardDbscan(s,
+          sessions(s, d).as[(Long, String)], 0.4, 3)
+          .orderBy("id")
+      },
+      None),
+
+    // M8: GraphX connected components over a co-activity graph — users
+    // are connected when they share >= 12 (day, event_type) cells.
+    GQuery("m8_connected_components",
+      (s, d) => {
+        val ue = Tables.events(s, d)
+          .withColumn("day", expr("ts div 86400000000000"))
+          .select("user_id", "day", "event_type").distinct()
+        val e = ue.select(col("day"), col("event_type"), col("user_id").as("ua"))
+          .join(ue.select(col("day"), col("event_type"),
+            col("user_id").as("ub")), Seq("day", "event_type"))
+          .filter(col("ua") < col("ub"))
+          .groupBy("ua", "ub").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 12)
+          .select(col("ua").as("l1"), col("ub").as("l2"))
+        val v = Tables.events(s, d).select(col("user_id").as("v")).distinct()
+        Dbscan.connectedComponents(s, v, e).orderBy("v")
+      },
+      None)
+  )
+}

@@ -34,7 +34,38 @@ object Dedup extends QueryModule {
   private def invIndex(df: DataFrame): DataFrame =
     df.select(col("doc_id"), explode(col("sh")).as("s"))
 
-  private val shingleSqlCte =
+  /** Banded-minhash candidate pairs, exact-Jaccard verified at
+    * `minSim` — shared by d3 and the M3 neighbor clustering. */
+  private[ops] def lshPairs(s: SparkSession, d: String, minSim: Double)
+      : DataFrame = {
+    val ds = docShingles(s, d)
+    // Band signatures are built directly inside ONE generator expression:
+    // materializing a 64-minhash column first and slicing it per band
+    // looks natural but CollapseProject inlines the minhash computation
+    // into every slice, re-evaluating it 16x (measured 20s vs 1.2s at
+    // sf0.001). This form computes each of the 64 hashes exactly once.
+    val bands = ds.select(col("doc_id"),
+      explode(transform(sequence(lit(0), lit(15)),
+        b => struct(b.as("bid"),
+          transform(sequence(lit(0), lit(3)),
+            j => array_min(transform(col("sh"),
+              t => xxhash64(t, b * 4 + j)))).as("sig")))).as("band"))
+      .select(col("doc_id"), col("band.bid").as("bid"),
+        col("band.sig").as("sig"))
+    val cand = bands.select(col("bid"), col("sig"), col("doc_id").as("da"))
+      .join(bands.select(col("bid"), col("sig"), col("doc_id").as("db")),
+        Seq("bid", "sig"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    cand
+      .join(ds.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
+      .join(ds.select(col("doc_id").as("db"), col("sh").as("shb")), Seq("db"))
+      .withColumn("jac", jaccardSim(col("sha"), col("shb")))
+      .filter(col("jac") >= minSim)
+      .select(col("da"), col("db"), col("jac"))
+  }
+
+  private[ops] val shingleSqlCte =
     """WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
       |             FROM documents),
       |s AS (SELECT doc_id,
@@ -94,30 +125,9 @@ object Dedup extends QueryModule {
     // the exact all-pairs oracle matches. This is the 100 TB dedup path:
     // cost is O(candidates), never O(n²).
     GQuery("d3_minhash_lsh",
-      (s, d) => {
-        val ds = docShingles(s, d)
-        val mh = ds.withColumn("mins",
-          transform(sequence(lit(0), lit(63)),
-            i => array_min(transform(col("sh"), t => xxhash64(t, i)))))
-        val bands = mh.select(col("doc_id"),
-          explode(transform(sequence(lit(0), lit(15)),
-            b => struct(b.as("bid"),
-              slice(col("mins"), b * 4 + 1, lit(4)).as("sig")))).as("band"))
-          .select(col("doc_id"), col("band.bid").as("bid"),
-            col("band.sig").as("sig"))
-        val cand = bands.select(col("bid"), col("sig"), col("doc_id").as("da"))
-          .join(bands.select(col("bid"), col("sig"), col("doc_id").as("db")),
-            Seq("bid", "sig"))
-          .filter(col("da") < col("db"))
-          .select("da", "db").distinct()
-        cand
-          .join(ds.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
-          .join(ds.select(col("doc_id").as("db"), col("sh").as("shb")), Seq("db"))
-          .withColumn("jac", jaccardSim(col("sha"), col("shb")))
-          .filter(col("jac") >= 0.5)
-          .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
-          .orderBy("da", "db")
-      },
+      (s, d) => lshPairs(s, d, 0.5)
+        .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
+        .orderBy("da", "db"),
       Some(shingleSqlCte +
         """
           |SELECT a.doc_id AS da, b.doc_id AS db,

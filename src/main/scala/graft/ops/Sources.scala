@@ -1,0 +1,77 @@
+package graft.ops
+
+import graft.{GQuery, QueryModule, Tables}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Long-tail source/format operators (SURVEY.md §2.1/§2.8): local
+  * collection → DataFrame with explicit schema (S2/S4), empty frame
+  * with schema (S5), format_string rendering (F8), and the multimodal
+  * pipeline head (rows-only; MultimodalSpec is its gate). JSON/text
+  * sinks, cache/sample, accumulators and isEmpty (S6/S7/S9/S10/P9) are
+  * action-shaped, not query-shaped — they live in SourcesSinksSpec. */
+object Sources extends QueryModule {
+
+  override def queries: Seq[GQuery] = Seq(
+
+    // S2+S4: driver-local collection with explicit StructType joined
+    // against a real table (broadcast — it is by construction tiny).
+    GQuery("s2_local_source",
+      (s, d) => {
+        val schema = StructType(Seq(
+          StructField("rk", LongType, nullable = false),
+          StructField("tier", StringType, nullable = false)))
+        val rows = java.util.Arrays.asList(
+          Row(0L, "south"), Row(1L, "west"), Row(2L, "east"),
+          Row(3L, "north"), Row(4L, "central"))
+        val dim = s.createDataFrame(rows, schema)
+        Tables.region(s, d)
+          .join(broadcast(dim), col("r_regionkey") === col("rk"))
+          .select(col("r_regionkey"), col("r_name"), col("tier"))
+          .orderBy("r_regionkey")
+      },
+      Some("""SELECT r_regionkey, r_name, tier
+             |FROM region JOIN (VALUES (0, 'south'), (1, 'west'), (2, 'east'),
+             |                         (3, 'north'), (4, 'central'))
+             |  AS t(rk, tier) ON r_regionkey = rk
+             |ORDER BY r_regionkey""".stripMargin)),
+
+    // S5: empty DataFrame with explicit schema unioned into a real scan —
+    // the accumulator-seed pattern (`Src/processes.py:343-346`).
+    GQuery("s5_empty_union",
+      (s, d) => {
+        val schema = StructType(Seq(
+          StructField("n_name", StringType),
+          StructField("n_nationkey", LongType)))
+        val empty = s.createDataFrame(
+          java.util.Collections.emptyList[Row](), schema)
+        Tables.nation(s, d).select(col("n_name"), col("n_nationkey"))
+          .unionByName(empty)
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_name, n_nationkey FROM nation
+             |ORDER BY n_nationkey""".stripMargin)),
+
+    // F8: format_string report rendering (reference row_text /
+    // process_id_str UDFs, `Src/processes.py:262-277`).
+    GQuery("f7_format_string",
+      (s, d) => Tables.nation(s, d)
+        .select(col("n_nationkey"),
+          format_string("nation[%02d]=%s region=%d",
+            col("n_nationkey"), col("n_name"), col("n_regionkey"))
+            .as("line"))
+        .orderBy("n_nationkey"),
+      Some("""SELECT n_nationkey,
+             |  printf('nation[%02d]=%s region=%d',
+             |         n_nationkey, n_name, n_regionkey) AS line
+             |FROM nation ORDER BY n_nationkey""".stripMargin)),
+
+    // Multimodal pipeline head (decode/resize/frame-sample stubs over
+    // synthetic binary media): rows-only — deterministic synthetic
+    // input, no parquet table for DuckDB to see.
+    GQuery("m10_multimodal",
+      (s, _) => graft.multimodal.Multimodal.pipeline(s, 200),
+      None)
+  )
+}

@@ -1,0 +1,105 @@
+package graft.similarity
+
+import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity layer (SURVEY.md §2.10 M1–M4): HashingTF featurization,
+  * seeded MinHash LSH approximate similarity self-join, neighbor-list
+  * clustering with canonical names, and base-26 cluster-id assignment
+  * with connection rewriting.
+  *
+  * Reference semantics: `Src/servers.py:96-216` (server clustering at
+  * Jaccard-distance 0.05, cluster-level join at 0.6) and
+  * `Src/processes.py:319-331` (process elements at 0.5). The reference
+  * leaves MinHash seeds random; here they are fixed so results are
+  * reproducible (SURVEY.md §7.4 risk 2).
+  *
+  * Scale posture: `approxSimilarityJoin` explodes hash tables and
+  * equi-joins on (table, hash) — candidate-pair cost, never O(n²).
+  * Neighbor clustering is one groupBy; the id map is a bounded dimension
+  * joined with a broadcast hint, never collected to the driver (the
+  * reference's broadcast-dict anti-pattern, `Src/servers.py:160-167`).
+  */
+object Similarity {
+
+  /** M1+M2+J6: HashingTF over a token-array column, seeded MinHashLSH,
+    * approximate similarity self-join. Returns (ida, idb, dist) with
+    * exact Jaccard distance over the hashed feature vectors, one row per
+    * unordered pair (ida < idb), dist <= threshold.
+    */
+  def minhashJoin(
+      df: DataFrame,
+      idCol: String,
+      featCol: String,
+      threshold: Double,
+      numHashTables: Int = 5,
+      seed: Long = 42L,
+      numFeatures: Int = 1 << 20): DataFrame = {
+    val tf = new HashingTF()
+      .setInputCol(featCol).setOutputCol("__features")
+      .setNumFeatures(numFeatures)
+    // MinHash needs >= 1 non-zero entry.
+    val featured = tf.transform(df.filter(size(col(featCol)) > 0))
+    val mh = new MinHashLSH()
+      .setInputCol("__features").setOutputCol("__hashes")
+      .setNumHashTables(numHashTables).setSeed(seed)
+    val model = mh.fit(featured)
+    model.approxSimilarityJoin(featured, featured, threshold, "dist")
+      .select(col(s"datasetA.$idCol").as("ida"),
+        col(s"datasetB.$idCol").as("idb"), col("dist"))
+      .filter(col("ida") < col("idb"))
+  }
+
+  /** M3: neighbor-list clustering. Each item's cluster is the sorted set
+    * {itself} ∪ {its similar neighbors}; the canonical cluster name is
+    * the '+'-joined member list (reference `Src/servers.py:121-147`:
+    * NOT transitive closure — near-dup semantics, order-free). Items
+    * with no pair become singleton clusters via anti-join + union.
+    *
+    * @param items distinct frame holding `idCol`
+    * @param pairs (ida, idb) unordered similar pairs (ida < idb)
+    * @return (idCol, members: array, cluster_name: string)
+    */
+  def neighborClusters(items: DataFrame, idCol: String, pairs: DataFrame)
+      : DataFrame = {
+    val sym = pairs.select(col("ida").as("__id"), col("idb").as("__nbr"))
+      .union(pairs.select(col("idb").as("__id"), col("ida").as("__nbr")))
+    val clustered = sym.groupBy("__id")
+      .agg(array_sort(array_union(collect_set(col("__nbr")),
+        array(col("__id")))).as("members"))
+    val singletons = items.select(col(idCol).as("__id"))
+      .join(sym.select("__id").distinct(), Seq("__id"), "left_anti")
+      .withColumn("members", array(col("__id")))
+    clustered.unionByName(singletons)
+      .select(col("__id").as(idCol), col("members"),
+        array_join(transform(col("members"), _.cast("string")), "+")
+          .as("cluster_name"))
+  }
+
+  /** M4/F10: contiguous base-26 ids (A, B, … AA, …) for a bounded
+    * cluster-name dimension, by dense_rank over the canonical name.
+    * The single-partition window is safe: input is post-aggregation,
+    * bounded cardinality (documented assumption, VERDICT r1). */
+  def clusterIds(clusters: DataFrame, nameCol: String): DataFrame =
+    clusters.select(col(nameCol)).distinct()
+      .withColumn("cluster_id", graft.functions.base26Id(
+        dense_rank().over(Window.orderBy(col(nameCol))) - 1))
+
+  /** M4: rewrite a token-array column through a (token → id) dimension
+    * supplied as a one-row broadcast map — higher-order `transform`
+    * replacing the reference's broadcast-dict UDFs
+    * (`Src/servers.py:183-189`). Tokens absent from the map pass
+    * through unchanged. */
+  def rewriteTokens(df: DataFrame, tokArrCol: String, dim: DataFrame,
+      keyCol: String, valCol: String): DataFrame = {
+    val m = dim.agg(map_from_entries(collect_list(
+      struct(col(keyCol), col(valCol)))).as("__m"))
+    df.crossJoin(broadcast(m))
+      .withColumn(tokArrCol,
+        transform(col(tokArrCol),
+          t => coalesce(element_at(col("__m"), t), t)))
+      .drop("__m")
+  }
+}

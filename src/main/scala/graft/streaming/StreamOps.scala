@@ -1,0 +1,101 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** One event on the stream (ts is a real timestamp column so watermarks
+  * apply; the batch tables carry long nanos — convert at the edge). */
+final case class StreamEvent(
+    event_id: Long,
+    user_id: Long,
+    event_type: String,
+    ts: Timestamp,
+    value: Double)
+
+/** Open per-user session state held between micro-batches. */
+final case class SessionState(
+    events: List[(Long, String)],   // (epochMs, event_type), insertion order
+    startMs: Long,
+    lastMs: Long)
+
+/** One closed session. */
+final case class SessionOut(
+    user_id: Long,
+    n_events: Int,
+    path: String,
+    start_ms: Long,
+    end_ms: Long)
+
+/** Structured Streaming face of the trace pipeline (SURVEY.md §2.11
+  * extension): the reference processes its event log in batch; the same
+  * log schema is naturally a stream, so the engine also exposes
+  * readStream → watermark → windowed aggregation, and gap-based
+  * sessionization as `flatMapGroupsWithState` (the streaming equivalent
+  * of the batch sessionize/euler operators in `graft.ops.Trace`).
+  *
+  * Scale posture: state is keyed by user and bounded — the session
+  * buffer caps at [[MaxEventsPerSession]] events and event-time timeout
+  * evicts idle sessions, so state size is O(active users), independent
+  * of stream length.
+  */
+object StreamOps extends Serializable {
+
+  val MaxEventsPerSession = 1000
+
+  /** Watermarked sliding-window counts per event type — the canonical
+    * streaming aggregation (append-mode safe). */
+  def windowedTypeCounts(
+      events: DataFrame,
+      windowLen: String = "5 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("w_start"), col("event_type"), col("n"))
+
+  /** Gap-based sessionization: a user's session closes once the
+    * watermark passes last-event-time + gap; the closed session emits
+    * its time-ordered action path (streaming analog of
+    * `t1_sessionize`/M9 grouping). */
+  def sessionize(events: Dataset[StreamEvent], gapMs: Long)
+      : Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[StreamEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(closed(userId, s))
+      } else {
+        val evs = batch.toSeq
+        val prev = state.getOption
+          .getOrElse(SessionState(Nil, Long.MaxValue, Long.MinValue))
+        val merged = (prev.events ++ evs.map(e =>
+          (e.ts.getTime, e.event_type))).take(MaxEventsPerSession)
+        val next = SessionState(merged,
+          math.min(prev.startMs, evs.map(_.ts.getTime).min),
+          math.max(prev.lastMs, evs.map(_.ts.getTime).max))
+        state.update(next)
+        state.setTimeoutTimestamp(next.lastMs + gapMs)
+        Iterator.empty
+      }
+    }
+
+    events
+      .withWatermark("ts", "0 seconds")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  private def closed(userId: Long, s: SessionState): SessionOut = {
+    val ordered = s.events.sortBy(_._1)
+    SessionOut(userId, ordered.size, ordered.map(_._2).mkString("-"),
+      s.startMs, s.lastMs)
+  }
+}

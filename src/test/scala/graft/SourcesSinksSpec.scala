@@ -1,0 +1,61 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Action-shaped long-tail operators (SURVEY.md §2.1): JSON sink (S6),
+  * text sink (S7), cache + seeded sample (S9), accumulator (S10),
+  * isEmpty probe (P9). */
+class SourcesSinksSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("S6: JSON sink round-trips rows") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_json").toString + "/out"
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v")
+    df.write.mode("overwrite").json(dir)
+    val back = spark.read.json(dir).select(col("id").cast("long"), col("v"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(back.toSeq == Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("S7: text sink writes one line per row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_text").toString + "/out"
+    Seq("line1", "line2", "line3").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(dir)
+    val back = spark.read.text(dir).as[String].collect().sorted
+    assert(back.toSeq == Seq("line1", "line2", "line3"))
+  }
+
+  test("S9: cache keeps results identical; seeded sample is deterministic") {
+    import spark.implicits._
+    val df = spark.range(1000).toDF("id").cache()
+    val before = df.agg(sum("id")).head().getLong(0)
+    val after = df.agg(sum("id")).head().getLong(0)
+    assert(before == after && before == 499500L)
+    df.unpersist()
+    val s1 = spark.range(1000).sample(withReplacement = false, 0.1, seed = 42)
+      .collect().toSeq
+    val s2 = spark.range(1000).sample(withReplacement = false, 0.1, seed = 42)
+      .collect().toSeq
+    assert(s1 == s2 && s1.nonEmpty && s1.size < 400)
+  }
+
+  test("S10: longAccumulator counts per-row observations in a pass") {
+    import spark.implicits._
+    val acc = spark.sparkContext.longAccumulator("malformed")
+    val df = Seq("ok", "", "ok", "", "").toDF("v")
+    df.as[String].foreach(v => if (v.isEmpty) acc.add(1L))
+    assert(acc.value == 3L)
+  }
+
+  test("P9: isEmpty probe") {
+    import spark.implicits._
+    assert(spark.emptyDataset[String].isEmpty)
+    assert(!Seq(1).toDS().isEmpty)
+    assert(Seq(1, 2, 3).toDS().filter(_ > 10).isEmpty)
+  }
+}

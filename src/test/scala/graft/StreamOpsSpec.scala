@@ -1,0 +1,68 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.streaming.{StreamEvent, StreamOps}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming specs driven through MemoryStream: watermarked
+  * windowed counts and gap-based stateful sessionization. */
+class StreamOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def ev(id: Long, user: Long, typ: String, second: Long) =
+    StreamEvent(id, user, typ, new Timestamp(second * 1000L), 1.0)
+
+  test("windowedTypeCounts: counts land in the right event-time windows") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val q = StreamOps.windowedTypeCounts(mem.toDF(), "1 minute", "0 seconds")
+      .writeStream.format("memory").queryName("wtc")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(ev(1, 1, "click", 10), ev(2, 1, "click", 20),
+        ev(3, 2, "view", 30))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the first window
+      mem.addData(ev(4, 1, "click", 600))
+      q.processAllAvailable()
+      mem.addData(ev(5, 1, "click", 1200))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT event_type, n FROM wtc").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(rows.contains(("click", 2L)), s"got $rows")
+      assert(rows.contains(("view", 1L)), s"got $rows")
+    } finally q.stop()
+  }
+
+  test("sessionize: sessions close after the gap, path is time-ordered") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val q = StreamOps.sessionize(mem.toDS(), gapMs = 60000L)
+      .writeStream.format("memory").queryName("sess")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 10s apart; user 2: one event — out of order
+      // arrival within the batch must not corrupt path order
+      mem.addData(ev(2, 1, "view", 20), ev(1, 1, "click", 10),
+        ev(3, 2, "signup", 15))
+      q.processAllAvailable()
+      // push watermark beyond both sessions' (last + gap)
+      mem.addData(ev(9, 3, "click", 500))
+      q.processAllAvailable()
+      mem.addData(ev(10, 3, "click", 1000))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, n_events, path FROM sess")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+      val byUser = rows.map(t => t._1 -> t).toMap
+      assert(byUser(1L)._2 == 2 && byUser(1L)._3 == "click-view",
+        s"user1 session wrong: $rows")
+      assert(byUser(2L)._2 == 1 && byUser(2L)._3 == "signup")
+    } finally q.stop()
+  }
+}
