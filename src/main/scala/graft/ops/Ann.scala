@@ -75,6 +75,30 @@ object Ann extends QueryModule {
     """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
       |             AS v FROM embeddings)""".stripMargin
 
+  /** Dot product via the native codegen'd expression — identical
+    * arithmetic (sequential sum in element order) to the HOF fold
+    * `aggregate(zip_with(a, b, _*_), 0.0, _+_)`, so the DuckDB oracles
+    * remain bit-equal, but it runs inside whole-stage codegen instead of
+    * the interpreted lambda path. */
+  def dotCol(a: Column, b: Column): Column =
+    graft.plans.NativeFunctions.arrayDot(a, b)
+
+  /** (vec_id, v, nrm) — norms are computed ONCE per vector in a narrow
+    * projection before any join, so each candidate pair later costs a
+    * single dot product instead of three (interpreted HOFs don't share
+    * subexpressions across pair rows). Separate selects keep `v` an
+    * attribute rather than an inlined expression. */
+  def normedVecs(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), col("v"), sqrt(dotCol(col("v"), col("v"))).as("nrm"))
+
+  /** Cosine from pre-computed norms — identical arithmetic to
+    * `functions.cosineSim` (dot / (na*nb), 0 when a norm is 0). */
+  def simFromNorms(va: Column, vb: Column, na: Column, nb: Column): Column =
+    when(na === 0d || nb === 0d, lit(0.0))
+      .otherwise(dotCol(va, vb) / (na * nb))
+
   private def cosSql(a: String, b: String): String =
     s"""CASE WHEN sqrt(list_sum(list_transform($a, x -> x*x))) = 0
        |       OR sqrt(list_sum(list_transform($b, x -> x*x))) = 0 THEN 0.0
@@ -101,14 +125,14 @@ object Ann extends QueryModule {
     // broadcast the queries, stream the corpus, window-rank per query.
     GQuery("n1_knn_brute",
       (s, d) => {
-        val vecs = Tables.embeddings(s, d)
-          .select(col("vec_id"),
-            transform(col("embedding"), _.cast("double")).as("v"))
+        val vecs = normedVecs(s, d)
         val q = vecs.filter(col("vec_id") % 20 === 0)
-          .select(col("vec_id").as("qid"), col("v").as("qv"))
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qn"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
         vecs.join(broadcast(q), col("vec_id") =!= col("qid"))
-          .withColumn("sim", round(cosineSim(col("qv"), col("v")), 4))
+          .withColumn("sim", round(
+            simFromNorms(col("qv"), col("v"), col("qn"), col("nrm")), 4))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 5)
           .select(col("qid"), col("rn").cast("long").as("rn"),
@@ -132,22 +156,21 @@ object Ann extends QueryModule {
     // tables; exact cosine reranks the candidates to top-3 per query.
     GQuery("n2_ann_lsh",
       (s, d) => {
-        val vecs = Tables.embeddings(s, d)
-          .select(col("vec_id"),
-            transform(col("embedding"), _.cast("double")).as("v"))
+        val vecs = normedVecs(s, d)
         val b = vecs
           .withColumn("tbl", explode(tableSigArray(col("v"))))
           .select(col("tbl.t").as("t"), col("tbl.sig").as("sig"),
-            col("vec_id"), col("v"))
+            col("vec_id"), col("v"), col("nrm"))
         val q = b.filter(col("vec_id") % 20 === 0)
           .select(col("t"), col("sig"), col("vec_id").as("qid"),
-            col("v").as("qv"))
+            col("v").as("qv"), col("nrm").as("qn"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
         q.join(b.select(col("t"), col("sig"), col("vec_id").as("nbr"),
-            col("v").as("nv")), Seq("t", "sig"))
+            col("v").as("nv"), col("nrm").as("nn")), Seq("t", "sig"))
           .filter(col("nbr") =!= col("qid"))
           .dropDuplicates("qid", "nbr")
-          .withColumn("sim", round(cosineSim(col("qv"), col("nv")), 4))
+          .withColumn("sim", round(
+            simFromNorms(col("qv"), col("nv"), col("qn"), col("nn")), 4))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select(col("qid"), col("rn").cast("long").as("rn"), col("nbr"),

@@ -36,9 +36,7 @@ object Cluster extends QueryModule {
     // adversarial fixtures).
     GQuery("m2_minhash_ml",
       (s, d) => {
-        val docs = Tables.documents(s, d)
-          .select(col("doc_id"), array_distinct(graft.functions.wordNgrams(
-            graft.functions.tokens(col("text")), 3)).as("sh"))
+        val docs = Dedup.docShingles(s, d)
         Similarity.minhashJoin(docs, "doc_id", "sh", 0.5)
           .select(col("ida"), col("idb"), round(lit(1.0) - col("dist"), 4)
             .as("jac"))
@@ -111,19 +109,22 @@ object Cluster extends QueryModule {
       },
       None),
 
-    // M8: GraphX connected components over a co-activity graph — users
-    // are connected when they share >= 12 (day, event_type) cells.
+    // M8: connected components over a co-activity graph — users are
+    // connected when they share >= 3 (hour, event_type) activity cells.
+    // Hour granularity keeps cells small, so the candidate-pair join is
+    // bounded (the coarser day-level cells produced ~20x more pairs for
+    // the same component structure).
     GQuery("m8_connected_components",
       (s, d) => {
         val ue = Tables.events(s, d)
-          .withColumn("day", expr("ts div 86400000000000"))
-          .select("user_id", "day", "event_type").distinct()
-        val e = ue.select(col("day"), col("event_type"), col("user_id").as("ua"))
-          .join(ue.select(col("day"), col("event_type"),
-            col("user_id").as("ub")), Seq("day", "event_type"))
+          .withColumn("hour", expr("ts div 3600000000000"))
+          .select("user_id", "hour", "event_type").distinct()
+        val e = ue.select(col("hour"), col("event_type"), col("user_id").as("ua"))
+          .join(ue.select(col("hour"), col("event_type"),
+            col("user_id").as("ub")), Seq("hour", "event_type"))
           .filter(col("ua") < col("ub"))
           .groupBy("ua", "ub").agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 12)
+          .filter(col("n") >= 3)
           .select(col("ua").as("l1"), col("ub").as("l2"))
         val v = Tables.events(s, d).select(col("user_id").as("v")).distinct()
         Dbscan.connectedComponents(s, v, e).orderBy("v")

@@ -20,30 +20,34 @@ import org.apache.spark.sql.functions._
   */
 object Dedup extends QueryModule {
 
-  /** Distinct word-trigram shingles of a text column. */
-  private def shingles(c: Column): Column =
-    array_distinct(wordNgrams(tokens(c), 3))
-
-  /** doc_id + shingle-set frame; drops docs with < 3 tokens. */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
+  /** doc_id + distinct word-trigram shingle sets; drops docs with < 3
+    * tokens. Tokenization is a SEPARATE projection from the n-gram
+    * build: higher-order lambdas are interpreted, so if `split(...)` is
+    * inlined into the lambda body it re-evaluates per element (measured
+    * 5.1s vs 0.5s for the corpus at sf0.1); an aliased column referenced
+    * multiple times is kept as an attribute instead. */
+  private[ops] def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
-      .select(col("doc_id"), shingles(col("text")).as("sh"))
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(wordNgrams(col("toks"), 3)).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** Exploded (shingle, doc_id) inverted index. */
-  private def invIndex(df: DataFrame): DataFrame =
-    df.select(col("doc_id"), explode(col("sh")).as("s"))
-
   /** Banded-minhash candidate pairs, exact-Jaccard verified at
-    * `minSim` — shared by d3 and the M3 neighbor clustering. */
+    * `minSim` — shared by d3 and the M3 neighbor clustering.
+    *
+    * Cost shape (the whole point of LSH dedup): ONE pass computes all 64
+    * minhashes per doc — band signatures are built inside a single
+    * generator expression (materializing a minhash column and slicing it
+    * per band looks natural, but CollapseProject inlines the hash
+    * computation into every slice: 16x re-eval, measured 20s vs 1.2s at
+    * sf0.001). Candidate pairs are generated INSIDE each (band, sig)
+    * bucket with higher-order functions rather than a bands⋈bands
+    * self-join, so the corpus-wide featurization isn't evaluated twice;
+    * the exact-Jaccard verification recomputes shingles only for the
+    * candidate docs (semi-join before the projection). */
   private[ops] def lshPairs(s: SparkSession, d: String, minSim: Double)
       : DataFrame = {
     val ds = docShingles(s, d)
-    // Band signatures are built directly inside ONE generator expression:
-    // materializing a 64-minhash column first and slicing it per band
-    // looks natural but CollapseProject inlines the minhash computation
-    // into every slice, re-evaluating it 16x (measured 20s vs 1.2s at
-    // sf0.001). This form computes each of the 64 hashes exactly once.
     val bands = ds.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(15)),
         b => struct(b.as("bid"),
@@ -52,14 +56,22 @@ object Dedup extends QueryModule {
               t => xxhash64(t, b * 4 + j)))).as("sig")))).as("band"))
       .select(col("doc_id"), col("band.bid").as("bid"),
         col("band.sig").as("sig"))
-    val cand = bands.select(col("bid"), col("sig"), col("doc_id").as("da"))
-      .join(bands.select(col("bid"), col("sig"), col("doc_id").as("db")),
-        Seq("bid", "sig"))
-      .filter(col("da") < col("db"))
-      .select("da", "db").distinct()
+    val buckets = bands.groupBy("bid", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val cand = buckets.select(explode(flatten(transform(col("ds"),
+        x => transform(filter(col("ds"), y => y > x),
+          y => struct(x.as("da"), y.as("db")))))).as("p"))
+      .select(col("p.da").as("da"), col("p.db").as("db")).distinct()
+    val candIds = cand
+      .select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
+    val shCand = Tables.documents(s, d)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), array_distinct(wordNgrams(col("toks"), 3)).as("sh"))
     cand
-      .join(ds.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
-      .join(ds.select(col("doc_id").as("db"), col("sh").as("shb")), Seq("db"))
+      .join(shCand.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
+      .join(shCand.select(col("doc_id").as("db"), col("sh").as("shb")), Seq("db"))
       .withColumn("jac", jaccardSim(col("sha"), col("shb")))
       .filter(col("jac") >= minSim)
       .select(col("da"), col("db"), col("jac"))
@@ -89,16 +101,20 @@ object Dedup extends QueryModule {
     // jaccard = |∩| / (|A| + |B| - |∩|) computed from the join counts.
     GQuery("d2_ngram_jaccard",
       (s, d) => {
+        // set sizes ride along with the inverted index so the join
+        // output carries |A| and |B| directly — no extra size joins
+        // (each would re-evaluate the corpus-wide shingle projection)
         val ds = docShingles(s, d)
-        val inv = invIndex(ds)
-        val n = ds.select(col("doc_id"), size(col("sh")).cast("long").as("n"))
-        val shared = inv.select(col("s"), col("doc_id").as("da"))
-          .join(inv.select(col("s"), col("doc_id").as("db")), Seq("s"))
+        // join key is the 64-bit hash of the shingle, not the string —
+        // narrower shuffle; collision odds at this cardinality ~1e-11
+        val inv = ds.select(col("doc_id"),
+          size(col("sh")).cast("long").as("n"), explode(col("sh")).as("g0"))
+          .select(col("doc_id"), col("n"), xxhash64(col("g0")).as("g"))
+        inv.select(col("g"), col("doc_id").as("da"), col("n").as("na"))
+          .join(inv.select(col("g"), col("doc_id").as("db"), col("n").as("nb")),
+            Seq("g"))
           .filter(col("da") < col("db"))
-          .groupBy("da", "db").agg(count(lit(1)).as("shared"))
-        shared
-          .join(n.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-          .join(n.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+          .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("shared"))
           .withColumn("jac",
             col("shared") / (col("na") + col("nb") - col("shared")))
           .filter(col("jac") >= 0.5)
@@ -146,18 +162,18 @@ object Dedup extends QueryModule {
     // cosine distribution is far from the cut (max ≈ 0.5).
     GQuery("d5_embedding_neardup",
       (s, d) => {
-        val vecs = Tables.embeddings(s, d)
-          .select(col("vec_id"),
-            transform(col("embedding"), _.cast("double")).as("v"))
-        val b = vecs.withColumn("tbl", explode(Ann.tableSigArray(col("v"))))
+        val b = Ann.normedVecs(s, d)
+          .withColumn("tbl", explode(Ann.tableSigArray(col("v"))))
           .select(col("tbl.t").as("t"), col("tbl.sig").as("sig"),
-            col("vec_id"), col("v"))
-        b.select(col("t"), col("sig"), col("vec_id").as("ida"), col("v").as("va"))
+            col("vec_id"), col("v"), col("nrm"))
+        b.select(col("t"), col("sig"), col("vec_id").as("ida"),
+            col("v").as("va"), col("nrm").as("na"))
           .join(b.select(col("t"), col("sig"), col("vec_id").as("idb"),
-            col("v").as("vb")), Seq("t", "sig"))
+            col("v").as("vb"), col("nrm").as("nb")), Seq("t", "sig"))
           .filter(col("ida") < col("idb"))
           .dropDuplicates("ida", "idb")
-          .withColumn("sim", cosineSim(col("va"), col("vb")))
+          .withColumn("sim",
+            Ann.simFromNorms(col("va"), col("vb"), col("na"), col("nb")))
           .filter(col("sim") >= 0.95)
           .select(col("ida"), col("idb"), round(col("sim"), 4).as("sim"))
           .orderBy("ida", "idb")

@@ -42,6 +42,19 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenLevenshteinBounded: exact within bound, >bound beyond (300 samples)") {
+    val rnd = new Random(43)
+    for (_ <- 1 to 300) {
+      val (x, y) = (randToks(rnd), randToks(rnd))
+      val exact = tokenLevenshtein(x, y)
+      for (k <- 0 to 6) {
+        val b = tokenLevenshteinBounded(x, y, k)
+        if (exact <= k) assert(b == exact, s"k=$k x=$x y=$y")
+        else assert(b > k, s"k=$k x=$x y=$y exact=$exact got=$b")
+      }
+    }
+  }
+
   test("tokenLevenshtein: known distances") {
     assert(tokenLevenshtein(IndexedSeq("1A", "1B", "0B", "0A"),
       IndexedSeq("1A", "1C", "0C", "0A")) == 2)

@@ -30,12 +30,15 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(back.toSeq == Seq("line1", "line2", "line3"))
   }
 
-  test("S9: cache keeps results identical; seeded sample is deterministic") {
+  test("S9: cache/checkpoint keep results identical; seeded sample deterministic") {
     import spark.implicits._
     val df = spark.range(1000).toDF("id").cache()
     val before = df.agg(sum("id")).head().getLong(0)
     val after = df.agg(sum("id")).head().getLong(0)
     assert(before == after && before == 499500L)
+    // localCheckpoint truncates lineage (the iterative-algorithm pattern)
+    val cp = df.localCheckpoint(eager = true)
+    assert(cp.agg(sum("id")).head().getLong(0) == 499500L)
     df.unpersist()
     val s1 = spark.range(1000).sample(withReplacement = false, 0.1, seed = 42)
       .collect().toSeq

@@ -1,0 +1,112 @@
+package graft
+
+import graft.trace.{LogEvent, TracePipeline => TP}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end Part-1 pipeline specs: the FIXTURES.md §1.1 hand-checkable
+  * fixture, order invariance, and the golden grouping of the reference's
+  * committed `Data/test.json` (6 singleton groups — verified against
+  * `Data/test.json_part1Observations.txt`). */
+class TracePipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** FIXTURES.md §1.1: p1 = user→S1→S2 nested; p2 identical shape. */
+  private def miniLogs = {
+    import spark.implicits._
+    Seq(
+      LogEvent("user", "S1", "Request", 1, "p1"),
+      LogEvent("S1", "S2", "Request", 2, "p1"),
+      LogEvent("S2", "S1", "Response", 3, "p1"),
+      LogEvent("S1", "user", "Response", 4, "p1"),
+      LogEvent("user", "S1", "Request", 5, "p2"),
+      LogEvent("S1", "S2", "Request", 6, "p2"),
+      LogEvent("S2", "S1", "Response", 7, "p2"),
+      LogEvent("S1", "user", "Response", 8, "p2")
+    ).toDF()
+  }
+
+  test("processes: request path + euler string match hand-derived values") {
+    val p = TP.processes(miniLogs).collect()
+      .map(r => r.getString(0) -> (r.getString(1), r.getString(2))).toMap
+    assert(p("p1") == ("user:S1-S1:S2", "1S1-1S2-0S2-0S1"))
+    assert(p("p2") == ("user:S1-S1:S2", "1S1-1S2-0S2-0S1"))
+  }
+
+  test("processes: shuffled input rows give identical results (O2 invariance)") {
+    import spark.implicits._
+    val shuffled = miniLogs.orderBy(rand(99))
+    val a = TP.processes(miniLogs).orderBy("process_id").as[(String, String, String)].collect().toSeq
+    val b = TP.processes(shuffled).orderBy("process_id").as[(String, String, String)].collect().toSeq
+    assert(a == b)
+  }
+
+  test("serversDepth: user=0, child=parent+1; depth_to_servers inverse") {
+    val feats = TP.depthFeatures(TP.processes(miniLogs))
+    val r = feats.filter(col("process_id") === "p1").head()
+    val depth = r.getAs[Map[String, Int]]("servers_depth")
+    assert(depth == Map("user" -> 0, "S1" -> 1, "S2" -> 2))
+    val inv = r.getAs[Map[Int, scala.collection.Seq[String]]]("depth_to_servers")
+    assert(inv(0).toList == List("user") && inv(1).toList == List("S1") && inv(2).toList == List("S2"))
+  }
+
+  test("logsWithDepth: depth_from resolves, unknown server → -1") {
+    val withDepth = TP.logsWithDepth(miniLogs,
+      TP.depthFeatures(TP.processes(miniLogs)))
+    val d = withDepth.filter(col("state_from") === "S1" &&
+      col("action") === "Request").select("depth_from").head().getInt(0)
+    assert(d == 1)
+  }
+
+  test("serverConnections: In/Out edges with callee depth, no user row") {
+    val conns = TP.serverConnections(TP.logsWithDepth(miniLogs,
+      TP.depthFeatures(TP.processes(miniLogs))))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toSet).toMap
+    assert(!conns.contains("user"))
+    assert(conns("S1") == Set("user_In_1", "S2_Out_2"))
+    assert(conns("S2") == Set("S1_In_2"))
+  }
+
+  test("part1 on mini fixture: p1+p2 form ONE equal-process group") {
+    val (groups, dedup) = TP.part1(spark, miniLogs)
+    val g = groups.collect()
+    assert(g.length == 1, s"expected one group, got ${g.length}")
+    assert(g.head.getAs[scala.collection.Seq[String]]("equal_processes").toList == List("p1", "p2"))
+    // dedup'd log keeps exactly one process worth of events (4 rows)
+    assert(dedup.count() == 4)
+    val report = TP.part1Report(groups).head().getString(0)
+    assert(report == "Group 0: ['p1', 'p2']")
+  }
+
+  test("golden: reference Data/test.json groups into 6 singletons") {
+    val logs = TP.readLogJson(spark, "/root/reference/Data/test.json")
+    // 60 events: wc -l reports 59 because the file has no trailing newline
+    assert(logs.count() == 60, "trailing-comma JSONL parsed")
+    val (groups, dedup) = TP.part1(spark, logs)
+    val members = groups.collect()
+      .map(_.getAs[scala.collection.Seq[String]]("equal_processes").toList).toSet
+    // golden part1Observations: every process is its own group
+    assert(members == (1 to 6).map(i => List(s"process$i")).toSet,
+      s"got $members")
+    assert(dedup.select("process_id").distinct().count() == 6)
+  }
+
+  test("part2: element clusters group identical processes, refine splits by euler") {
+    val (_, _) = (0, 0) // keep mini pipeline pieces local
+    val logs = miniLogs
+    val procs = TP.processes(logs)
+    val dim = TP.serverClusterDim(spark,
+      TP.serverConnections(TP.logsWithDepth(logs, TP.depthFeatures(procs))))
+    val cl = TP.clusterLogs(logs, dim)
+    val elems = TP.processElements(cl)
+    val stage1 = TP.elementClusters(spark, elems, eps = 0.5, minPts = 2)
+    val comps = stage1.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(comps("p1") == comps("p2") && comps("p1") >= 0,
+      "identical element sets must cluster together")
+    val clProcs = TP.processes(cl, from = "cluster_from", to = "cluster_to")
+    val fine = TP.refineClusters(spark, clProcs, stage1, eps = 6.0, minPts = 2)
+    val f = fine.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(f("p1") == f("p2") && f("p1") >= 0)
+  }
+}
