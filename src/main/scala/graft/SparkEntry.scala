@@ -19,7 +19,8 @@ object SparkEntry {
     graft.ops.TextAnalysis,
     graft.ops.Ann,
     graft.ops.Cluster,
-    graft.ops.Sources)
+    graft.ops.Sources,
+    graft.ops.Skew)
 
   private lazy val all: Seq[GQuery] = modules.flatMap(_.queries)
 

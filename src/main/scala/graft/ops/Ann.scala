@@ -198,6 +198,73 @@ object Ann extends QueryModule {
            |    CAST(row_number() OVER (PARTITION BY qid
            |      ORDER BY sim DESC, nbr) AS BIGINT) AS rn
            |  FROM s)
+           |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
+
+    // IVF ANN: deterministic centroids (vec_id % 97 = 0), each vector
+    // assigned to its nearest centroid; a query probes its 2 nearest
+    // centroid cells and reranks exactly within them. At 100 TB the
+    // assignment is one broadcast join (centroid count is bounded) and
+    // the probe join touches only the probed cells' vectors.
+    GQuery("n3_ann_ivf",
+      (s, d) => {
+        val vecs = normedVecs(s, d)
+        val cents = vecs.filter(col("vec_id") % 97 === 0)
+          .select(col("vec_id").as("cid"), col("v").as("cv"),
+            col("nrm").as("cn"))
+        val scoredC = vecs.crossJoin(broadcast(cents))
+          .withColumn("csim", round(
+            simFromNorms(col("v"), col("cv"), col("nrm"), col("cn")), 6))
+        val wAsg = Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("cid"))
+        val asg = scoredC.withColumn("rn", row_number().over(wAsg))
+          .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+        val probes = scoredC.filter(col("vec_id") % 20 === 0)
+          .withColumn("rn", row_number().over(wAsg))
+          .filter(col("rn") <= 2)
+          .select(col("vec_id").as("qid"), col("cid"))
+        val cand = probes.join(asg, Seq("cid"))
+          .filter(col("vec_id") =!= col("qid"))
+          .select(col("qid"), col("vec_id").as("nbr")).distinct()
+        val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
+        cand
+          .join(vecs.select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qn")), Seq("qid"))
+          .join(vecs.select(col("vec_id").as("nbr"), col("v").as("nv"),
+            col("nrm").as("nn")), Seq("nbr"))
+          .withColumn("sim", round(
+            simFromNorms(col("qv"), col("nv"), col("qn"), col("nn")), 4))
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= 3)
+          .select(col("qid"), col("rn").cast("long").as("rn"), col("nbr"),
+            col("sim"))
+          .orderBy("qid", "rn")
+      },
+      Some(vCte +
+        s""",
+           |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 97 = 0),
+           |sc AS (SELECT v.vec_id, c.cid,
+           |         round(${cosSql("v.v", "c.cv")}, 6) AS csim
+           |       FROM v, c),
+           |asg AS (SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY csim DESC, cid) AS rn FROM sc) WHERE rn = 1),
+           |probes AS (SELECT vec_id AS qid, cid FROM (
+           |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY csim DESC, cid) AS rn FROM sc
+           |  WHERE vec_id % 20 = 0) WHERE rn <= 2),
+           |cand AS (SELECT DISTINCT p.qid, a.vec_id AS nbr
+           |         FROM probes p JOIN asg a ON p.cid = a.cid
+           |         WHERE a.vec_id <> p.qid),
+           |s AS (SELECT cand.qid, cand.nbr,
+           |        round(${cosSql("qv.v", "nv.v")}, 4) AS sim
+           |      FROM cand
+           |      JOIN v qv ON qv.vec_id = cand.qid
+           |      JOIN v nv ON nv.vec_id = cand.nbr)
+           |SELECT qid, rn, nbr, sim FROM (
+           |  SELECT qid, nbr, sim,
+           |    CAST(row_number() OVER (PARTITION BY qid
+           |      ORDER BY sim DESC, nbr) AS BIGINT) AS rn
+           |  FROM s)
            |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
   )
 }

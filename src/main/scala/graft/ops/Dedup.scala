@@ -85,6 +85,51 @@ object Dedup extends QueryModule {
       |                       for i in range(1, len(t)-1)]) AS sh
       |      FROM toks WHERE len(t) >= 3)""".stripMargin
 
+  /** Powers of two as a literal array (bit 0..62 — 63-bit signatures
+    * keep every mask positive in a signed long). */
+  private val Pow2: Column =
+    typedLit((0 until 63).map(b => 1L << b))
+
+  /** 63-bit SimHash signatures per doc: bit b is set iff the sum over
+    * tokens of ±1 (by bit b of xxhash64(token)) is positive. Token
+    * hashes are materialized as an attribute first (two-step projection
+    * — see docShingles). Input: (doc_id, text). */
+  private[graft] def simhashSigsOf(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        transform(col("toks"), t => xxhash64(t)).as("hs"))
+      .select(col("doc_id"),
+        aggregate(sequence(lit(0), lit(62)), lit(0L), (acc, b) => {
+          val mask = element_at(Pow2, b + 1)
+          val weight = aggregate(col("hs"), lit(0),
+            (w, h) => w + when(h.bitwiseAND(mask) =!= 0L, 1).otherwise(-1))
+          acc + when(weight > 0, mask).otherwise(0L)
+        }).as("sig"))
+
+  /** SimHash near-dup pairs with hamming distance <= maxHamming.
+    * Candidates share at least one of four 16-bit signature chunks —
+    * by pigeonhole every pair within hamming 3 collides on some chunk,
+    * so the bucket join is exact for maxHamming <= 3, never O(n²). */
+  private[graft] def simhashPairs(sigs: DataFrame, maxHamming: Int): DataFrame = {
+    val chunks = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until 4).map(c => struct(lit(c).as("cid"),
+        shiftrightunsigned(col("sig"), c * 16).bitwiseAND(lit(0xFFFFL))
+          .as("chunk"))): _*)).as("ch"))
+      .select(col("doc_id"), col("sig"), col("ch.cid").as("cid"),
+        col("ch.chunk").as("chunk"))
+    chunks.select(col("cid"), col("chunk"), col("doc_id").as("da"),
+        col("sig").as("siga"))
+      .join(chunks.select(col("cid"), col("chunk"), col("doc_id").as("db"),
+        col("sig").as("sigb")), Seq("cid", "chunk"))
+      .filter(col("da") < col("db"))
+      .dropDuplicates("da", "db")
+      .withColumn("hamming",
+        bit_count(col("siga").bitwiseXOR(col("sigb"))))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("da"), col("db"), col("hamming").cast("long").as("hamming"))
+  }
+
   override def queries: Seq[GQuery] = Seq(
 
     // Exact dedup: group identical texts by content hash, keep min id.
@@ -153,6 +198,16 @@ object Dedup extends QueryModule {
           |WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
           |      len(list_distinct(a.sh || b.sh)) >= 0.5
           |ORDER BY da, db""".stripMargin)),
+
+    // SimHash dedup: 63-bit signatures, 4×16-bit chunk buckets, exact
+    // hamming verify (≤ 3). xxhash64-based signatures are not
+    // reproducible in DuckDB, so the gate is DedupSpec (planted
+    // near-dups detected, distant docs rejected, pigeonhole recall).
+    GQuery("d4_simhash",
+      (s, d) => simhashPairs(simhashSigsOf(
+        Tables.documents(s, d).select("doc_id", "text")), 3)
+        .orderBy("da", "db"),
+      None),
 
     // Embedding-cosine near-dup pairs ≥ 0.95: candidates are bucket-mates
     // in ANY of 8 random-hyperplane hash tables (8 bits each) — at this

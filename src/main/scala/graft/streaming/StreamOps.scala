@@ -98,4 +98,18 @@ object StreamOps extends Serializable {
     SessionOut(userId, ordered.size, ordered.map(_._2).mkString("-"),
       s.startMs, s.lastMs)
   }
+
+  /** Streaming exact dedup on event_id with a bounded state window —
+    * duplicates arriving within the watermark are dropped; state for
+    * ids older than the watermark is evicted (the streaming face of
+    * d1_exact_dedup). */
+  def dedupEvents(events: DataFrame, watermark: String = "10 minutes")
+      : DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** Stream-static enrichment join: the static dimension is broadcast
+    * against each micro-batch — the streaming analog of J7. */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
 }

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ops.Dedup
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** SimHash dedup specs: planted near-dups collide, distant docs don't,
+  * chunk-bucket recall is exact for hamming <= 3 (pigeonhole). */
+class DedupSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def docsDf(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  private val base =
+    "the fast key order sort table scan merge part window small hash " +
+      "join batch stream spark group query row data slow filter customer"
+
+  test("planted near-dup (one token changed) has small hamming; detected") {
+    val docs = docsDf(Seq(
+      (1L, base),
+      (2L, base.replace("window", "vector")),   // near-dup of 1
+      (3L, "completely different words entirely unrelated content xyz " +
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa")))
+    val sigs = Dedup.simhashSigsOf(docs)
+    val pairs = Dedup.simhashPairs(sigs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "near-dup pair must be found")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L),
+      "distant doc must not pair")
+  }
+
+  test("identical docs have hamming 0") {
+    val docs = docsDf(Seq((1L, base), (2L, base)))
+    val out = Dedup.simhashPairs(Dedup.simhashSigsOf(docs), 3).collect()
+    assert(out.length == 1 && out.head.getLong(2) == 0L)
+  }
+
+  test("chunk-bucket recall is exact vs all-pairs hamming <= 3") {
+    // 40 docs: 10 base variants × small perturbations
+    val rnd = new scala.util.Random(11)
+    val words = base.split(" ")
+    val docs = docsDf((0 until 40).map { i =>
+      val toks = words.toBuffer
+      // perturb 0-2 tokens of a shared base, grouped by i % 10
+      toks(i % 10) = s"w${i % 10}"
+      if (i % 3 == 0) toks(rnd.nextInt(toks.size)) = s"p$i"
+      (i.toLong, toks.mkString(" "))
+    })
+    val sigs = Dedup.simhashSigsOf(docs).cache()
+    val viaBuckets = Dedup.simhashPairs(sigs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val a = sigs.select(col("doc_id").as("da"), col("sig").as("sa"))
+    val b = sigs.select(col("doc_id").as("db"), col("sig").as("sb"))
+    val exact = a.crossJoin(b).filter(col("da") < col("db"))
+      .withColumn("h", bit_count(col("sa").bitwiseXOR(col("sb"))))
+      .filter(col("h") <= 3)
+      .select("da", "db", "h")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Number](2).longValue)).toSet
+    assert(viaBuckets == exact,
+      s"bucket recall mismatch: missing ${exact -- viaBuckets}, extra ${viaBuckets -- exact}")
+  }
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.ops.Skew
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Skew-salted join equivalence + bucketed co-located join (no shuffle
+  * on the join key when both sides are bucketed and sorted on it). */
+class SkewAndBucketSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("saltedJoin equals the plain join on a skewed fixture") {
+    import spark.implicits._
+    // 10k facts, 90% on one hot key
+    val big = spark.range(10000)
+      .select((when(col("id") % 10 < 9, 7L).otherwise(col("id") % 100))
+        .as("k"), col("id").as("payload"))
+    val small = (0L until 100L).map(k => (k, s"dim$k")).toDF("k", "name")
+    val plain = big.join(small, Seq("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = Skew.saltedJoin(big, small, "k", 8)
+      .groupBy("k").agg(count(lit(1)).as("n"), sum("payload").as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
+  test("bucketed tables join without a shuffle exchange") {
+    import spark.implicits._
+    // force a sort-merge join — broadcast would sidestep bucketing
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+    spark.sql("DROP TABLE IF EXISTS bt_left")
+    spark.sql("DROP TABLE IF EXISTS bt_right")
+    spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("v1"))
+      .write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+      .saveAsTable("bt_left")
+    spark.range(1000).select(col("id").as("k"), (col("id") * 3).as("v2"))
+      .write.bucketBy(8, "k").sortBy("k").mode("overwrite")
+      .saveAsTable("bt_right")
+    val joined = spark.table("bt_left").join(spark.table("bt_right"), Seq("k"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"),
+      s"bucketed join must not shuffle; plan:\n$plan")
+    assert(joined.count() == 1000)
+    val row = joined.filter(col("k") === 10).head()
+    assert(row.getLong(1) == 20 && row.getLong(2) == 30)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+}

@@ -39,6 +39,44 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("dedupEvents: duplicate event ids within the watermark are dropped") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val q = StreamOps.dedupEvents(mem.toDF(), "10 minutes")
+      .writeStream.format("memory").queryName("dedup")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(ev(1, 1, "click", 10), ev(1, 1, "click", 10),
+        ev(2, 2, "view", 20))
+      q.processAllAvailable()
+      mem.addData(ev(1, 1, "click", 11)) // dup id, later batch
+      q.processAllAvailable()
+      val n = spark.sql("SELECT count(*) FROM dedup").head().getLong(0)
+      assert(n == 2, s"expected 2 distinct events, got $n")
+    } finally q.stop()
+  }
+
+  test("enrich: stream-static broadcast join attaches dimension values") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "silver")).toDF("user_id", "tier")
+    val mem = MemoryStream[StreamEvent]
+    val q = StreamOps.enrich(mem.toDF(), dim, "user_id")
+      .select("event_id", "user_id", "tier")
+      .writeStream.format("memory").queryName("enriched")
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(ev(1, 1, "click", 10), ev(2, 2, "view", 20),
+        ev(3, 9, "error", 30))
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, tier FROM enriched")
+        .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(rows(1L).contains("gold") && rows(2L).contains("silver"))
+      assert(rows(9L).isEmpty, "unknown user keeps null tier (left join)")
+    } finally q.stop()
+  }
+
   test("sessionize: sessions close after the gap, path is time-ordered") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
