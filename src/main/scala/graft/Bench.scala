@@ -11,9 +11,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Warm-up pass at the smallest SF: first execution of each query pays
+    // one-time codegen + JIT compilation (measured ~5s on queries whose
+    // steady state is 0.5s). Warming on sf0.001 keeps the measured numbers
+    // about execution, not janino.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
+      queries.foreach { case (_, fn) =>
+        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+        catch { case _: Throwable => () }
+      }
+    }
     // Materialize every column via the noop sink — `.count()` lets Catalyst
     // prune the whole projection and flatters wide queries (VERDICT r1 §4).
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable =>

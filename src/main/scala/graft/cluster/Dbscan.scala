@@ -31,6 +31,21 @@ import org.apache.spark.storage.StorageLevel
   */
 object Dbscan {
 
+  /** Executor-side memo of token splits — distance closures receive the
+    * same value strings across O(cell²) pair evaluations, so splitting
+    * once per distinct value (not per pair) removes a constant factor
+    * from every scan. Bounded: cleared if it outgrows the cap. */
+  private object TokenCache {
+    private val m =
+      new java.util.concurrent.ConcurrentHashMap[String, IndexedSeq[String]]()
+    def get(s: String): IndexedSeq[String] = {
+      if (m.size > 500000) m.clear()
+      var v = m.get(s)
+      if (v == null) { v = s.split("-").toIndexedSeq; m.put(s, v) }
+      v
+    }
+  }
+
   /** @param points (id, value) pairs; ids must be unique
     * @param dist   symmetric distance on values
     * @return (id, component, is_core); component = -1 for noise
@@ -210,8 +225,8 @@ object Dbscan {
       (id, v.split("-").distinct.sorted.mkString("-"))
     }
     run(spark, canon, eps, minPts, (a, b) => {
-      val sa = a.split("-").toSet
-      val sb = b.split("-").toSet
+      val sa = TokenCache.get(a).toSet
+      val sb = TokenCache.get(b).toSet
       val union = (sa ++ sb).size
       if (union == 0) 1.0 else 1.0 - (sa & sb).size.toDouble / union
     })
@@ -232,9 +247,9 @@ object Dbscan {
     val k = math.ceil(eps).toInt
     run(spark, points, eps, minPts,
       (a, b) => graft.functions.tokenLevenshtein(
-        a.split("-").toIndexedSeq, b.split("-").toIndexedSeq).toDouble,
+        TokenCache.get(a), TokenCache.get(b)).toDouble,
       scanDist = (a, b) => graft.functions.tokenLevenshteinBounded(
-        a.split("-").toIndexedSeq, b.split("-").toIndexedSeq, k).toDouble)
+        TokenCache.get(a), TokenCache.get(b), k).toDouble)
     // NOTE: scanKey length-bucketing was tried here and reverted — for
     // edit distance the pivot rings already correlate with token length,
     // so the extra key mostly duplicated each cell (measured 2x slower).

@@ -90,6 +90,9 @@ object Ann extends QueryModule {
     * attribute rather than an inlined expression. */
   def normedVecs(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d)
+      // single-row-group harness file → 1-task scan; spread before the
+      // heavy signature/scoring projections (no-op at real scale)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .select(col("vec_id"), col("v"), sqrt(dotCol(col("v"), col("v"))).as("nrm"))
 

@@ -28,9 +28,19 @@ object Dedup extends QueryModule {
     * multiple times is kept as an attribute instead. */
   private[ops] def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      // harness files are single-row-group parquet → an unsplittable
+      // 1-task scan; spreading the tiny text payload lets the expensive
+      // shingle projection use every core (at 100 TB the files split
+      // naturally and this shuffle is a no-op cost-wise)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
+      // filter on the CHEAP token count, before shingles exist: a filter
+      // on size(sh) gets pushed below the projection by
+      // PushDownPredicates, inlining the whole shingle expression into
+      // the Filter (evaluated 2 extra times per row — measured 3x cost)
+      .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), array_distinct(wordNgrams(col("toks"), 3)).as("sh"))
-      .filter(size(col("sh")) > 0)
 
   /** Banded-minhash candidate pairs, exact-Jaccard verified at
     * `minSim` — shared by d3 and the M3 neighbor clustering.
@@ -85,27 +95,20 @@ object Dedup extends QueryModule {
       |                       for i in range(1, len(t)-1)]) AS sh
       |      FROM toks WHERE len(t) >= 3)""".stripMargin
 
-  /** Powers of two as a literal array (bit 0..62 — 63-bit signatures
-    * keep every mask positive in a signed long). */
-  private val Pow2: Column =
-    typedLit((0 until 63).map(b => 1L << b))
-
   /** 63-bit SimHash signatures per doc: bit b is set iff the sum over
     * tokens of ±1 (by bit b of xxhash64(token)) is positive. Token
     * hashes are materialized as an attribute first (two-step projection
     * — see docShingles). Input: (doc_id, text). */
   private[graft] def simhashSigsOf(docs: DataFrame): DataFrame =
     docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
         transform(col("toks"), t => xxhash64(t)).as("hs"))
+      // bit-vote loop as a native codegen'd expression — the interpreted
+      // nested-aggregate form of the same votes measured ~10s at sf0.1
       .select(col("doc_id"),
-        aggregate(sequence(lit(0), lit(62)), lit(0L), (acc, b) => {
-          val mask = element_at(Pow2, b + 1)
-          val weight = aggregate(col("hs"), lit(0),
-            (w, h) => w + when(h.bitwiseAND(mask) =!= 0L, 1).otherwise(-1))
-          acc + when(weight > 0, mask).otherwise(0L)
-        }).as("sig"))
+        graft.plans.NativeFunctions.simhash63(col("hs")).as("sig"))
 
   /** SimHash near-dup pairs with hamming distance <= maxHamming.
     * Candidates share at least one of four 16-bit signature chunks —

@@ -32,13 +32,20 @@ object TextAnalysis extends QueryModule {
 
   private val stopwords = Seq("the", "a", "of", "and")
 
+  /** documents scan spread across cores — the harness file is one
+    * unsplittable row group, and the per-token scoring below is
+    * compute-bound (no-op at real scale where files split). */
+  private def docsSpread(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Tables.documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+
   override def queries: Seq[GQuery] = Seq(
 
     // Language-ID skeleton: per-class word-list scores + argmax.
     GQuery("x1_langid",
       (s, d) => {
         val toks = tokens(col("text"))
-        Tables.documents(s, d)
+        docsSpread(s, d)
           .select(col("doc_id"),
             hits(toks, listA).as("s_a"),
             hits(toks, listB).as("s_b"),
@@ -65,7 +72,7 @@ object TextAnalysis extends QueryModule {
     GQuery("x2_quality",
       (s, d) => {
         val toks = tokens(col("text"))
-        Tables.documents(s, d)
+        docsSpread(s, d)
           .select(col("doc_id"), col("text"),
             size(toks).cast("long").as("n_toks"),
             hits(toks, stopwords).as("n_stop"),
@@ -94,7 +101,7 @@ object TextAnalysis extends QueryModule {
     // Token counting: whitespace tokens vs a BPE-ish regex (word pieces +
     // single non-word non-space marks), plus chars-per-token.
     GQuery("x3_token_count",
-      (s, d) => Tables.documents(s, d)
+      (s, d) => docsSpread(s, d)
         .select(col("doc_id"),
           size(tokens(col("text"))).cast("long").as("n_ws"),
           regexp_count(col("text"), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"))
@@ -115,7 +122,7 @@ object TextAnalysis extends QueryModule {
         val toks = tokens(col("text"))
         val tokHashes = transform(toks,
           t => conv(substring(md5(t), 1, 8), 16, 10).cast("long"))
-        Tables.documents(s, d)
+        docsSpread(s, d)
           .select(col("doc_id"),
             aggregate(tokHashes, lit(0L),
               (acc, h) => (acc * 1000003L + h) % 2147483647L).as("fp"))

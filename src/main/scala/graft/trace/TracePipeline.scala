@@ -283,4 +283,17 @@ object TracePipeline {
         coalesce(col("component"), lit(-1L)).as("fine_component"),
         coalesce(col("is_core"), lit(false)).as("is_core"))
   }
+
+  /** Part-2 observations report. The reference's equivalent file is
+    * always EMPTY — its loop discards the `union` result
+    * (`Src/processes.py:402`, the U2 bug); here the per-component lines
+    * accumulate through one aggregation, as intended. */
+  def part2Report(fine: DataFrame): DataFrame =
+    fine.filter(col("fine_component") >= 0)
+      .groupBy("fine_component")
+      .agg(sort_array(collect_list(col("process_id"))).as("ps"))
+      .select(format_string("Cluster %d: [%s]", col("fine_component"),
+        array_join(transform(col("ps"), p => concat(lit("'"), p, lit("'"))),
+          ", ")).as("text"))
+      .orderBy("text")
 }

@@ -108,5 +108,9 @@ class TracePipelineSpec extends AnyFunSuite {
     val fine = TP.refineClusters(spark, clProcs, stage1, eps = 6.0, minPts = 2)
     val f = fine.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(f("p1") == f("p2") && f("p1") >= 0)
+    // part-2 report is non-empty (the reference's is always empty — U2 bug)
+    val report = TP.part2Report(fine).collect().map(_.getString(0))
+    assert(report.length == 1 && report.head.endsWith("['p1', 'p2']"),
+      s"got ${report.toSeq}")
   }
 }
