@@ -88,23 +88,43 @@ object Dbscan {
 
     // 2. ring duplication + per-cell quadratic scan over distinct values.
     //    `scanKey` (contract: |key(a)-key(b)| > 1 ⇒ dist(a,b) > eps)
-    //    refines big rings into (ring, key) cells — e.g. token-length
-    //    buckets for edit distance, where a huge same-radius ring would
-    //    otherwise force one task through an O(ring²) scan.
+    //    refines big rings into (ring, key) cells. Each cell is further
+    //    split into a G×G triangle-join block grid: when the distance
+    //    distribution is degenerate (edit distances are small integers,
+    //    so only a handful of rings exist), the cells alone would cap
+    //    parallelism at #cells tasks — the block grid keeps the SAME
+    //    pair set but spreads it over G*(G+1)/2 tasks per cell.
+    val G = 8
     val ringed = reps.flatMap { case (rep, v, w) =>
       val ring = math.floor(dist(v, pivot) / eps).toLong
       val keys = if (scanKey == null) Seq(0L)
                  else { val kb = scanKey(v); Seq(kb, kb + 1L) }
-      for (r <- Seq(ring, ring + 1L); k <- keys)
-        yield ((r, k), rep, v, w)
-    }
-    val nbrPairs = ringed.groupByKey(_._1).flatMapGroups { (_, it) =>
-      val arr = it.toArray
+      val g = ((rep % G) + G) % G
+      val blocks = (0 until G)
+        .map(o => (math.min(g, o.toLong), math.max(g, o.toLong))).distinct
       for {
-        i <- arr.indices.iterator
-        j <- arr.indices
-        if i != j && pairTest(arr(i)._3, arr(j)._3) <= eps
-      } yield (arr(i)._2, arr(j)._2, arr(j)._4)
+        r <- Seq(ring, ring + 1L); k <- keys; (bi, bj) <- blocks
+      } yield ((r, k, bi, bj), g.toLong, rep, v, w)
+    }
+    val nbrPairs = ringed.groupByKey(_._1).flatMapGroups { (key, it) =>
+      val (_, _, bi, bj) = key
+      val arr = it.toArray
+      if (bi == bj) {
+        for {
+          i <- arr.indices.iterator
+          j <- arr.indices
+          if i != j && pairTest(arr(i)._4, arr(j)._4) <= eps
+        } yield (arr(i)._3, arr(j)._3, arr(j)._5)
+      } else {
+        val as = arr.filter(_._2 == bi)
+        val bs = arr.filter(_._2 == bj)
+        for {
+          a <- as.iterator
+          b <- bs
+          if pairTest(a._4, b._4) <= eps
+          p <- Iterator((a._3, b._3, b._5), (b._3, a._3, a._5))
+        } yield p
+      }
     }.toDF("rep", "nbr", "nw").dropDuplicates("rep", "nbr")
 
     // 3. eps-ball weight (self multiplicity + neighbor multiplicities);
