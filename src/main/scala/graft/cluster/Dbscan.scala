@@ -94,7 +94,10 @@ object Dbscan {
     //    so only a handful of rings exist), the cells alone would cap
     //    parallelism at #cells tasks — the block grid keeps the SAME
     //    pair set but spreads it over G*(G+1)/2 tasks per cell.
-    val G = 8
+    // Adaptive grid: the block fan-out only pays off when cells are big;
+    // tiny inputs (fixtures, small SFs) skip the replication entirely.
+    // reps is persisted, so this count doubles as its materialization.
+    val G = if (reps.count() < 2000) 1 else 8
     val ringed = reps.flatMap { case (rep, v, w) =>
       val ring = math.floor(dist(v, pivot) / eps).toLong
       val keys = if (scanKey == null) Seq(0L)
