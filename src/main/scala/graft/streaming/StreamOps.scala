@@ -112,4 +112,26 @@ object StreamOps extends Serializable {
     * against each micro-batch — the streaming analog of J7. */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval join (the streaming analog of the
+    * time-bucketed j5): pairs a click stream with a purchase stream of
+    * the same user where the purchase lands within `withinSec` seconds
+    * after the click. Both sides carry watermarks so Spark can bound
+    * the join state: click state is kept `withinSec` past the purchase
+    * watermark, purchase state drops immediately. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
+      withinSec: Long, watermark: String = "1 minute"): DataFrame = {
+    val c = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("ts").as("c_ts"))
+    val p = purchases.withWatermark("ts", watermark)
+      .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+        col("ts").as("p_ts"))
+    c.join(p,
+      col("c_user") === col("p_user") &&
+        col("p_ts") > col("c_ts") &&
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $withinSec SECONDS"))
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("c_ts"), col("p_ts"))
+  }
 }

@@ -77,6 +77,27 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("clickToPurchase: stream-stream interval join pairs within the window") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[StreamEvent]
+    val purchases = MemoryStream[StreamEvent]
+    val q = StreamOps.clickToPurchase(clicks.toDF(), purchases.toDF(), 120L)
+      .writeStream.format("memory").queryName("c2p")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(ev(1, 1, "click", 10), ev(2, 2, "click", 10))
+      purchases.addData(
+        ev(100, 1, "purchase", 60),    // within 120s of click 1 → pair
+        ev(101, 2, "purchase", 300),   // 290s later → outside window
+        ev(102, 3, "purchase", 50))    // no click for user 3
+      q.processAllAvailable()
+      val rows = spark.sql("SELECT user_id, click_id, purchase_id FROM c2p")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(rows == Set((1L, 1L, 100L)), s"got $rows")
+    } finally q.stop()
+  }
+
   test("sessionize: sessions close after the gap, path is time-ordered") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
