@@ -33,10 +33,17 @@ object Bench {
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver captures only the last 2000 chars of stdout; the round-2
+    // full-precision line (~2400 chars) was truncated and never parsed.
+    // Keep the JSON line compact (2-decimal secs, basename sf) so it plus
+    // sbt's trailing "[success]" line fit the tail buffer; full precision
+    // goes to stderr for local analysis.
+    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.2f""" }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sfName = new java.io.File(sfDir).getName
+    System.err.println(results.map { case (k, v) => f"$k=$v%.4f" }.mkString("[bench-detail] ", " ", ""))
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfName"}""")
     spark.stop()
   }
 }

@@ -550,16 +550,16 @@ object Relational extends QueryModule {
       (s, d) => Tables.documents(s, d)
         .withColumn("toks", graft.functions.tokens(col("text")))
         .select(col("doc_id"),
-          size(col("toks")).as("n_toks"),
+          size(col("toks")).cast("long").as("n_toks"),
           aggregate(transform(col("toks"), t => length(t)),
-            lit(0), (acc, v) => acc + v).as("sum_tok_len"),
-          size(filter(col("toks"), t => length(t) > 4)).as("n_long"))
+            lit(0), (acc, v) => acc + v).cast("long").as("sum_tok_len"),
+          size(filter(col("toks"), t => length(t) > 4)).cast("long").as("n_long"))
         .filter(col("doc_id") % 20 === 0)
         .orderBy("doc_id"),
       Some("""SELECT doc_id,
              |  len(string_split(trim(text), ' ')) AS n_toks,
-             |  list_sum(list_transform(string_split(trim(text), ' '),
-             |           t -> length(t))) AS sum_tok_len,
+             |  CAST(list_sum(list_transform(string_split(trim(text), ' '),
+             |           t -> length(t))) AS BIGINT) AS sum_tok_len,
              |  len(list_filter(string_split(trim(text), ' '),
              |      t -> length(t) > 4)) AS n_long
              |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin)),
