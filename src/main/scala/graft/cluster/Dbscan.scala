@@ -46,6 +46,24 @@ object Dbscan {
     }
   }
 
+  /** Batch pair test for one scan cell: `prepare` sees every value in the
+    * cell once (tokenize, intern tokens to ints, build masks — whatever
+    * the metric needs), and the returned predicate answers
+    * `dist(vals(i), vals(j)) <= eps` by INDEX. This moves all per-value
+    * work out of the O(cell²) loop: the string form paid two hash
+    * lookups plus string-equality DP cells per pair (measured ~60% of
+    * the whole m5 query). */
+  trait PairScan extends Serializable {
+    def prepare(vals: Array[String]): (Int, Int) => Boolean
+  }
+
+  /** Fallback: per-pair string distance (exact `dist <= eps`). */
+  private final class StringScan(test: (String, String) => Double, eps: Double)
+      extends PairScan {
+    def prepare(vals: Array[String]): (Int, Int) => Boolean =
+      (i, j) => test(vals(i), vals(j)) <= eps
+  }
+
   /** @param points (id, value) pairs; ids must be unique
     * @param dist   symmetric distance on values
     * @return (id, component, is_core); component = -1 for noise
@@ -66,15 +84,24 @@ object Dbscan {
       minPts: Int,
       dist: (String, String) => Double,
       scanDist: (String, String) => Double = null,
-      scanKey: String => Long = null): DataFrame = {
+      scanKey: String => Long = null,
+      pairScan: PairScan = null): DataFrame = {
     import spark.implicits._
     // pair scans only need a "<= eps" decision — callers may supply a
-    // cheaper bounded distance for them (ring assignment keeps `dist`)
-    val pairTest: (String, String) => Double =
-      if (scanDist == null) dist else scanDist
+    // batch PairScan (preferred: per-value prep runs once per cell, not
+    // per pair) or a cheaper bounded distance (ring assignment keeps
+    // `dist` — the triangle-inequality argument needs the exact metric)
+    val scan: PairScan =
+      if (pairScan != null) pairScan
+      else new StringScan(if (scanDist == null) dist else scanDist, eps)
 
-    // normalize column names — callers pass tuples under arbitrary names
-    val pts = points.toDF("id", "value")
+    // normalize column names — callers pass tuples under arbitrary names.
+    // Eager localCheckpoint, not just persist: it is reused (reps build +
+    // final value→label join) AND it truncates the input lineage — a
+    // stage-2 DBSCAN composed over a stage-1 output otherwise embeds the
+    // whole upstream plan once per downstream join (exponential plan
+    // growth; measured as an OOM just STRINGIFYING the plan in tests).
+    val pts = points.toDF("id", "value").localCheckpoint(true)
 
     // 0. collapse duplicates: representative id + multiplicity per value
     val reps = pts.groupBy("value")
@@ -112,20 +139,22 @@ object Dbscan {
     val nbrPairs = ringed.groupByKey(_._1).flatMapGroups { (key, it) =>
       val (_, _, bi, bj) = key
       val arr = it.toArray
+      val test = scan.prepare(arr.map(_._4))
       if (bi == bj) {
         for {
           i <- arr.indices.iterator
           j <- arr.indices
-          if i != j && pairTest(arr(i)._4, arr(j)._4) <= eps
+          if i != j && test(i, j)
         } yield (arr(i)._3, arr(j)._3, arr(j)._5)
       } else {
-        val as = arr.filter(_._2 == bi)
-        val bs = arr.filter(_._2 == bj)
+        val as = arr.indices.filter(i => arr(i)._2 == bi)
+        val bs = arr.indices.filter(i => arr(i)._2 == bj)
         for {
-          a <- as.iterator
-          b <- bs
-          if pairTest(a._4, b._4) <= eps
-          p <- Iterator((a._3, b._3, b._5), (b._3, a._3, a._5))
+          i <- as.iterator
+          j <- bs
+          if test(i, j)
+          p <- Iterator((arr(i)._3, arr(j)._3, arr(j)._5),
+                        (arr(j)._3, arr(i)._3, arr(i)._5))
         } yield p
       }
     }.toDF("rep", "nbr", "nw").dropDuplicates("rep", "nbr")
@@ -195,12 +224,16 @@ object Dbscan {
       edges: DataFrame): DataFrame = {
     import spark.implicits._
     val vDs = vertices.select(col("v").cast("long")).as[Long]
+    // persist: the size probe below plus the collect (or RDD conversion)
+    // would otherwise run the whole upstream edge pipeline twice
+    // (measured 2.3 s of the 4.8 s m8 total)
     val eDs = edges.select(col("l1").cast("long"), col("l2").cast("long"))
-      .as[(Long, Long)]
+      .as[(Long, Long)].persist(StorageLevel.MEMORY_AND_DISK)
     val eCount = eDs.count()
     if (eCount <= DriverCcMaxEdges) {
       val vs = vDs.collect()
       val es = eDs.collect()
+      eDs.unpersist(blocking = false)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
         var r = x
@@ -247,12 +280,43 @@ object Dbscan {
     val canon = points.map { case (id, v) =>
       (id, v.split("-").distinct.sorted.mkString("-"))
     }
-    run(spark, canon, eps, minPts, (a, b) => {
+    // cell scan: intern tokens into a local dictionary; with <= 64
+    // distinct tokens per cell (the common case — token vocab is the
+    // action alphabet) each value is one Long bitmask and the Jaccard
+    // test is two popcounts. Identical arithmetic to the string form:
+    // |∩|/|∪| as Int→Double division, union 0 → dist 1.
+    val scan = new PairScan {
+      def prepare(vals: Array[String]): (Int, Int) => Boolean = {
+        val dict = scala.collection.mutable.HashMap.empty[String, Int]
+        // NO empty-token filtering: Scala "".split("-") yields [""], and
+        // the string-form metric counts "" as a token — keep exact parity
+        val sets = vals.map(_.split("-")
+          .map(t => dict.getOrElseUpdate(t, dict.size)).distinct)
+        if (dict.size <= 64) {
+          val masks = sets.map(_.foldLeft(0L)((m, t) => m | (1L << t)))
+          (i, j) => {
+            val inter = java.lang.Long.bitCount(masks(i) & masks(j))
+            val union = java.lang.Long.bitCount(masks(i) | masks(j))
+            if (union == 0) 1.0 <= eps else 1.0 - inter.toDouble / union <= eps
+          }
+        } else {
+          val bs = sets.map(s => { val b = new java.util.BitSet(); s.foreach(b.set); b })
+          (i, j) => {
+            val a = bs(i).clone().asInstanceOf[java.util.BitSet]
+            a.and(bs(j))
+            val inter = a.cardinality()
+            val union = bs(i).cardinality() + bs(j).cardinality() - inter
+            if (union == 0) 1.0 <= eps else 1.0 - inter.toDouble / union <= eps
+          }
+        }
+      }
+    }
+    run(spark, canon, eps, minPts, dist = (a, b) => {
       val sa = TokenCache.get(a).toSet
       val sb = TokenCache.get(b).toSet
       val union = (sa ++ sb).size
       if (union == 0) 1.0 else 1.0 - (sa & sb).size.toDouble / union
-    })
+    }, pairScan = scan)
   }
 
   /** M7: DBSCAN with unit-cost token-level Levenshtein over
@@ -268,11 +332,21 @@ object Dbscan {
   def editDistanceDbscan(spark: SparkSession, points: Dataset[(Long, String)],
       eps: Double, minPts: Int): DataFrame = {
     val k = math.ceil(eps).toInt
+    // cell scan: tokenize + intern once per value, banded DP over int
+    // arrays (int equality instead of string equality per DP cell;
+    // no hash lookups inside the pair loop)
+    val scan = new PairScan {
+      def prepare(vals: Array[String]): (Int, Int) => Boolean = {
+        val dict = scala.collection.mutable.HashMap.empty[String, Int]
+        val toks = vals.map(_.split("-")
+          .map(t => dict.getOrElseUpdate(t, dict.size)))
+        (i, j) => graft.functions.intLevenshteinBounded(toks(i), toks(j), k) <= eps
+      }
+    }
     run(spark, points, eps, minPts,
       (a, b) => graft.functions.tokenLevenshtein(
         TokenCache.get(a), TokenCache.get(b)).toDouble,
-      scanDist = (a, b) => graft.functions.tokenLevenshteinBounded(
-        TokenCache.get(a), TokenCache.get(b), k).toDouble)
+      pairScan = scan)
     // NOTE: scanKey length-bucketing was tried here and reverted — for
     // edit distance the pivot rings already correlate with token length,
     // so the extra key mostly duplicated each cell (measured 2x slower).

@@ -88,6 +88,43 @@ package object functions {
     prev(t.length)
   }
 
+  /** [[tokenLevenshteinBounded]] over int-interned token arrays — same
+    * banded DP, int equality per cell. Used by the DBSCAN cell scans
+    * where tokens are interned once per cell. */
+  def intLevenshteinBounded(s: Array[Int], t: Array[Int], maxDist: Int): Int = {
+    val n = s.length
+    val m = t.length
+    if (math.abs(n - m) > maxDist) return maxDist + 1
+    if (n == 0) return m
+    if (m == 0) return n
+    val Big = maxDist + 1
+    var prev = Array.tabulate(m + 1)(j => if (j <= maxDist) j else Big)
+    var cur = new Array[Int](m + 1)
+    var i = 1
+    while (i <= n) {
+      val lo = math.max(1, i - maxDist)
+      val hi = math.min(m, i + maxDist)
+      java.util.Arrays.fill(cur, Big)
+      cur(0) = if (i <= maxDist) i else Big
+      var rowMin = cur(0)
+      var j = lo
+      while (j <= hi) {
+        val cost = if (s(i - 1) == t(j - 1)) 0 else 1
+        val v = math.min(math.min(
+          if (cur(j - 1) < Big) cur(j - 1) + 1 else Big,
+          if (prev(j) < Big) prev(j) + 1 else Big),
+          if (prev(j - 1) < Big) prev(j - 1) + cost else Big)
+        cur(j) = math.min(v, Big)
+        if (cur(j) < rowMin) rowMin = cur(j)
+        j += 1
+      }
+      if (rowMin >= Big) return Big
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    prev(m)
+  }
+
   /** Banded token Levenshtein with early exit: returns the exact
     * distance when it is <= maxDist, otherwise any value > maxDist.
     * Classic Ukkonen band of width 2·maxDist+1 — O(maxDist · |s|)

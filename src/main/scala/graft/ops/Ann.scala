@@ -37,9 +37,12 @@ object Ann extends QueryModule {
   private def planeLit(j: Int): Column =
     array(SIGNS(j).map(x => lit(x.toDouble)): _*)
 
+  // native codegen'd dot (identical sequential-sum arithmetic to the HOF
+  // fold, so the generated DuckDB oracles stay bit-equal) — the interpreted
+  // zip_with/aggregate form paid ~64 lambda dispatches per element per
+  // plane, dominating every signature computation
   private def dotPlane(v: Column, j: Int): Column =
-    aggregate(zip_with(v, planeLit(j), (p, q) => p * q),
-      lit(0.0), (acc, x) => acc + x)
+    dotCol(v, planeLit(j))
 
   /** 8-bit signature of `v` for hash table `t`. */
   def tableSig(v: Column, t: Int): Column =

@@ -129,6 +129,25 @@ object Cluster extends QueryModule {
         val v = Tables.events(s, d).select(col("user_id").as("v")).distinct()
         Dbscan.connectedComponents(s, v, e).orderBy("v")
       },
-      None)
+      // components ARE SQL-expressible at oracle scale: transitive
+      // closure via recursive CTE, component label = min reachable id —
+      // the same min-label semantics the union-find/GraphX path produces.
+      Some("""WITH RECURSIVE
+             |ue AS (SELECT DISTINCT user_id,
+             |         epoch_ns(ts) // 3600000000000 AS hour, event_type
+             |       FROM events),
+             |e AS (SELECT a.user_id AS l1, b.user_id AS l2
+             |      FROM ue a JOIN ue b ON a.hour = b.hour
+             |        AND a.event_type = b.event_type AND a.user_id < b.user_id
+             |      GROUP BY 1, 2 HAVING count(*) >= 3),
+             |sym AS (SELECT l1 AS s, l2 AS t FROM e
+             |        UNION ALL SELECT l2, l1 FROM e),
+             |verts AS (SELECT DISTINCT user_id AS v FROM events),
+             |reach AS (SELECT v, v AS u FROM verts
+             |          UNION
+             |          SELECT r.v, sym.t AS u
+             |          FROM reach r JOIN sym ON r.u = sym.s)
+             |SELECT v, min(u) AS component FROM reach GROUP BY v
+             |ORDER BY v""".stripMargin))
   )
 }

@@ -26,7 +26,7 @@ object Dedup extends QueryModule {
     * inlined into the lambda body it re-evaluates per element (measured
     * 5.1s vs 0.5s for the corpus at sf0.1); an aliased column referenced
     * multiple times is kept as an attribute instead. */
-  private[ops] def docShingles(s: SparkSession, d: String): DataFrame =
+  private[graft] def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       // harness files are single-row-group parquet → an unsplittable
@@ -58,12 +58,18 @@ object Dedup extends QueryModule {
   private[ops] def lshPairs(s: SparkSession, d: String, minSim: Double)
       : DataFrame = {
     val ds = docShingles(s, d)
-    val bands = ds.select(col("doc_id"),
+    // all 64 minhash lanes in ONE native codegen'd pass over the token
+    // hashes (graft.plans.MinHash64); `mh` is a non-cheap alias referenced
+    // by every band slice, so CollapseProject keeps it materialized and the
+    // signature computation runs once per doc, not once per band
+    val mh = ds
+      .select(col("doc_id"), transform(col("sh"), t => xxhash64(t)).as("hs"))
+      .select(col("doc_id"),
+        graft.plans.NativeFunctions.minhash64(col("hs")).as("mh"))
+    val bands = mh.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(15)),
-        b => struct(b.as("bid"),
-          transform(sequence(lit(0), lit(3)),
-            j => array_min(transform(col("sh"),
-              t => xxhash64(t, b * 4 + j)))).as("sig")))).as("band"))
+        b => struct(b.as("bid"), slice(col("mh"), b * 4 + 1, lit(4)).as("sig"))))
+        .as("band"))
       .select(col("doc_id"), col("band.bid").as("bid"),
         col("band.sig").as("sig"))
     val buckets = bands.groupBy("bid", "sig")
@@ -95,18 +101,22 @@ object Dedup extends QueryModule {
       |                       for i in range(1, len(t)-1)]) AS sh
       |      FROM toks WHERE len(t) >= 3)""".stripMargin
 
-  /** 63-bit SimHash signatures per doc: bit b is set iff the sum over
-    * tokens of ±1 (by bit b of xxhash64(token)) is positive. Token
-    * hashes are materialized as an attribute first (two-step projection
-    * — see docShingles). Input: (doc_id, text). */
+  /** 60-bit SimHash signatures per doc: bit b is set iff the sum over
+    * tokens of ±1 (by bit b of the token hash) is positive. Token hashes
+    * are the first 15 hex digits of md5 — portable arithmetic that the
+    * DuckDB oracle reproduces exactly (`('0x' || substr(md5(t),1,15))::
+    * UBIGINT`), unlike xxhash64. Hashes are materialized as an attribute
+    * first (two-step projection — see docShingles); the bit-vote loop is
+    * the native codegen'd `SimHash63` (bits 60..62 of the 15-hex-digit
+    * hashes are always 0, so the 63-bit vote yields the 60-bit sig).
+    * Input: (doc_id, text). */
   private[graft] def simhashSigsOf(docs: DataFrame): DataFrame =
     docs
       .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        transform(col("toks"), t => xxhash64(t)).as("hs"))
-      // bit-vote loop as a native codegen'd expression — the interpreted
-      // nested-aggregate form of the same votes measured ~10s at sf0.1
+        transform(col("toks"),
+          t => conv(substring(md5(t), 1, 15), 16, 10).cast("long")).as("hs"))
       .select(col("doc_id"),
         graft.plans.NativeFunctions.simhash63(col("hs")).as("sig"))
 
@@ -152,7 +162,13 @@ object Dedup extends QueryModule {
         // set sizes ride along with the inverted index so the join
         // output carries |A| and |B| directly — no extra size joins
         // (each would re-evaluate the corpus-wide shingle projection)
+        // persist the shingle sets BEFORE explode: the optimizer inlines
+        // the interpreted ngram projection into the Generate node and its
+        // `size()` rider (measured: the explode step alone cost 6.6 s vs
+        // 1.2 s for the shingle compute itself), and the self-join would
+        // evaluate all of it once per side on top of that
         val ds = docShingles(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // join key is the 64-bit hash of the shingle, not the string —
         // narrower shuffle; collision odds at this cardinality ~1e-11
         val inv = ds.select(col("doc_id"),
@@ -202,15 +218,36 @@ object Dedup extends QueryModule {
           |      len(list_distinct(a.sh || b.sh)) >= 0.5
           |ORDER BY da, db""".stripMargin)),
 
-    // SimHash dedup: 63-bit signatures, 4×16-bit chunk buckets, exact
-    // hamming verify (≤ 3). xxhash64-based signatures are not
-    // reproducible in DuckDB, so the gate is DedupSpec (planted
-    // near-dups detected, distant docs rejected, pigeonhole recall).
+    // SimHash dedup: 60-bit md5-derived signatures, 4×16-bit chunk
+    // buckets, exact hamming verify (≤ 3) — by pigeonhole the bucket
+    // join finds EVERY pair at hamming ≤ 3, so the all-pairs oracle is
+    // exact, not approximate. DedupSpec additionally checks planted
+    // near-dups / distant-doc rejection on adversarial fixtures.
     GQuery("d4_simhash",
       (s, d) => simhashPairs(simhashSigsOf(
         Tables.documents(s, d).select("doc_id", "text")), 3)
         .orderBy("da", "db"),
-      None),
+      Some("""WITH toks AS (SELECT doc_id, string_split(trim(text), ' ') AS t
+             |              FROM documents),
+             |tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+             |h AS (SELECT doc_id,
+             |        ('0x' || substr(md5(tok), 1, 15))::UBIGINT::BIGINT AS h
+             |      FROM tok),
+             |votes AS (SELECT doc_id, b.range AS b,
+             |            sum(CASE WHEN ((h >> b.range) & 1) = 1
+             |                THEN 1 ELSE -1 END) AS v
+             |          FROM h CROSS JOIN range(60) b GROUP BY 1, 2),
+             |sigs AS (SELECT doc_id,
+             |           CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b)
+             |                    ELSE 0 END) AS BIGINT) AS sig
+             |         FROM votes GROUP BY 1),
+             |allsigs AS (SELECT d.doc_id, coalesce(s.sig, 0) AS sig
+             |            FROM documents d LEFT JOIN sigs s USING (doc_id))
+             |SELECT a.doc_id AS da, b.doc_id AS db,
+             |       CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+             |FROM allsigs a JOIN allsigs b ON a.doc_id < b.doc_id
+             |WHERE bit_count(xor(a.sig, b.sig)) <= 3
+             |ORDER BY da, db""".stripMargin)),
 
     // Embedding-cosine near-dup pairs ≥ 0.95: candidates are bucket-mates
     // in ANY of 8 random-hyperplane hash tables (8 bits each) — at this
@@ -220,21 +257,33 @@ object Dedup extends QueryModule {
     // cosine distribution is far from the cut (max ≈ 0.5).
     GQuery("d5_embedding_neardup",
       (s, d) => {
-        val b = Ann.normedVecs(s, d)
+        // bucket-mate pairs are generated over IDS ONLY: clustered data
+        // makes popular (t, sig) buckets quadratic, and carrying the
+        // 64-double vectors through that join + the dedup shuffle moved
+        // ~64x the bytes of the id stream (measured 33 s → the vector
+        // join-back touches each distinct pair exactly once)
+        val vecs = Ann.normedVecs(s, d)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val b = vecs
           .withColumn("tbl", explode(Ann.tableSigArray(col("v"))))
           .select(col("tbl.t").as("t"), col("tbl.sig").as("sig"),
-            col("vec_id"), col("v"), col("nrm"))
-        b.select(col("t"), col("sig"), col("vec_id").as("ida"),
-            col("v").as("va"), col("nrm").as("na"))
-          .join(b.select(col("t"), col("sig"), col("vec_id").as("idb"),
-            col("v").as("vb"), col("nrm").as("nb")), Seq("t", "sig"))
+            col("vec_id"))
+        val pairs = b.select(col("t"), col("sig"), col("vec_id").as("ida"))
+          .join(b.select(col("t"), col("sig"), col("vec_id").as("idb")),
+            Seq("t", "sig"))
           .filter(col("ida") < col("idb"))
-          .dropDuplicates("ida", "idb")
+          .select("ida", "idb").distinct()
+        val out = pairs
+          .join(vecs.select(col("vec_id").as("ida"), col("v").as("va"),
+            col("nrm").as("na")), Seq("ida"))
+          .join(vecs.select(col("vec_id").as("idb"), col("v").as("vb"),
+            col("nrm").as("nb")), Seq("idb"))
           .withColumn("sim",
             Ann.simFromNorms(col("va"), col("vb"), col("na"), col("nb")))
           .filter(col("sim") >= 0.95)
           .select(col("ida"), col("idb"), round(col("sim"), 4).as("sim"))
           .orderBy("ida", "idb")
+        out
       },
       Some(Ann.neardupOracleSql))
   )

@@ -38,9 +38,26 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     }
   }
 
-  override protected def nullSafeEval(a: Any, b: Any): Any = {
-    val x = a.asInstanceOf[ArrayData]
-    val y = b.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    ArrayDotProduct.compute(
+      a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  // static call, NOT inline codegen: an expression instantiated many
+  // times in one projection (e.g. 64 hyperplane dots) would redeclare
+  // inline locals ("Redefinition of local variable i" — janino fails and
+  // the WHOLE stage silently falls back to interpreted execution)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.plans.ArrayDotProduct.compute($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object ArrayDotProduct {
+  /** Shared by interpreted eval and generated code. */
+  def compute(x: ArrayData, y: ArrayData): Double = {
     val n = math.min(x.numElements(), y.numElements())
     var sum = 0.0
     var i = 0
@@ -51,24 +68,6 @@ case class ArrayDotProduct(left: Expression, right: Expression)
     }
     sum
   }
-
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) => {
-      s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double sum = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  if (!$a.isNullAt(i) && !$b.isNullAt(i)) {
-         |    sum += $a.getDouble(i) * $b.getDouble(i);
-         |  }
-         |}
-         |${ev.value} = sum;
-       """.stripMargin
-    })
-
-  override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): ArrayDotProduct =
-    copy(left = newLeft, right = newRight)
 }
 
 /** Unit-cost token-level Levenshtein over '-'-separated strings — the
@@ -134,8 +133,21 @@ case class SimHash63(child: Expression)
     }
   }
 
-  override protected def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(input: Any): Any =
+    SimHash63.compute(input.asInstanceOf[ArrayData])
+
+  // static call — see ArrayDotProduct.doGenCode for why inline locals
+  // are unsafe when the expression appears more than once per stage
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, h => s"graft.plans.SimHash63.compute($h)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash63 =
+    copy(child = newChild)
+}
+
+object SimHash63 {
+  /** Shared by interpreted eval and generated code. */
+  def compute(hs: ArrayData): Long = {
     val n = hs.numElements()
     val cnt = new Array[Int](63)
     var i = 0
@@ -155,28 +167,77 @@ case class SimHash63(child: Expression)
     while (b < 63) { if (cnt(b) > 0) sig |= (1L << b); b += 1 }
     sig
   }
+}
+
+/** 64-lane MinHash signature from an array of 64-bit token hashes:
+  * lane i is min over tokens of a per-lane universal hash
+  * `mix(x * A(i) + B(i))`. One pass over the token hashes computes all
+  * 64 lanes — the equivalent HOF form (`transform(seq, i ->
+  * array_min(transform(hs, ...)))`) is interpreted per element per lane
+  * (64× the array traffic, measured ~14 s for the sf0.1 corpus vs ~1 s
+  * native). Empty/null-only arrays yield Long.MaxValue lanes. */
+case class MinHash64(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash64"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"minhash64 requires array<bigint>, got ${other.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    MinHash64.compute(input.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, h => {
-      s"""
-         |int n = $h.numElements();
-         |int[] cnt = new int[63];
-         |for (int i = 0; i < n; i++) {
-         |  if (!$h.isNullAt(i)) {
-         |    long v = $h.getLong(i);
-         |    for (int b = 0; b < 63; b++) {
-         |      cnt[b] += (((v >> b) & 1L) == 1L) ? 1 : -1;
-         |    }
-         |  }
-         |}
-         |long sig = 0L;
-         |for (int b = 0; b < 63; b++) { if (cnt[b] > 0) sig |= (1L << b); }
-         |${ev.value} = sig;
-       """.stripMargin
-    })
+    defineCodeGen(ctx, ev, h => s"graft.plans.MinHash64.compute($h)")
 
-  override protected def withNewChildInternal(newChild: Expression): SimHash63 =
+  override protected def withNewChildInternal(newChild: Expression): MinHash64 =
     copy(child = newChild)
+}
+
+object MinHash64 {
+  val Lanes = 64
+
+  /** Per-lane multipliers/offsets from splitmix64 of the lane index —
+    * deterministic across JVMs; multipliers forced odd. */
+  private def splitmix(seed: Long): Long = {
+    var z = seed + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+  val A: Array[Long] = Array.tabulate(Lanes)(i => splitmix(2L * i) | 1L)
+  val B: Array[Long] = Array.tabulate(Lanes)(i => splitmix(2L * i + 1))
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(hs: ArrayData): ArrayData = {
+    val mins = Array.fill(Lanes)(Long.MaxValue)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      if (!hs.isNullAt(i)) {
+        val x = hs.getLong(i)
+        var l = 0
+        while (l < Lanes) {
+          var v = x * A(l) + B(l)
+          v = (v ^ (v >>> 31)) * 0x7fb5d329728ea185L
+          v ^= (v >>> 27)
+          if (v < mins(l)) mins(l) = v
+          l += 1
+        }
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
 }
 
 /** Column-API entry points for the native expressions. */
@@ -191,6 +252,9 @@ object NativeFunctions {
 
   def simhash63(hashes: Column): Column =
     B.toColumn(SimHash63(B.toExpression(hashes)))
+
+  def minhash64(hashes: Column): Column =
+    B.toColumn(MinHash64(B.toExpression(hashes)))
 }
 
 /** Session extension registering the engine's native functions so SQL
