@@ -86,7 +86,12 @@ object Cluster extends QueryModule {
 
     // M5+M7: pivot-partitioned DBSCAN over session paths with token
     // edit distance (eps=2, minPts=3). Deterministic min-label
-    // components; correctness gate = DbscanSpec.
+    // components — which makes the whole clustering SQL-expressible at
+    // oracle scale: all-pairs distance (token-lev == char-lev under an
+    // injective event_type→char encoding), core/ball logic, label
+    // spreading, and a recursive-CTE transitive closure for the label
+    // merge. DbscanSpec still guards the distributed machinery
+    // (ring/block partitioning) on adversarial fixtures.
     GQuery("m5_dbscan_editdist",
       (s, d) => {
         val sess = s
@@ -95,10 +100,53 @@ object Cluster extends QueryModule {
           sessions(s, d).as[(Long, String)], 2.0, 3)
           .orderBy("id")
       },
-      None),
+      Some("""WITH RECURSIVE
+             |enc AS (SELECT event_type,
+             |          chr(64 + CAST(row_number() OVER (ORDER BY event_type)
+             |              AS INT)) AS c
+             |        FROM (SELECT DISTINCT event_type FROM events)),
+             |sess AS (SELECT e.user_id*1000000 +
+             |                epoch_ns(e.ts)//86400000000000 AS sid,
+             |                string_agg(enc.c, '' ORDER BY e.ts, e.event_id) AS v
+             |         FROM events e JOIN enc ON e.event_type = enc.event_type
+             |         GROUP BY e.user_id, epoch_ns(e.ts)//86400000000000),
+             |reps AS (SELECT v, min(sid) AS rep, count(*) AS w
+             |         FROM sess GROUP BY v),
+             |nbr AS (SELECT a.rep AS ra, b.rep AS rb, b.w AS wb
+             |        FROM reps a JOIN reps b ON a.rep <> b.rep
+             |        WHERE abs(len(a.v) - len(b.v)) <= 2
+             |          AND levenshtein(a.v, b.v) <= 2),
+             |ball AS (SELECT ra AS rep, sum(wb) AS nbrw FROM nbr GROUP BY 1),
+             |cores AS (SELECT r.rep FROM reps r
+             |          LEFT JOIN ball b ON r.rep = b.rep
+             |          WHERE r.w + coalesce(b.nbrw, 0) >= 3),
+             |lab AS (SELECT rep AS label, rep AS pt FROM cores
+             |        UNION
+             |        SELECT c.rep AS label, n.rb AS pt
+             |        FROM cores c JOIN nbr n ON n.ra = c.rep),
+             |pmin AS (SELECT pt, min(label) AS l1 FROM lab GROUP BY pt),
+             |edges AS (SELECT p.l1 AS s, l.label AS t FROM pmin p
+             |          JOIN lab l ON l.pt = p.pt AND l.label <> p.l1),
+             |sym AS (SELECT s, t FROM edges
+             |        UNION SELECT t AS s, s AS t FROM edges),
+             |verts AS (SELECT DISTINCT label AS vx FROM lab),
+             |reach AS (SELECT vx, vx AS u FROM verts
+             |          UNION
+             |          SELECT r.vx, sym.t AS u
+             |          FROM reach r JOIN sym ON r.u = sym.s),
+             |comp AS (SELECT vx, min(u) AS cmp FROM reach GROUP BY vx),
+             |ptc AS (SELECT l.pt, min(c.cmp) AS component FROM lab l
+             |        JOIN comp c ON l.label = c.vx GROUP BY l.pt),
+             |ro AS (SELECT r.v, coalesce(p.component, -1) AS component,
+             |              (cr.rep IS NOT NULL) AS is_core
+             |       FROM reps r LEFT JOIN ptc p ON r.rep = p.pt
+             |       LEFT JOIN cores cr ON r.rep = cr.rep)
+             |SELECT s.sid AS id, ro.component, ro.is_core
+             |FROM sess s JOIN ro ON s.v = ro.v ORDER BY id""".stripMargin)),
 
     // M5+M6: DBSCAN with Jaccard distance over session action sets
-    // (eps=0.4, minPts=3).
+    // (eps=0.4, minPts=3) — same SQL skeleton, Jaccard metric over the
+    // canonical (sorted distinct) token sets.
     GQuery("m6_dbscan_jaccard",
       (s, d) => {
         val sess = s
@@ -107,7 +155,52 @@ object Cluster extends QueryModule {
           sessions(s, d).as[(Long, String)], 0.4, 3)
           .orderBy("id")
       },
-      None),
+      Some("""WITH RECURSIVE
+             |sess AS (SELECT user_id*1000000 +
+             |                epoch_ns(ts)//86400000000000 AS sid,
+             |                array_to_string(list_sort(list_distinct(
+             |                  list(event_type))), '-') AS v
+             |         FROM events
+             |         GROUP BY user_id, epoch_ns(ts)//86400000000000),
+             |reps AS (SELECT v, min(sid) AS rep, count(*) AS w
+             |         FROM sess GROUP BY v),
+             |nbr AS (SELECT a.rep AS ra, b.rep AS rb, b.w AS wb
+             |        FROM reps a JOIN reps b ON a.rep <> b.rep
+             |        WHERE (CASE WHEN len(list_distinct(
+             |                 string_split(a.v,'-') || string_split(b.v,'-'))) = 0
+             |               THEN 1.0
+             |               ELSE 1.0 - len(list_intersect(string_split(a.v,'-'),
+             |                      string_split(b.v,'-'))) * 1.0
+             |                    / len(list_distinct(string_split(a.v,'-') ||
+             |                      string_split(b.v,'-')))
+             |               END) <= 0.4),
+             |ball AS (SELECT ra AS rep, sum(wb) AS nbrw FROM nbr GROUP BY 1),
+             |cores AS (SELECT r.rep FROM reps r
+             |          LEFT JOIN ball b ON r.rep = b.rep
+             |          WHERE r.w + coalesce(b.nbrw, 0) >= 3),
+             |lab AS (SELECT rep AS label, rep AS pt FROM cores
+             |        UNION
+             |        SELECT c.rep AS label, n.rb AS pt
+             |        FROM cores c JOIN nbr n ON n.ra = c.rep),
+             |pmin AS (SELECT pt, min(label) AS l1 FROM lab GROUP BY pt),
+             |edges AS (SELECT p.l1 AS s, l.label AS t FROM pmin p
+             |          JOIN lab l ON l.pt = p.pt AND l.label <> p.l1),
+             |sym AS (SELECT s, t FROM edges
+             |        UNION SELECT t AS s, s AS t FROM edges),
+             |verts AS (SELECT DISTINCT label AS vx FROM lab),
+             |reach AS (SELECT vx, vx AS u FROM verts
+             |          UNION
+             |          SELECT r.vx, sym.t AS u
+             |          FROM reach r JOIN sym ON r.u = sym.s),
+             |comp AS (SELECT vx, min(u) AS cmp FROM reach GROUP BY vx),
+             |ptc AS (SELECT l.pt, min(c.cmp) AS component FROM lab l
+             |        JOIN comp c ON l.label = c.vx GROUP BY l.pt),
+             |ro AS (SELECT r.v, coalesce(p.component, -1) AS component,
+             |              (cr.rep IS NOT NULL) AS is_core
+             |       FROM reps r LEFT JOIN ptc p ON r.rep = p.pt
+             |       LEFT JOIN cores cr ON r.rep = cr.rep)
+             |SELECT s.sid AS id, ro.component, ro.is_core
+             |FROM sess s JOIN ro ON s.v = ro.v ORDER BY id""".stripMargin)),
 
     // M8: connected components over a co-activity graph — users are
     // connected when they share >= 3 (hour, event_type) activity cells.
