@@ -40,6 +40,36 @@ class ExpressionsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(2, 0, 2))
   }
 
+  test("MinHash64 matches the per-lane HOF minhash and handles empties") {
+    import spark.implicits._
+    val df = Seq(
+      Tuple1(Seq(11L, -42L, 987654321L, 7L)),
+      Tuple1(Seq(5L)),
+      Tuple1(Seq.empty[Long])
+    ).toDF("hs")
+    val rows = df.select(
+      graft.plans.NativeFunctions.minhash64(col("hs")).as("mh")).collect()
+    // reference model of one lane: min over mix(x*A(l)+B(l))
+    def lane(hs: Seq[Long], l: Int): Long =
+      if (hs.isEmpty) Long.MaxValue
+      else hs.map { x =>
+        var v = x * graft.plans.MinHash64.A(l) + graft.plans.MinHash64.B(l)
+        v = (v ^ (v >>> 31)) * 0x7fb5d329728ea185L
+        v ^ (v >>> 27)
+      }.min
+    val inputs = Seq(Seq(11L, -42L, 987654321L, 7L), Seq(5L), Seq.empty[Long])
+    rows.zip(inputs).foreach { case (r, hs) =>
+      val mh = r.getSeq[Long](0)
+      assert(mh.length == 64)
+      Seq(0, 1, 31, 63).foreach(l => assert(mh(l) == lane(hs, l)))
+    }
+    // determinism: same input → same signature across evaluations
+    val again = df.select(
+      graft.plans.NativeFunctions.minhash64(col("hs")).as("mh")).collect()
+    assert(rows.map(_.getSeq[Long](0)).toSeq ==
+      again.map(_.getSeq[Long](0)).toSeq)
+  }
+
   test("GraftExtensions registers SQL functions on a fresh session") {
     // the shared session was built without extensions; apply the same
     // builders through its function registry to validate registration
