@@ -108,10 +108,14 @@ object Dbscan {
       .agg(min(col("id")).as("rep"), count(lit(1)).as("w"))
       .select(col("rep"), col("value"), col("w")).as[(Long, String, Long)]
       .persist(StorageLevel.MEMORY_AND_DISK)
-    if (reps.isEmpty) return emptyResult(spark)
-
-    // 1. deterministic pivot = value of the min-rep point (one-row action)
-    val pivot = reps.orderBy(col("rep")).head()._2
+    // 1. deterministic pivot = value of the min-rep point; fetched in the
+    //    SAME job as the distinct-value count (each Spark action on this
+    //    tiny frame costs a full scheduling round trip)
+    val stats = reps.toDF("rep", "value", "w")
+      .agg(count(lit(1)), min_by(col("value"), col("rep"))).head()
+    if (stats.isNullAt(1)) return emptyResult(spark)
+    val nDistinct = stats.getLong(0)
+    val pivot = stats.getString(1)
 
     // 2. ring duplication + per-cell quadratic scan over distinct values.
     //    `scanKey` (contract: |key(a)-key(b)| > 1 ⇒ dist(a,b) > eps)
@@ -123,8 +127,7 @@ object Dbscan {
     //    pair set but spreads it over G*(G+1)/2 tasks per cell.
     // Adaptive grid: the block fan-out only pays off when cells are big;
     // tiny inputs (fixtures, small SFs) skip the replication entirely.
-    // reps is persisted, so this count doubles as its materialization.
-    val G = if (reps.count() < 2000) 1 else 8
+    val G = if (nDistinct < 2000) 1 else 8
     val ringed = reps.flatMap { case (rep, v, w) =>
       val ring = math.floor(dist(v, pivot) / eps).toLong
       val keys = if (scanKey == null) Seq(0L)

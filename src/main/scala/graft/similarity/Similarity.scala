@@ -64,8 +64,13 @@ object Similarity {
     */
   def neighborClusters(items: DataFrame, idCol: String, pairs: DataFrame)
       : DataFrame = {
+    // persisted: `pairs` is typically an expensive LSH subtree, and this
+    // plan references it twice for symmetrization and twice more for the
+    // cluster/singleton branches — unpersisted it evaluated 4× (measured
+    // as m3 costing ~3× its own LSH stage)
     val sym = pairs.select(col("ida").as("__id"), col("idb").as("__nbr"))
       .union(pairs.select(col("idb").as("__id"), col("ida").as("__nbr")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val clustered = sym.groupBy("__id")
       .agg(array_sort(array_union(collect_set(col("__nbr")),
         array(col("__id")))).as("members"))
