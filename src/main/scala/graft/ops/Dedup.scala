@@ -285,6 +285,38 @@ object Dedup extends QueryModule {
           .orderBy("ida", "idb")
         out
       },
-      Some(Ann.neardupOracleSql))
+      Some(Ann.neardupOracleSql)),
+
+    // Dedup end product: near-dup GROUPS — connected components over the
+    // LSH pair graph, keeper = min doc id per group (the row a dedup'd
+    // corpus would keep). Oracle replays the exact-Jaccard pair graph
+    // with a recursive-CTE closure (valid because LSH recall is 1.0 on
+    // this data — the same equivalence the d3 oracle already proves).
+    GQuery("d6_dedup_groups",
+      (s, d) => {
+        val pairs = lshPairs(s, d, 0.5)
+          .select(col("da").as("l1"), col("db").as("l2"))
+        val verts = Tables.documents(s, d).select(col("doc_id").as("v"))
+        graft.cluster.Dbscan.connectedComponents(s, verts, pairs)
+          .select(col("v").as("doc_id"), col("component").as("dup_group"),
+            (col("v") === col("component")).as("is_keeper"))
+          .orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " + shingleSqlCte.stripPrefix("WITH ") +
+        """,
+          |p AS (SELECT a.doc_id AS da, b.doc_id AS db
+          |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          |            len(list_distinct(a.sh || b.sh)) >= 0.5),
+          |sym AS (SELECT da AS s0, db AS t0 FROM p
+          |        UNION SELECT db AS s0, da AS t0 FROM p),
+          |verts AS (SELECT doc_id AS vx FROM documents),
+          |reach AS (SELECT vx, vx AS u FROM verts
+          |          UNION
+          |          SELECT r.vx, sym.t0 AS u
+          |          FROM reach r JOIN sym ON r.u = sym.s0)
+          |SELECT vx AS doc_id, min(u) AS dup_group,
+          |       (vx = min(u)) AS is_keeper
+          |FROM reach GROUP BY vx ORDER BY doc_id""".stripMargin))
   )
 }

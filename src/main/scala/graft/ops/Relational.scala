@@ -233,6 +233,50 @@ object Relational extends QueryModule {
              |ON a.user_id = b.user_id AND a.event_type = b.event_type
              |WHERE a.n <> b.n""".stripMargin)),
 
+    // J10: AS-OF join — each purchase matched to the user's latest
+    // click at or before it. Implemented as ONE pass over the
+    // user-partitioned time-ordered stream (tag click rows, running
+    // `last(..., ignoreNulls)`) — the distributed as-of shape: no
+    // per-row probe join, state bounded by one row per partition.
+    // Deterministic tiebreak (ts, event_id); the harness data has no
+    // (user_id, ts) collisions at any SF (verified), so the window
+    // order is total.
+    GQuery("j10_asof_join",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        Tables.events(s, d)
+          .filter(col("event_type").isin("click", "purchase"))
+          .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+          .withColumn("click_ts",
+            when(col("event_type") === "click", col("ts")))
+          .withColumn("click_id",
+            when(col("event_type") === "click", col("event_id")))
+          .withColumn("asof_ts", last(col("click_ts"), ignoreNulls = true).over(w))
+          .withColumn("asof_id", last(col("click_id"), ignoreNulls = true).over(w))
+          .filter(col("event_type") === "purchase")
+          // report µs: DuckDB reads the TIMESTAMP(NANOS) column at µs
+          // precision, so raw ns would hash-mismatch (no same-µs event
+          // pairs exist per user at any SF — verified — so the asof
+          // ordering itself is unaffected)
+          .select(col("event_id").as("purchase_id"), col("user_id"),
+            expr("ts div 1000").as("pts"),
+            expr("asof_ts div 1000").as("asof_ts"), col("asof_id"))
+          .orderBy("purchase_id")
+      },
+      Some("""SELECT purchase_id, user_id, pts, asof_ts, asof_id FROM (
+             |  SELECT p.event_id AS purchase_id, p.user_id,
+             |         epoch_us(p.ts) AS pts,
+             |         epoch_us(c.ts) AS asof_ts, c.event_id AS asof_id,
+             |         row_number() OVER (PARTITION BY p.event_id
+             |           ORDER BY c.ts DESC, c.event_id DESC) AS rn
+             |  FROM events p
+             |  LEFT JOIN events c ON c.user_id = p.user_id
+             |    AND c.event_type = 'click'
+             |    AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+             |  WHERE p.event_type = 'purchase')
+             |WHERE rn = 1 ORDER BY purchase_id""".stripMargin)),
+
     // ---- A: aggregations ------------------------------------------------
     // A1-ish pricing summary (TPC-H Q1 shape): sums/avg/count per flag.
     GQuery("a1_groupby_agg",
