@@ -424,6 +424,47 @@ object Relational extends QueryModule {
              |  dense_rank() OVER (ORDER BY p_brand) AS brand_id
              |FROM part GROUP BY p_brand ORDER BY brand_id""".stripMargin)),
 
+    // A13: ROLLUP — hierarchical subtotals (brand within container) plus
+    // the grand total in one pass; Spark and DuckDB share the grouping-
+    // set semantics (NULL marks the rolled-up level).
+    GQuery("a13_rollup",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_size") <= 3)
+        .rollup("p_brand", "p_size")
+        .agg(count(lit(1)).as("n"), round(sum(col("p_retailprice")), 2)
+          .as("retail"))
+        .orderBy(col("p_brand").asc_nulls_first,
+          col("p_size").asc_nulls_first),
+      Some("""SELECT p_brand, p_size, count(*) AS n,
+             |  round(sum(p_retailprice), 2) AS retail
+             |FROM part WHERE p_size <= 3
+             |GROUP BY ROLLUP (p_brand, p_size)
+             |ORDER BY p_brand ASC NULLS FIRST,
+             |         p_size ASC NULLS FIRST""".stripMargin)),
+
+    // A14: exact percentiles (median + tails) per group — interpolated
+    // continuous quantiles; Spark `percentile` and DuckDB
+    // `quantile_cont` share the lower+frac*(upper-lower) formula.
+    GQuery("a14_percentiles",
+      (s, d) => Tables.lineitem(s, d)
+        // ONE percentile buffer per group, not three — each separate
+        // percentile(...) agg collects every value independently
+        // (measured 4.2 s → 1.5 s); the scan is spread first so the
+        // value collection isn't single-task on the 1-row-group file
+        .repartition(s.sparkContext.defaultParallelism)
+        .groupBy("l_returnflag")
+        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 2).as("p50"),
+          round(element_at(col("ps"), 2), 2).as("p90"),
+          round(element_at(col("ps"), 3), 2).as("p99"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 2) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.9), 2) AS p90,
+             |  round(quantile_cont(l_extendedprice, 0.99), 2) AS p99
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // ---- W: windows -----------------------------------------------------
     // W1: row_number top-1 per group with deterministic tiebreak.
     GQuery("w1_row_number",
@@ -482,6 +523,51 @@ object Relational extends QueryModule {
              |      AS next_type
              |  FROM events)
              |WHERE event_id % 100 = 0 ORDER BY user_id, event_id""".stripMargin)),
+
+    // W4: distribution ranks — ntile buckets, percent_rank and cume_dist
+    // over order value per customer segment (identical SQL-standard
+    // definitions in Spark and DuckDB).
+    GQuery("w4_rank_stats",
+      (s, d) => {
+        val w = Window.partitionBy("o_orderpriority")
+          .orderBy(col("o_totalprice"), col("o_orderkey"))
+        Tables.orders(s, d)
+          .withColumn("bucket", ntile(4).over(w).cast("long"))
+          .withColumn("pr", round(percent_rank().over(w), 6))
+          .withColumn("cd", round(cume_dist().over(w), 6))
+          .filter(col("o_orderkey") % 500 === 0)
+          .select("o_orderkey", "o_orderpriority", "bucket", "pr", "cd")
+          .orderBy("o_orderkey")
+      },
+      Some("""SELECT o_orderkey, o_orderpriority, bucket, pr, cd FROM (
+             |  SELECT o_orderkey, o_orderpriority,
+             |    CAST(ntile(4) OVER w AS BIGINT) AS bucket,
+             |    round(percent_rank() OVER w, 6) AS pr,
+             |    round(cume_dist() OVER w, 6) AS cd
+             |  FROM orders
+             |  WINDOW w AS (PARTITION BY o_orderpriority
+             |               ORDER BY o_totalprice, o_orderkey))
+             |WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin)),
+
+    // F11: fuzzy string match — character-level Levenshtein self-join on
+    // the part-type dimension (bounded vocab), pairs within distance 5.
+    // Exercises Spark's codegen'd `levenshtein` against DuckDB's.
+    GQuery("f11_fuzzy_match",
+      (s, d) => {
+        val types = Tables.part(s, d).select(col("p_type")).distinct()
+        types.select(col("p_type").as("ta"))
+          .crossJoin(broadcast(types.select(col("p_type").as("tb"))))
+          .filter(col("ta") < col("tb"))
+          .withColumn("dist", levenshtein(col("ta"), col("tb")).cast("long"))
+          .filter(col("dist") <= 5)
+          .orderBy("ta", "tb")
+      },
+      Some("""SELECT a.p_type AS ta, b.p_type AS tb,
+             |  levenshtein(a.p_type, b.p_type) AS dist
+             |FROM (SELECT DISTINCT p_type FROM part) a
+             |JOIN (SELECT DISTINCT p_type FROM part) b ON a.p_type < b.p_type
+             |WHERE levenshtein(a.p_type, b.p_type) <= 5
+             |ORDER BY ta, tb""".stripMargin)),
 
     // ---- O: sorts / limits ---------------------------------------------
     // O1: global order + limit with unique tiebreak (top-k).

@@ -133,6 +133,37 @@ object TextAnalysis extends QueryModule {
              |    list_transform(string_split(trim(text), ' '),
              |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT),
              |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS fp
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // PII scrubbing: redact email-shaped tokens and long digit runs —
+    // the redaction pass every LLM training-data pipeline runs before
+    // tokenization. Pure regexp_replace (codegen'd), global by default
+    // on both engines; reports per-doc redaction counts alongside the
+    // scrubbed text.
+    GQuery("x5_pii_scrub",
+      (s, d) => {
+        val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val digitRe = "[0-9]{6,}"
+        docsSpread(s, d)
+          .select(col("doc_id"),
+            regexp_replace(regexp_replace(col("text"), emailRe, "<EMAIL>"),
+              digitRe, "<NUM>").as("scrubbed"),
+            size(regexp_extract_all(col("text"), lit(emailRe), lit(0)))
+              .cast("long").as("n_email"),
+            size(regexp_extract_all(col("text"), lit(digitRe), lit(0)))
+              .cast("long").as("n_num"))
+          .filter(col("doc_id") % 10 === 0)
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  regexp_replace(
+             |    regexp_replace(text,
+             |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+             |      '<EMAIL>', 'g'),
+             |    '[0-9]{6,}', '<NUM>', 'g') AS scrubbed,
+             |  len(regexp_extract_all(text,
+             |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+             |  len(regexp_extract_all(text, '[0-9]{6,}')) AS n_num
+             |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin))
   )
 }
