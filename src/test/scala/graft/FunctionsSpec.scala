@@ -55,6 +55,24 @@ class FunctionsSpec extends AnyFunSuite {
     }
   }
 
+  test("intLevenshteinBounded: parity with the string DP under interning (300 samples)") {
+    val rnd = new Random(44)
+    for (_ <- 1 to 300) {
+      val (x, y) = (randToks(rnd), randToks(rnd))
+      // intern exactly like the DBSCAN cell scan does
+      val dict = scala.collection.mutable.HashMap.empty[String, Int]
+      def enc(ts: IndexedSeq[String]): Array[Int] =
+        ts.map(t => dict.getOrElseUpdate(t, dict.size)).toArray
+      val (xi, yi) = (enc(x), enc(y))
+      val exact = tokenLevenshtein(x, y)
+      for (k <- 0 to 6) {
+        val b = intLevenshteinBounded(xi, yi, k)
+        if (exact <= k) assert(b == exact, s"k=$k x=$x y=$y")
+        else assert(b > k, s"k=$k x=$x y=$y exact=$exact got=$b")
+      }
+    }
+  }
+
   test("tokenLevenshtein: known distances") {
     assert(tokenLevenshtein(IndexedSeq("1A", "1B", "0B", "0A"),
       IndexedSeq("1A", "1C", "0C", "0A")) == 2)
