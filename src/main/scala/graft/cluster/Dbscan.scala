@@ -232,10 +232,13 @@ object Dbscan {
     // (measured 2.3 s of the 4.8 s m8 total)
     val eDs = edges.select(col("l1").cast("long"), col("l2").cast("long"))
       .as[(Long, Long)].persist(StorageLevel.MEMORY_AND_DISK)
-    val eCount = eDs.count()
-    if (eCount <= DriverCcMaxEdges) {
+    // size-guarded collect in ONE job: limit(cap+1) instead of a separate
+    // count — each extra action costs a full scheduling round trip on the
+    // (typically tiny) label graph
+    val probe = eDs.limit(DriverCcMaxEdges.toInt + 1).collect()
+    if (probe.length <= DriverCcMaxEdges) {
       val vs = vDs.collect()
-      val es = eDs.collect()
+      val es = probe
       eDs.unpersist(blocking = false)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {

@@ -269,6 +269,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       s"$name requires exactly 2 arguments, got ${other.size}")
   }
 
+  private def unary(name: String, make: Expression => Expression)
+      : Seq[Expression] => Expression = {
+    case Seq(a) => make(a)
+    case other => throw new IllegalArgumentException(
+      s"$name requires exactly 1 argument, got ${other.size}")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("token_levenshtein"),
@@ -279,5 +286,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("array_dot"),
       new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
       binary("array_dot", ArrayDotProduct(_, _))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash63"),
+      new ExpressionInfo(classOf[SimHash63].getName, "simhash63"),
+      unary("simhash63", SimHash63(_))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash64"),
+      new ExpressionInfo(classOf[MinHash64].getName, "minhash64"),
+      unary("minhash64", MinHash64(_))))
   }
 }

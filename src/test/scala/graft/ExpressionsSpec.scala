@@ -91,6 +91,13 @@ class ExpressionsSpec extends AnyFunSuite {
     val dot = spark.sql(
       "SELECT array_dot(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS s").head().getDouble(0)
     assert(dot == 11.0)
+    reg.registerFunction(
+      FunctionIdentifier("minhash64"),
+      new ExpressionInfo(classOf[graft.plans.MinHash64].getName, "minhash64"),
+      (children) => graft.plans.MinHash64(children(0)))
+    val mh = spark.sql(
+      "SELECT minhash64(array(7L, 11L)) AS m").head().getSeq[Long](0)
+    assert(mh.length == 64)
     // and the extension class itself wires without throwing
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
