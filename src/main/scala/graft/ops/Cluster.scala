@@ -20,6 +20,9 @@ object Cluster extends QueryModule {
     * the process analog fed to the DBSCAN wrappers. */
   private def sessions(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      // single-row-group file → 1-task scan; without the spread the
+      // partial collect_list agg runs single-threaded on the scan task
+      .repartition(s.sparkContext.defaultParallelism)
       .withColumn("day", expr("ts div 86400000000000"))
       .groupBy("user_id", "day")
       .agg(array_join(transform(array_sort(collect_list(struct(col("ts"),
