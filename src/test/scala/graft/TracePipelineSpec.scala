@@ -92,6 +92,31 @@ class TracePipelineSpec extends AnyFunSuite {
     assert(dedup.select("process_id").distinct().count() == 6)
   }
 
+  test("golden: reference Data/data_processes_v2.json part-1 partition (461 procs, 16 groups)") {
+    // the reference's committed part1Observations partition every one of
+    // the 461 processes into 16 cluster-space equal-euler groups; the
+    // comparison is letter-independent (group MEMBERSHIP, not cluster ids)
+    val obs = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(
+      "/root/reference/Data/data_processes_v2.json_part1Observations.txt/" +
+        "part-00000-3463cf62-4a6b-4989-b8a9-344d98babcc8-c000.txt")))
+    val golden: Set[Set[String]] =
+      "Group \\d+: \\[(.*?)\\]".r.findAllMatchIn(obs)
+        .map(m => "'([^']+)'".r.findAllMatchIn(m.group(1))
+          .map(_.group(1)).toSet).toSet
+    assert(golden.toSeq.map(_.size).sum == 461 && golden.size == 16)
+
+    val logs = TP.readLogJson(spark,
+      "/root/reference/Data/data_processes_v2.json")
+    val (groups, _) = TP.part1(spark, logs)
+    val ours: Set[Set[String]] = groups.collect()
+      .map(_.getAs[scala.collection.Seq[String]]("equal_processes").toSet)
+      .toSet
+    val onlyGolden = golden -- ours
+    val onlyOurs = ours -- golden
+    assert(onlyGolden.isEmpty && onlyOurs.isEmpty,
+      s"partition mismatch: golden-only=${onlyGolden.map(_.size)} ours-only=${onlyOurs.map(_.size)}")
+  }
+
   test("part2: element clusters group identical processes, refine splits by euler") {
     val (_, _) = (0, 0) // keep mini pipeline pieces local
     val logs = miniLogs
