@@ -29,6 +29,17 @@ final case class SessionOut(
     start_ms: Long,
     end_ms: Long)
 
+/** Last-click state for streaming as-of attribution. */
+final case class LastClick(click_id: Long, click_ms: Long)
+
+/** One attributed purchase. */
+final case class AsofOut(
+    user_id: Long,
+    purchase_id: Long,
+    purchase_ms: Long,
+    click_id: Long,     // -1 when no prior click
+    click_ms: Long)     // -1 when no prior click
+
 /** Structured Streaming face of the trace pipeline (SURVEY.md §2.11
   * extension): the reference processes its event log in batch; the same
   * log schema is naturally a stream, so the engine also exposes
@@ -112,6 +123,52 @@ object StreamOps extends Serializable {
     * against each micro-batch — the streaming analog of J7. */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
+
+  /** Streaming AS-OF attribution (the streaming face of the batch
+    * `j10_asof_join`): every purchase is emitted with the user's latest
+    * click at-or-before it. State is ONE (click_id, ts) pair per user —
+    * O(active users), independent of stream length; idle users are
+    * evicted once the watermark passes their last click + `retainMs`.
+    * Events are ordered by event time within each micro-batch; ordering
+    * across batches is the stream's arrival order bounded by the
+    * watermark (standard attribution-pipeline semantics). */
+  def asofClickAttribution(events: Dataset[StreamEvent], retainMs: Long,
+      watermark: String = "10 minutes"): Dataset[AsofOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(userId: Long, batch: Iterator[StreamEvent],
+        state: GroupState[LastClick]): Iterator[AsofOut] = {
+      if (state.hasTimedOut) { state.remove(); Iterator.empty }
+      else {
+        val out = scala.collection.mutable.ArrayBuffer.empty[AsofOut]
+        var last = state.getOption.getOrElse(LastClick(-1L, -1L))
+        batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id)).foreach { e =>
+          e.event_type match {
+            case "click" =>
+              if (e.ts.getTime >= last.click_ms)
+                last = LastClick(e.event_id, e.ts.getTime)
+            case "purchase" =>
+              out += AsofOut(userId, e.event_id, e.ts.getTime,
+                if (last.click_ms <= e.ts.getTime) last.click_id else -1L,
+                if (last.click_ms <= e.ts.getTime) last.click_ms else -1L)
+            case _ => ()
+          }
+        }
+        if (last.click_id >= 0) {
+          state.update(last)
+          state.setTimeoutTimestamp(last.click_ms + retainMs)
+        }
+        out.iterator
+      }
+    }
+
+    events
+      .filter(e => e.event_type == "click" || e.event_type == "purchase")
+      .withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
 
   /** Stream-stream interval join (the streaming analog of the
     * time-bucketed j5): pairs a click stream with a purchase stream of

@@ -57,6 +57,30 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("asofClickAttribution: purchases carry the latest prior click across batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val q = StreamOps.asofClickAttribution(mem.toDS(), retainMs = 3600_000L)
+      .writeStream.format("memory").queryName("asof")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // batch 1: click@10, purchase@20 (same batch, ordered by event time),
+      // and a purchase@5 for user 2 with NO prior click
+      mem.addData(ev(1, 1, "click", 10), ev(2, 1, "purchase", 20),
+        ev(3, 2, "purchase", 5))
+      q.processAllAvailable()
+      // batch 2: the click state must survive micro-batch boundaries
+      mem.addData(ev(4, 1, "purchase", 40), ev(5, 1, "click", 50),
+        ev(6, 1, "purchase", 60))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT purchase_id, click_id FROM asof").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(rows == Map(2L -> 1L, 3L -> -1L, 4L -> 1L, 6L -> 5L), s"got $rows")
+    } finally q.stop()
+  }
+
   test("enrich: stream-static broadcast join attaches dimension values") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
