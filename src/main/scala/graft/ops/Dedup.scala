@@ -157,6 +157,11 @@ object Dedup extends QueryModule {
     // n-gram Jaccard near-dup pairs via inverted-index join: candidates
     // are pairs sharing ≥1 trigram (keyed equi-join, not all-pairs);
     // jaccard = |∩| / (|A| + |B| - |∩|) computed from the join counts.
+    // Scale note: pair generation is quadratic in hot-shingle bucket
+    // size, so this EXACT variant suits moderate corpora; at 100 TB the
+    // scale path is d3's LSH banding (bounded bands per doc), optionally
+    // with PPJoin-style prefix filtering here if exact results are
+    // required at scale.
     GQuery("d2_ngram_jaccard",
       (s, d) => {
         // set sizes ride along with the inverted index so the join

@@ -525,11 +525,15 @@ object Relational extends QueryModule {
              |WHERE event_id % 100 = 0 ORDER BY user_id, event_id""".stripMargin)),
 
     // W4: distribution ranks — ntile buckets, percent_rank and cume_dist
-    // over order value per customer segment (identical SQL-standard
-    // definitions in Spark and DuckDB).
+    // over order value per (priority, order month): the month rider keeps
+    // window-partition cardinality growing WITH the data (priority alone
+    // is 5 values — the whole table would funnel into 5 tasks at scale,
+    // the a5 skew wall from the round-1 audit).
     GQuery("w4_rank_stats",
       (s, d) => {
-        val w = Window.partitionBy("o_orderpriority")
+        val w = Window
+          .partitionBy(col("o_orderpriority"),
+            year(col("o_orderdate")), month(col("o_orderdate")))
           .orderBy(col("o_totalprice"), col("o_orderkey"))
         Tables.orders(s, d)
           .withColumn("bucket", ntile(4).over(w).cast("long"))
@@ -545,7 +549,8 @@ object Relational extends QueryModule {
              |    round(percent_rank() OVER w, 6) AS pr,
              |    round(cume_dist() OVER w, 6) AS cd
              |  FROM orders
-             |  WINDOW w AS (PARTITION BY o_orderpriority
+             |  WINDOW w AS (PARTITION BY o_orderpriority,
+             |                 year(o_orderdate), month(o_orderdate)
              |               ORDER BY o_totalprice, o_orderkey))
              |WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin)),
 
