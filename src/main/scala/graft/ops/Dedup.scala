@@ -156,12 +156,16 @@ object Dedup extends QueryModule {
 
     // n-gram Jaccard near-dup pairs via inverted-index join: candidates
     // are pairs sharing ≥1 trigram (keyed equi-join, not all-pairs);
-    // jaccard = |∩| / (|A| + |B| - |∩|) computed from the join counts.
-    // Scale note: pair generation is quadratic in hot-shingle bucket
-    // size, so this EXACT variant suits moderate corpora; at 100 TB the
-    // scale path is d3's LSH banding (bounded bands per doc), optionally
-    // with PPJoin-style prefix filtering here if exact results are
-    // required at scale.
+    // jaccard = |∩| / (|A| + |B| - |∩|) computed from the join counts —
+    // the verify step needs NO array join-backs, which is what makes
+    // this form fast (a PPJoin-style prefix-filter variant was measured
+    // here: candidate count dropped 1.26M → 0.4M, but hauling the full
+    // shingle arrays through the verification joins cost 13 s vs 2 s
+    // for count-based verification on this corpus). Scale note: pair
+    // generation is quadratic in hot-shingle bucket size; at 100 TB
+    // either cap/dice hot buckets or prefer d3's LSH banding (bounded
+    // bands per doc) — prefix filtering only pays off when the shingle
+    // frequency distribution has a long stop-shingle tail.
     GQuery("d2_ngram_jaccard",
       (s, d) => {
         // set sizes ride along with the inverted index so the join

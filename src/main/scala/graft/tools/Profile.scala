@@ -64,6 +64,30 @@ object Profile {
     time("m2.full")(graft.ops.Cluster.queries
       .find(_.name == "m2_minhash_ml").get.run(spark, sfDir))
 
+    // prefix-filter d2 stages
+    {
+      val ds2 = graft.ops.Dedup.docShingles(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val inv2 = ds2.select(col("doc_id"), explode(col("sh")).as("g0"))
+        .select(col("doc_id"), xxhash64(col("g0")).as("g"))
+      val freq2 = inv2.groupBy("g").agg(count(lit(1)).as("f"))
+      time("d2p.freq")(freq2)
+      val prefix2 = inv2.join(freq2, Seq("g"))
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(struct(col("f"), col("g")))).as("fg"))
+        .select(col("doc_id"),
+          expr("slice(fg, 1, size(fg) - CAST(ceil(0.5 * size(fg)) AS INT) + 1)").as("pfx"))
+        .select(col("doc_id"), explode(col("pfx.g")).as("g"))
+      time("d2p.prefix")(prefix2)
+      val cand2 = prefix2.select(col("g"), col("doc_id").as("da"))
+        .join(prefix2.select(col("g"), col("doc_id").as("db")), Seq("g"))
+        .filter(col("da") < col("db"))
+        .select("da", "db").distinct()
+      time("d2p.cand")(cand2)
+      println(s"[profile] d2p.cand.count ${cand2.count()}")
+      ds2.unpersist()
+    }
+
     // d2/d3/d5/m5/m6 after fixes
     time("d2.full2")(graft.ops.Dedup.queries
       .find(_.name == "d2_ngram_jaccard").get.run(spark, sfDir))
