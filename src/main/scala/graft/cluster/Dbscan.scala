@@ -95,6 +95,12 @@ object Dbscan {
       if (pairScan != null) pairScan
       else new StringScan(if (scanDist == null) dist else scanDist, eps)
 
+    // stage timing for perf work, off unless GRAFT_DBSCAN_TIMING is set
+    val t0 = System.nanoTime()
+    def mark(label: String): Unit =
+      if (sys.env.contains("GRAFT_DBSCAN_TIMING"))
+        System.err.println(f"[dbscan] $label%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
+
     // normalize column names — callers pass tuples under arbitrary names.
     // Eager localCheckpoint, not just persist: it is reused (reps build +
     // final value→label join) AND it truncates the input lineage — a
@@ -102,6 +108,7 @@ object Dbscan {
     // whole upstream plan once per downstream join (exponential plan
     // growth; measured as an OOM just STRINGIFYING the plan in tests).
     val pts = points.toDF("id", "value").localCheckpoint(true)
+    mark("checkpoint")
 
     // 0. collapse duplicates: representative id + multiplicity per value
     val reps = pts.groupBy("value")
@@ -116,6 +123,7 @@ object Dbscan {
     if (stats.isNullAt(1)) return emptyResult(spark)
     val nDistinct = stats.getLong(0)
     val pivot = stats.getString(1)
+    mark("stats")
 
     // 2. ring duplication + per-cell quadratic scan over distinct values.
     //    `scanKey` (contract: |key(a)-key(b)| > 1 ⇒ dist(a,b) > eps)
@@ -161,24 +169,32 @@ object Dbscan {
         } yield p
       }
     }.toDF("rep", "nbr", "nw").dropDuplicates("rep", "nbr")
+      // persisted: both the ball-weight aggregation and the label-spread
+      // join read this — unpersisted, the O(cell²) scan runs twice
+      .persist(StorageLevel.MEMORY_AND_DISK)
 
     // 3. eps-ball weight (self multiplicity + neighbor multiplicities);
     //    core iff ball weight >= minPts. Values with no external
     //    neighbor can still be core through their own duplicates.
-    val ball = nbrPairs.groupBy("rep")
-      .agg(sum(col("nw")).as("nbrW"), collect_set(col("nbr")).as("ns"))
-    val ballAll = reps.toDF("rep", "value", "w")
+    //    NB: no collect_set of neighbor lists — in dense neighborhoods
+    //    (short paths, small eps-space) a value can have thousands of
+    //    eps-neighbors, and building + exploding those arrays was the
+    //    single biggest m5 stage; label spreading is a plain join on the
+    //    already-deduplicated pair table instead.
+    val ball = nbrPairs.groupBy("rep").agg(sum(col("nw")).as("nbrW"))
+    val cores = reps.toDF("rep", "value", "w")
       .join(ball, Seq("rep"), "left")
-      .select(col("rep"), col("w"),
-        coalesce(col("nbrW"), lit(0L)).as("nbrW"),
-        coalesce(col("ns"), array().cast("array<long>")).as("ns"))
-    val cores = ballAll.filter(col("w") + col("nbrW") >= minPts)
+      .filter(col("w") + coalesce(col("nbrW"), lit(0L)) >= minPts)
+      .select("rep")
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val labels = cores.select(col("rep").as("label"),
-      explode(array_union(array(col("rep")), col("ns"))).as("pt"))
+    val labels = cores.select(col("rep").as("label"), col("rep").as("pt"))
+      .unionByName(cores.select(col("rep").as("label"))
+        .join(nbrPairs.select(col("rep").as("label"), col("nbr").as("pt")),
+          Seq("label")))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     if (labels.isEmpty) { reps.unpersist(); return emptyResult(spark) }
+    mark("labels")
 
     // 4. merge co-occurring labels via connected components (star edges)
     val edges = labels.groupBy("pt")
@@ -188,6 +204,7 @@ object Dbscan {
       .select("l1", "l2").distinct()
     val comp = connectedComponents(spark,
       labels.select(col("label").as("v")).distinct(), edges)
+    mark("cc")
 
     val repComp = labels
       .join(comp, col("label") === col("v"))
