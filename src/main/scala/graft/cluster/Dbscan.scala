@@ -196,12 +196,13 @@ object Dbscan {
     if (labels.isEmpty) { reps.unpersist(); return emptyResult(spark) }
     mark("labels")
 
-    // 4. merge co-occurring labels via connected components (star edges)
-    val edges = labels.groupBy("pt")
-      .agg(min(col("label")).as("l1"), collect_set(col("label")).as("ls"))
-      .select(col("l1"), explode(col("ls")).as("l2"))
-      .filter(col("l1") =!= col("l2"))
-      .select("l1", "l2").distinct()
+    // 4. merge co-occurring labels via connected components (star edges:
+    //    each point links its min label to its other labels — join form,
+    //    not collect_set+explode, so no unbounded per-point arrays)
+    val pmin = labels.groupBy("pt").agg(min(col("label")).as("l1"))
+    val edges = pmin.join(labels, Seq("pt"))
+      .filter(col("l1") =!= col("label"))
+      .select(col("l1"), col("label").as("l2")).distinct()
     val comp = connectedComponents(spark,
       labels.select(col("label").as("v")).distinct(), edges)
     mark("cc")
