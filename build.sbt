@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Without StdoutOutput, sbt's logger wraps every forked-stdout line in an
+// "[info] " prefix — which breaks any consumer that json-parses the bench
+// line (rounds 1-3 all recorded parsed:null). StdoutOutput passes the
+// program's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -102,13 +102,16 @@ object Dbscan {
         System.err.println(f"[dbscan] $label%-12s ${(System.nanoTime() - t0) / 1e9}%.2f s")
 
     // normalize column names — callers pass tuples under arbitrary names.
-    // Eager localCheckpoint, not just persist: it is reused (reps build +
-    // final value→label join) AND it truncates the input lineage — a
-    // stage-2 DBSCAN composed over a stage-1 output otherwise embeds the
-    // whole upstream plan once per downstream join (exponential plan
-    // growth; measured as an OOM just STRINGIFYING the plan in tests).
-    val pts = points.toDF("id", "value").localCheckpoint(true)
-    mark("checkpoint")
+    // localCheckpoint (LAZY): it is reused (reps build + final
+    // value→label join) AND it truncates the input lineage — a stage-2
+    // DBSCAN composed over a stage-1 output otherwise embeds the whole
+    // upstream plan once per downstream join (exponential plan growth;
+    // measured as an OOM just STRINGIFYING the plan in tests). Lazy, so
+    // the checkpoint materializes inside the stats job below instead of
+    // paying a dedicated scheduling round trip (r3 ran ~6 sequential
+    // jobs per DBSCAN; each round trip costs ~0.3-0.5 s in the driver
+    // environment).
+    val pts = points.toDF("id", "value").localCheckpoint(false)
 
     // 0. collapse duplicates: representative id + multiplicity per value
     val reps = pts.groupBy("value")
@@ -192,25 +195,31 @@ object Dbscan {
         .join(nbrPairs.select(col("rep").as("label"), col("nbr").as("pt")),
           Seq("label")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-
-    if (labels.isEmpty) { reps.unpersist(); return emptyResult(spark) }
-    mark("labels")
+    // NB: no labels.isEmpty probe — the empty (no-core) case flows
+    // through naturally (empty edges → empty components → every point
+    // noise via the left joins below), which matches the DBSCAN
+    // definition AND saves a full scheduling round trip in every run.
 
     // 4. merge co-occurring labels via connected components (star edges:
     //    each point links its min label to its other labels — join form,
-    //    not collect_set+explode, so no unbounded per-point arrays)
+    //    not collect_set+explode, so no unbounded per-point arrays).
+    //    Components are resolved over edge ENDPOINTS only: a point's
+    //    labels are all connected through its own star edges, so
+    //    comp(min label) already is the component min; labels that never
+    //    appear in an edge are their own component (coalesce below).
+    //    This drops the separate vertex-frame job r3 paid inside
+    //    connectedComponents.
     val pmin = labels.groupBy("pt").agg(min(col("label")).as("l1"))
     val edges = pmin.join(labels, Seq("pt"))
       .filter(col("l1") =!= col("label"))
       .select(col("l1"), col("label").as("l2")).distinct()
-    val comp = connectedComponents(spark,
-      labels.select(col("label").as("v")).distinct(), edges)
+    val comp = componentsFromEdges(spark, edges)
     mark("cc")
 
-    val repComp = labels
-      .join(comp, col("label") === col("v"))
-      .groupBy("pt").agg(min(col("component")).as("component"))
-      .select(col("pt").as("rep"), col("component"))
+    val repComp = pmin
+      .join(comp, col("l1") === col("v"), "left")
+      .select(col("pt").as("rep"),
+        coalesce(col("component"), col("l1")).as("component"))
     val repOut = reps.toDF("rep", "value", "w")
       .join(repComp, Seq("rep"), "left")
       .join(cores.select(col("rep"), lit(true).as("is_core")), Seq("rep"), "left")
@@ -243,20 +252,36 @@ object Dbscan {
 
   def connectedComponents(spark: SparkSession, vertices: DataFrame,
       edges: DataFrame): DataFrame = {
+    // resolve components over edge endpoints only, then give every
+    // edge-free vertex its own id via a left join — one collect job on
+    // the (typically tiny) edge summary instead of r3's two (edges +
+    // vertices). NB: vertices absent from `vertices` do not appear in
+    // the output even if an edge mentions them (one row per vertex).
+    vertices.select(col("v").cast("long").as("v"))
+      .join(componentsFromEdges(spark, edges), Seq("v"), "left")
+      .select(col("v"),
+        coalesce(col("component"), col("v")).as("component"))
+  }
+
+  /** Components over the edge list only — (v, component = min reachable
+    * id) for every vertex appearing in at least one edge; callers
+    * coalesce edge-free vertices to themselves. Size-guarded: under
+    * [[DriverCcMaxEdges]] a driver union-find resolves the summary graph
+    * (the same class of move as broadcasting a dimension table — GraphX
+    * Pregel pays ~10 s of per-iteration scheduling even on a 150-vertex
+    * graph); past the cap the distributed GraphX path runs. */
+  private[graft] def componentsFromEdges(spark: SparkSession,
+      edges: DataFrame): DataFrame = {
     import spark.implicits._
-    val vDs = vertices.select(col("v").cast("long")).as[Long]
     // persist: the size probe below plus the collect (or RDD conversion)
     // would otherwise run the whole upstream edge pipeline twice
     // (measured 2.3 s of the 4.8 s m8 total)
     val eDs = edges.select(col("l1").cast("long"), col("l2").cast("long"))
       .as[(Long, Long)].persist(StorageLevel.MEMORY_AND_DISK)
     // size-guarded collect in ONE job: limit(cap+1) instead of a separate
-    // count — each extra action costs a full scheduling round trip on the
-    // (typically tiny) label graph
+    // count — each extra action costs a full scheduling round trip
     val probe = eDs.limit(DriverCcMaxEdges.toInt + 1).collect()
     if (probe.length <= DriverCcMaxEdges) {
-      val vs = vDs.collect()
-      val es = probe
       eDs.unpersist(blocking = false)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -268,8 +293,7 @@ object Dbscan {
         }
         r
       }
-      vs.foreach(v => parent.getOrElseUpdate(v, v))
-      es.foreach { case (a, b) =>
+      probe.foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
@@ -277,7 +301,8 @@ object Dbscan {
       val out = parent.keys.toSeq.map(v => (v, find(v)))
       spark.createDataset(out).toDF("v", "component")
     } else {
-      val vRdd = vDs.rdd.map(v => (v, v))
+      val vRdd = eDs.rdd.flatMap { case (a, b) => Iterator(a, b) }
+        .distinct().map(v => (v, v))
       val eRdd = eDs.rdd.map { case (a, b) => Edge(a, b, ()) }
       Graph(vRdd, eRdd).connectedComponents().vertices
         .toDF("v", "component")

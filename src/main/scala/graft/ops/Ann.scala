@@ -23,6 +23,9 @@ object Ann extends QueryModule {
   val Dim = 64
   val NumTables = 8
   val BitsPerTable = 8
+  /** Fixed IVF centroid count — constant by construction (top-K by
+    * md5(vec_id)), never a fraction of the corpus. */
+  val IvfK = 32
 
   /** Deterministic ±1 hyperplane matrix (NumTables*BitsPerTable × Dim). */
   lazy val SIGNS: IndexedSeq[IndexedSeq[Int]] = {
@@ -206,15 +209,20 @@ object Ann extends QueryModule {
            |  FROM s)
            |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
 
-    // IVF ANN: deterministic centroids (vec_id % 97 = 0), each vector
-    // assigned to its nearest centroid; a query probes its 2 nearest
-    // centroid cells and reranks exactly within them. At 100 TB the
-    // assignment is one broadcast join (centroid count is bounded) and
-    // the probe join touches only the probed cells' vectors.
+    // IVF ANN: exactly `IvfK` deterministic centroids — the K vectors
+    // with the smallest md5(vec_id) (a seeded uniform sample computed as
+    // a distributed top-K, no driver loop) — each vector assigned to its
+    // nearest centroid; a query probes its 2 nearest centroid cells and
+    // reranks exactly within them. The centroid count is a CONSTANT
+    // independent of corpus size, so at 100 TB the assignment really is
+    // one bounded broadcast join of n×K cosines, and the probe join
+    // touches only the probed cells' vectors. (A k-means|| refinement
+    // would sharpen cell balance but not the cost shape.)
     GQuery("n3_ann_ivf",
       (s, d) => {
         val vecs = normedVecs(s, d)
-        val cents = vecs.filter(col("vec_id") % 97 === 0)
+        val cents = vecs
+          .orderBy(md5(col("vec_id").cast("string"))).limit(IvfK)
           .select(col("vec_id").as("cid"), col("v").as("cv"),
             col("nrm").as("cn"))
         val scoredC = vecs.crossJoin(broadcast(cents))
@@ -247,7 +255,8 @@ object Ann extends QueryModule {
       },
       Some(vCte +
         s""",
-           |c AS (SELECT vec_id AS cid, v AS cv FROM v WHERE vec_id % 97 = 0),
+           |c AS (SELECT vec_id AS cid, v AS cv FROM v
+           |      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfK),
            |sc AS (SELECT v.vec_id, c.cid,
            |         round(${cosSql("v.v", "c.cv")}, 6) AS csim
            |       FROM v, c),

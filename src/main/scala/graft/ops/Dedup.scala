@@ -27,13 +27,16 @@ object Dedup extends QueryModule {
     * 5.1s vs 0.5s for the corpus at sf0.1); an aliased column referenced
     * multiple times is kept as an attribute instead. */
   private[graft] def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), col("text"))
+    shinglesOf(Tables.documents(s, d).select(col("doc_id"), col("text")))
+
+  /** [[docShingles]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def shinglesOf(docs: DataFrame): DataFrame =
+    docs
       // harness files are single-row-group parquet → an unsplittable
       // 1-task scan; spreading the tiny text payload lets the expensive
       // shingle projection use every core (at 100 TB the files split
       // naturally and this shuffle is a no-op cost-wise)
-      .repartition(s.sparkContext.defaultParallelism)
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       // filter on the CHEAP token count, before shingles exist: a filter
       // on size(sh) gets pushed below the projection by
@@ -91,6 +94,66 @@ object Dedup extends QueryModule {
       .withColumn("jac", jaccardSim(col("sha"), col("shb")))
       .filter(col("jac") >= minSim)
       .select(col("da"), col("db"), col("jac"))
+  }
+
+  /** n-gram Jaccard near-dup pairs via inverted-index join (the d2
+    * machinery as a reusable operator). Candidates are pairs sharing
+    * ≥ 1 trigram; jaccard = |∩| / (|A| + |B| − |∩|) from the join
+    * counts alone — no array join-backs.
+    *
+    * @param maxDocsPerShingle hot-bucket cap: when set, shingles whose
+    *   posting list exceeds the cap are dropped BEFORE pair generation
+    *   (the stop-shingle trick). This bounds the quadratic bucket
+    *   blow-up at scale — a shingle shared by thousands of documents
+    *   is both the cost driver AND nearly evidence-free for similarity.
+    *   The result is recall-biased-exact: reported jaccard can only
+    *   UNDERestimate (shared counts skip hot shingles; set sizes stay
+    *   full), so no false pairs appear, and pairs whose overlap lives
+    *   entirely in stop-shingles are missed. Pass None (the registered
+    *   d2 query does) for the exact oracle-matched form; at 100 TB
+    *   either set the cap or prefer d3's LSH banding (bounded bands
+    *   per doc, exact verify). */
+  private[graft] def ngramJaccardPairs(s: SparkSession, d: String,
+      minSim: Double, maxDocsPerShingle: Option[Int] = None): DataFrame =
+    ngramJaccardPairsOf(docShingles(s, d), minSim, maxDocsPerShingle)
+
+  /** [[ngramJaccardPairs]] over an arbitrary (doc_id, sh) shingle frame. */
+  private[graft] def ngramJaccardPairsOf(shingles: DataFrame,
+      minSim: Double, maxDocsPerShingle: Option[Int]): DataFrame = {
+    // set sizes ride along with the inverted index so the join output
+    // carries |A| and |B| directly — no extra size joins (each would
+    // re-evaluate the corpus-wide shingle projection); persist the
+    // shingle sets BEFORE explode: the optimizer inlines the interpreted
+    // ngram projection into the Generate node and its `size()` rider
+    // (measured: the explode step alone cost 6.6 s vs 1.2 s for the
+    // shingle compute itself), and the self-join would evaluate all of
+    // it once per side on top of that
+    val ds = shingles
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // join key is the 64-bit hash of the shingle, not the string —
+    // narrower shuffle; collision odds at this cardinality ~1e-11
+    val invAll = ds.select(col("doc_id"),
+      size(col("sh")).cast("long").as("n"), explode(col("sh")).as("g0"))
+      .select(col("doc_id"), col("n"), xxhash64(col("g0")).as("g"))
+    val inv = maxDocsPerShingle match {
+      case None => invAll
+      case Some(cap) =>
+        // one extra keyed aggregation finds the hot shingles; the
+        // left_anti join drops their postings before the self-join, so
+        // no bucket contributes more than cap·(cap−1)/2 pairs
+        val hot = invAll.groupBy("g").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("g")
+        invAll.join(hot, Seq("g"), "left_anti")
+    }
+    inv.select(col("g"), col("doc_id").as("da"), col("n").as("na"))
+      .join(inv.select(col("g"), col("doc_id").as("db"), col("n").as("nb")),
+        Seq("g"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("shared"))
+      .withColumn("jac",
+        col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= minSim)
+      .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
   }
 
   private[ops] val shingleSqlCte =
@@ -161,39 +224,12 @@ object Dedup extends QueryModule {
     // this form fast (a PPJoin-style prefix-filter variant was measured
     // here: candidate count dropped 1.26M → 0.4M, but hauling the full
     // shingle arrays through the verification joins cost 13 s vs 2 s
-    // for count-based verification on this corpus). Scale note: pair
-    // generation is quadratic in hot-shingle bucket size; at 100 TB
-    // either cap/dice hot buckets or prefer d3's LSH banding (bounded
-    // bands per doc) — prefix filtering only pays off when the shingle
-    // frequency distribution has a long stop-shingle tail.
+    // for count-based verification on this corpus). Runs UNCAPPED here
+    // (exact, oracle-matched); the scale path is the same operator with
+    // a hot-bucket cap — see [[ngramJaccardPairs]] and DedupSpec's
+    // stop-shingle test — or d3's LSH banding.
     GQuery("d2_ngram_jaccard",
-      (s, d) => {
-        // set sizes ride along with the inverted index so the join
-        // output carries |A| and |B| directly — no extra size joins
-        // (each would re-evaluate the corpus-wide shingle projection)
-        // persist the shingle sets BEFORE explode: the optimizer inlines
-        // the interpreted ngram projection into the Generate node and its
-        // `size()` rider (measured: the explode step alone cost 6.6 s vs
-        // 1.2 s for the shingle compute itself), and the self-join would
-        // evaluate all of it once per side on top of that
-        val ds = docShingles(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // join key is the 64-bit hash of the shingle, not the string —
-        // narrower shuffle; collision odds at this cardinality ~1e-11
-        val inv = ds.select(col("doc_id"),
-          size(col("sh")).cast("long").as("n"), explode(col("sh")).as("g0"))
-          .select(col("doc_id"), col("n"), xxhash64(col("g0")).as("g"))
-        inv.select(col("g"), col("doc_id").as("da"), col("n").as("na"))
-          .join(inv.select(col("g"), col("doc_id").as("db"), col("n").as("nb")),
-            Seq("g"))
-          .filter(col("da") < col("db"))
-          .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("shared"))
-          .withColumn("jac",
-            col("shared") / (col("na") + col("nb") - col("shared")))
-          .filter(col("jac") >= 0.5)
-          .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
-          .orderBy("da", "db")
-      },
+      (s, d) => ngramJaccardPairs(s, d, 0.5, None).orderBy("da", "db"),
       Some(shingleSqlCte +
         """,
           |n AS (SELECT doc_id, len(sh) AS n FROM s),

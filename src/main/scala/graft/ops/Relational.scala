@@ -413,7 +413,10 @@ object Relational extends QueryModule {
              |ORDER BY 1, 2""".stripMargin)),
 
     // A9: contiguous group-id assignment via dense_rank (deterministic
-    // replacement for monotonically_increasing_id group ids).
+    // replacement for monotonically_increasing_id group ids). The global
+    // window runs on the POST-AGGREGATION brand dimension (bounded:
+    // TPC-H p_brand has 25 values at any SF); for unbounded inputs use
+    // graft.functions.DenseIds instead.
     GQuery("a9_group_ids",
       (s, d) => Tables.part(s, d)
         .groupBy("p_brand").agg(count(lit(1)).as("n"))
@@ -699,7 +702,8 @@ object Relational extends QueryModule {
              |      t -> length(t) > 4)) AS n_long
              |FROM documents WHERE doc_id % 20 = 0 ORDER BY doc_id""".stripMargin)),
 
-    // F10: base-26 identifier assignment over a ranked dimension.
+    // F10: base-26 identifier assignment over a ranked dimension
+    // (nation: 25 rows at any SF — bounded, so the global window is safe).
     GQuery("f6_base26_ids",
       (s, d) => Tables.nation(s, d)
         .withColumn("rank0",

@@ -68,10 +68,12 @@ object Sources extends QueryModule {
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
     // Multimodal pipeline head (decode/resize/frame-sample stubs over
-    // synthetic binary media): rows-only — deterministic synthetic
-    // input, no parquet table for DuckDB to see.
+    // synthetic binary media). The generator is md5-derived (portable
+    // arithmetic — the d4 trick), so DuckDB replays payload bytes,
+    // histogram features, resize truncation and frame counts exactly:
+    // a full hash-checked oracle despite there being no parquet input.
     GQuery("m10_multimodal",
       (s, _) => graft.multimodal.Multimodal.pipeline(s, 200),
-      None)
+      Some(graft.multimodal.Multimodal.pipelineOracleSql(200)))
   )
 }

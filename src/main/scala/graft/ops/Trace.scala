@@ -224,6 +224,8 @@ object Trace extends QueryModule {
     // UDFs, `Src/processes.py:152-192`, with higher-order functions).
     GQuery("t10_cluster_rewrite",
       (s, d) => {
+        // global window is safe: post-distinct event-type vocabulary is a
+        // bounded dimension (the action alphabet), not row-scaled data
         val dim = Tables.events(s, d).select("event_type").distinct()
           .withColumn("cid", graft.functions.base26Id(
             dense_rank().over(Window.orderBy("event_type")) - 1))

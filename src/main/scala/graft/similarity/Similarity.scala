@@ -64,13 +64,16 @@ object Similarity {
     */
   def neighborClusters(items: DataFrame, idCol: String, pairs: DataFrame)
       : DataFrame = {
-    // persisted: `pairs` is typically an expensive LSH subtree, and this
-    // plan references it twice for symmetrization and twice more for the
-    // cluster/singleton branches — unpersisted it evaluated 4× (measured
-    // as m3 costing ~3× its own LSH stage)
-    val sym = pairs.select(col("ida").as("__id"), col("idb").as("__nbr"))
-      .union(pairs.select(col("idb").as("__id"), col("ida").as("__nbr")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // `pairs` is typically an expensive LSH subtree and this plan
+    // references it FOUR times (twice to symmetrize, and the
+    // symmetrization feeds both the cluster and singleton branches) —
+    // persist the pair OUTPUT itself, so the LSH stage runs exactly once
+    // and every downstream branch reads the tiny cached (ida, idb) rows.
+    // (Round 3 persisted only `sym`, which still evaluated the LSH
+    // subtree twice to build the union's two legs.)
+    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val sym = p.select(col("ida").as("__id"), col("idb").as("__nbr"))
+      .union(p.select(col("idb").as("__id"), col("ida").as("__nbr")))
     val clustered = sym.groupBy("__id")
       .agg(array_sort(array_union(collect_set(col("__nbr")),
         array(col("__id")))).as("members"))

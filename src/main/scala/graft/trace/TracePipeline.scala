@@ -30,8 +30,11 @@ final case class LogEvent(
   *  - the per-server driver loop (`Src/servers.py:56-70`, one Spark job
   *    per server) is ONE union + groupBy;
   *  - broadcast dicts become broadcast dimension joins;
-  *  - group ids come from `dense_rank` (deterministic), not
-  *    `monotonically_increasing_id`.
+  *  - group ids are deterministic (ascending key order) but assigned
+  *    scale-safely — range-sort + `zipWithIndex`
+  *    ([[graft.functions.DenseIds]]), never a global
+  *    `Window.orderBy` (single-task funnel) and never
+  *    `monotonically_increasing_id` (non-deterministic).
   */
 object TracePipeline {
 
@@ -145,9 +148,10 @@ object TracePipeline {
       .select(col("ida"), col("idb"))
     val clusters = Similarity.neighborClusters(
       servers.select("server_name"), "server_name", pairs)
-    val ids = clusters.select(col("cluster_name")).distinct()
-      .withColumn("cluster_id", graft.functions.base26Id(
-        dense_rank().over(Window.orderBy(col("cluster_name"))) - 1))
+    val ids = graft.functions.DenseIds
+      .denseSortIds(clusters, "cluster_name", "__rank")
+      .withColumn("cluster_id", graft.functions.base26Id(col("__rank")))
+      .drop("__rank")
     val dim = clusters.join(ids, Seq("cluster_name"))
       .select(col("server_name"), col("cluster_id"))
     val user = spark.createDataFrame(
@@ -170,12 +174,14 @@ object TracePipeline {
   /** M9: processes with identical cluster-euler-strings, deterministic
     * contiguous group ids (`Src/processes.py:228-232`). */
   def equalProcesses(clusterLogs: DataFrame): DataFrame =
-    processes(clusterLogs, from = "cluster_from", to = "cluster_to")
-      .groupBy(col("euler_string").as("cluster_euler_string"))
-      .agg(sort_array(collect_list(col("process_id"))).as("equal_processes"))
-      .withColumn("group_processes_id",
-        dense_rank().over(Window.orderBy(col("cluster_euler_string")))
-          .cast("long") - 1)
+    // one row per euler string post-agg, so the contiguous group ids come
+    // from range-sort + zipWithIndex — same ids as a dense_rank window,
+    // without the single-task global-window funnel
+    graft.functions.DenseIds.zipDenseIds(
+      processes(clusterLogs, from = "cluster_from", to = "cluster_to")
+        .groupBy(col("euler_string").as("cluster_euler_string"))
+        .agg(sort_array(collect_list(col("process_id"))).as("equal_processes")),
+      "cluster_euler_string", "group_processes_id")
 
   /** Deduplicated log: each group keeps its first member's events,
     * rewritten to cluster space and tagged with the group id
@@ -229,12 +235,15 @@ object TracePipeline {
 
   /** Stage-1 approximate clustering: DBSCAN over element sets with
     * Jaccard distance (the reference's minhash_dbscan, ε=0.5, minPts=2
-    * — `Src/processes.py:319-331`); ids are dense-ranked process ids. */
+    * — `Src/processes.py:319-331`). DBSCAN ids only need uniqueness,
+    * so they are `xxhash64(process_id)` — no global rank window. */
   def elementClusters(spark: SparkSession, elements: DataFrame,
       eps: Double = 0.5, minPts: Int = 2): DataFrame = {
     import spark.implicits._
+    // >>>1 keeps ids non-negative: noise is -1 downstream, and min-id
+    // component labels must stay in [0, 2^63)
     val numbered = elements.withColumn("pidNum",
-      dense_rank().over(Window.orderBy(col("process_id"))).cast("long"))
+      shiftrightunsigned(xxhash64(col("process_id")), 1))
     val pts = numbered.select(col("pidNum"),
       array_join(col("cluster_elements"), "-").as("value"))
     val out = Dbscan.jaccardDbscan(spark, pts.as[(Long, String)], eps, minPts)
@@ -259,8 +268,9 @@ object TracePipeline {
     val numbered = procs
       .join(stage1.select(col("process_id"), col("component")),
         Seq("process_id"), "left")
-      .withColumn("pidNum", dense_rank().over(
-        Window.orderBy(col("process_id"))).cast("long"))
+      // unique-only non-negative ids for Dbscan.run — see elementClusters
+      .withColumn("pidNum",
+        shiftrightunsigned(xxhash64(col("process_id")), 1))
     val pts = numbered.filter(col("component") >= 0)
       .select(col("pidNum"), concat(col("component"), lit("|"),
         col("euler_string")).as("value"))

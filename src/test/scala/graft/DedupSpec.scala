@@ -42,6 +42,36 @@ class DedupSpec extends AnyFunSuite {
     assert(out.length == 1 && out.head.getLong(2) == 0L)
   }
 
+  test("d2 hot-bucket cap: stop-shingles dropped, planted near-dups survive") {
+    // 30 filler docs all share one hot phrase (its trigrams appear in
+    // every doc → posting lists of 30+), plus 2 planted near-dup pairs
+    // whose overlap lives in their own unique content.
+    val hot = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = docsDf(
+      (0 until 30).map(i => (i.toLong, s"$hot filler$i unique$i token$i")) ++
+        Seq(
+          (100L, s"alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+          (101L, s"alpha beta gamma delta epsilon zeta eta theta iota lambda"),
+          (200L, s"one two three four five six seven eight nine ten"),
+          (201L, s"one two three four five six seven eight nine eleven")))
+    val sh = Dedup.shinglesOf(docs).cache()
+    val uncapped = Dedup.ngramJaccardPairsOf(sh, 0.5, None).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.ngramJaccardPairsOf(sh, 0.5, Some(10)).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // recall-biased-exact: capped pairs are a subset, never new pairs...
+    assert(capped.keySet.subsetOf(uncapped.keySet),
+      s"cap invented pairs: ${capped.keySet -- uncapped.keySet}")
+    // ...and per-pair jaccard can only drop (shared skips hot shingles)
+    capped.foreach { case (k, j) => assert(j <= uncapped(k) + 1e-9) }
+    // the planted near-dups share only cold shingles → still found
+    assert(capped.contains((100L, 101L)) && capped.contains((200L, 201L)),
+      s"planted pairs lost under cap: ${capped.keySet}")
+    // the hot phrase alone no longer generates candidate work: filler
+    // docs pair with nobody once its trigrams are dropped
+    assert(!capped.keySet.exists { case (a, b) => a < 30 || b < 30 })
+  }
+
   test("chunk-bucket recall is exact vs all-pairs hamming <= 3") {
     // 40 docs: 10 base variants × small perturbations
     val rnd = new scala.util.Random(11)
