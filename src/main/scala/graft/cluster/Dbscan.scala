@@ -155,11 +155,15 @@ object Dbscan {
       val arr = it.toArray
       val test = scan.prepare(arr.map(_._4))
       if (bi == bj) {
+        // the predicate is symmetric — test each unordered pair once,
+        // emit both directions (halves the DP work in diagonal blocks)
         for {
           i <- arr.indices.iterator
-          j <- arr.indices
-          if i != j && test(i, j)
-        } yield (arr(i)._3, arr(j)._3, arr(j)._5)
+          j <- (i + 1) until arr.length
+          if test(i, j)
+          p <- Iterator((arr(i)._3, arr(j)._3, arr(j)._5),
+                        (arr(j)._3, arr(i)._3, arr(i)._5))
+        } yield p
       } else {
         val as = arr.indices.filter(i => arr(i)._2 == bi)
         val bs = arr.indices.filter(i => arr(i)._2 == bj)
@@ -171,10 +175,23 @@ object Dbscan {
                         (arr(j)._3, arr(i)._3, arr(i)._5))
         } yield p
       }
-    }.toDF("rep", "nbr", "nw").dropDuplicates("rep", "nbr")
+    }.toDF("rep", "nbr", "nw")
+      // ONE explicit exchange on `rep`, reused by everything downstream:
+      // partitioning on a subset of the dedup key satisfies
+      // dropDuplicates(rep, nbr), the ball-weight groupBy(rep), and the
+      // (broadcast) core label join — r3's plan exchanged the 600k-row
+      // pair table three more times after the scan
+      .repartition(col("rep"))
+      .dropDuplicates("rep", "nbr")
       // persisted: both the ball-weight aggregation and the label-spread
       // join read this — unpersisted, the O(cell²) scan runs twice
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // diagnosis only: force the scan so the timing marks isolate it
+    // (extra action — never taken without the env flag)
+    if (sys.env.contains("GRAFT_DBSCAN_TIMING")) {
+      System.err.println(s"[dbscan] pairs ${nbrPairs.count()}")
+      mark("scan")
+    }
 
     // 3. eps-ball weight (self multiplicity + neighbor multiplicities);
     //    core iff ball weight >= minPts. Values with no external
@@ -190,10 +207,13 @@ object Dbscan {
       .filter(col("w") + coalesce(col("nbrW"), lit(0L)) >= minPts)
       .select("rep")
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // cores is a bounded label summary (≤ nDistinct ids, no payload) —
+    // broadcast both uses so the 600k-row pair table keeps its `rep`
+    // partitioning instead of sort-merge-exchanging twice more
     val labels = cores.select(col("rep").as("label"), col("rep").as("pt"))
-      .unionByName(cores.select(col("rep").as("label"))
-        .join(nbrPairs.select(col("rep").as("label"), col("nbr").as("pt")),
-          Seq("label")))
+      .unionByName(nbrPairs
+        .select(col("rep").as("label"), col("nbr").as("pt"))
+        .join(broadcast(cores.select(col("rep").as("label"))), Seq("label")))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // NB: no labels.isEmpty probe — the empty (no-core) case flows
     // through naturally (empty edges → empty components → every point
@@ -222,7 +242,8 @@ object Dbscan {
         coalesce(col("component"), col("l1")).as("component"))
     val repOut = reps.toDF("rep", "value", "w")
       .join(repComp, Seq("rep"), "left")
-      .join(cores.select(col("rep"), lit(true).as("is_core")), Seq("rep"), "left")
+      .join(broadcast(cores.select(col("rep"), lit(true).as("is_core"))),
+        Seq("rep"), "left")
       .select(col("value").as("__v"),
         coalesce(col("component"), lit(-1L)).as("component"),
         coalesce(col("is_core"), lit(false)).as("is_core"))

@@ -117,6 +117,132 @@ class TracePipelineSpec extends AnyFunSuite {
       s"partition mismatch: golden-only=${onlyGolden.map(_.size)} ours-only=${onlyOurs.map(_.size)}")
   }
 
+  test("golden: v2 part1Output — all 166 dedup'd rows match after canonical remap") {
+    // Row-level golden against the reference's committed dedup'd log.
+    // Two documented arbitrary choices separate byte-equality
+    // (GoldenProbe, 2026-08-12): the reference's group REPRESENTATIVE is
+    // `equal_processes[0]` of an unspecified Python collect order (we
+    // pin min-member), and its cluster LETTERS came from a random-seed
+    // LSH run (ours are canonical-name ranked). Canonicalize both away —
+    // times normalized to each group's first event, letters matched
+    // through a single consistent bijection derived from the rows — and
+    // assert every one of the 166 rows: per-group row counts, action
+    // sequences, normalized time sequences, and endpoint letters.
+    def readGoldenLines(dir: String): Seq[String] = {
+      val f = new java.io.File(dir).listFiles()
+        .filter(_.getName.startsWith("part-")).head
+      val src = scala.io.Source.fromFile(f)
+      try src.getLines().toList finally src.close()
+    }
+    val rowRe = ("\"state_from\":\"([^\"]*)\",\"state_to\":\"([^\"]*)\"," +
+      "\"time\":(\\d+),\"action\":\"([^\"]*)\",\"process_id\":(\\d+)").r
+    val golden = readGoldenLines(
+      "/root/reference/Data/data_processes_v2.json_part1Output.txt")
+      .flatMap(l => rowRe.findFirstMatchIn(l))
+      .map(m => (m.group(5).toLong,
+        (m.group(1), m.group(2), m.group(3).toLong, m.group(4))))
+    assert(golden.size == 166, s"golden parse: ${golden.size} rows")
+    val goldenByGid = golden.groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(r => (r._3, r._4, r._1, r._2))).toMap
+
+    // group number -> member set, from the observations file
+    val obsTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "/root/reference/Data/data_processes_v2.json_part1Observations.txt/" +
+          "part-00000-3463cf62-4a6b-4989-b8a9-344d98babcc8-c000.txt")))
+    val obsGroups: Map[Long, Set[String]] =
+      "Group (\\d+): \\[(.*?)\\]".r.findAllMatchIn(obsTxt)
+        .map(m => m.group(1).toLong ->
+          "'([^']+)'".r.findAllMatchIn(m.group(2)).map(_.group(1)).toSet)
+        .toMap
+
+    val logs = TP.readLogJson(spark,
+      "/root/reference/Data/data_processes_v2.json")
+    val (groups, dedup) = TP.part1(spark, logs)
+    val ourGid: Map[Set[String], Long] = groups.collect()
+      .map(r => r.getAs[scala.collection.Seq[String]]("equal_processes").toSet
+        -> r.getAs[Long]("group_processes_id")).toMap
+    val ourByGid = dedup.collect()
+      .map(r => (r.getAs[Long]("process_id"),
+        (r.getString(0), r.getString(1), r.getAs[Long]("time"),
+          r.getString(3))))
+      .groupBy(_._1).view
+      .mapValues(_.map(_._2).sortBy(r => (r._3, r._4, r._1, r._2)).toSeq)
+      .toMap
+    assert(ourByGid.values.map(_.size).sum == 166)
+
+    val bij = scala.collection.mutable.HashMap.empty[String, String]
+    def mapLetter(ours: String, theirs: String, ctx: String): Unit =
+      bij.get(ours) match {
+        case Some(t) => assert(t == theirs,
+          s"bijection conflict at $ctx: $ours -> $t vs $theirs")
+        case None => bij(ours) = theirs
+      }
+    for ((gid, gRows) <- goldenByGid) {
+      val members = obsGroups(gid)
+      val oRows = ourByGid(ourGid(members))
+      assert(oRows.size == gRows.size, s"group $gid row count")
+      val gBase = gRows.map(_._3).min
+      val oBase = oRows.map(_._3).min
+      assert(oRows.map(r => r._3 - oBase) == gRows.map(r => r._3 - gBase),
+        s"group $gid normalized times")
+      assert(oRows.map(_._4) == gRows.map(_._4), s"group $gid actions")
+      oRows.zip(gRows).foreach { case (o, g) =>
+        mapLetter(o._1, g._1, s"group $gid from")
+        mapLetter(o._2, g._2, s"group $gid to")
+      }
+    }
+    assert(bij.values.toSet.size == bij.size, s"bijection not injective: $bij")
+    assert(bij.get("user").contains("user"))
+  }
+
+  test("M4 tail: merged cluster connections re-join at threshold 0.6 (Src/servers.py:198-216)") {
+    // the reference's cluster-level second LSH join: per-server
+    // connection sets are rewritten into cluster space, merged per
+    // cluster (A6 distinct-set agg), re-featurized and self-joined at
+    // Jaccard distance <= 0.6. Composed here from the library pieces on
+    // the reference's own v2 data; the LSH result is checked against an
+    // exact all-pairs Jaccard replay of the same merged sets.
+    val logs = TP.readLogJson(spark,
+      "/root/reference/Data/data_processes_v2.json")
+    val procs = TP.depthFeatures(TP.processes(logs))
+    val withDepth = TP.logsWithDepth(logs, procs)
+    val conns = TP.serverConnections(withDepth)
+    val dim = TP.serverClusterDim(spark, conns)
+    // rewrite the server prefix of each "related_In|Out_depth" token
+    // through the cluster dim (the reference's replace_connections UDF)
+    val m = dim.agg(map_from_entries(collect_list(
+      struct(col("server_name"), col("cluster_id")))).as("__m"))
+    val clusterConns = conns.join(dim, Seq("server_name"))
+      .crossJoin(broadcast(m))
+      .withColumn("cluster_connections",
+        transform(col("connections"), c => concat(
+          coalesce(element_at(col("__m"), element_at(split(c, "_"), 1)),
+            element_at(split(c, "_"), 1)),
+          lit("_"), element_at(split(c, "_"), 2),
+          lit("_"), element_at(split(c, "_"), 3))))
+    // A6: merged distinct connection set per cluster
+    val merged = clusterConns.groupBy("cluster_id")
+      .agg(array_distinct(flatten(collect_list(col("cluster_connections"))))
+        .as("merged_conns"))
+    val lsh = graft.similarity.Similarity
+      .minhashJoin(merged, "cluster_id", "merged_conns", 0.6)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // exact replay over the (bounded) merged cluster dimension
+    val sets = merged.collect()
+      .map(r => r.getString(0) ->
+        r.getAs[scala.collection.Seq[String]]("merged_conns").toSet).toMap
+    val exact = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      inter = (sets(a) & sets(b)).size.toDouble
+      union = (sets(a) | sets(b)).size.toDouble
+      if union > 0 && 1.0 - inter / union <= 0.6
+    } yield (a, b)).toSet
+    assert(lsh.subsetOf(exact), s"LSH invented pairs: ${lsh -- exact}")
+    // fixed-seed LSH is deterministic; on this data recall is total
+    assert(lsh == exact, s"missed: ${exact -- lsh}")
+  }
+
   test("part2: element clusters group identical processes, refine splits by euler") {
     val (_, _) = (0, 0) // keep mini pipeline pieces local
     val logs = miniLogs
