@@ -210,10 +210,14 @@ object Dbscan {
     // cores is a bounded label summary (≤ nDistinct ids, no payload) —
     // broadcast both uses so the 600k-row pair table keeps its `rep`
     // partitioning instead of sort-merge-exchanging twice more
+    // partitioned by pt BEFORE the persist: both consumers (the pmin
+    // aggregation and the star-edge self-join) key on pt, so the one
+    // exchange here replaces one per consumer
     val labels = cores.select(col("rep").as("label"), col("rep").as("pt"))
       .unionByName(nbrPairs
         .select(col("rep").as("label"), col("nbr").as("pt"))
         .join(broadcast(cores.select(col("rep").as("label"))), Seq("label")))
+      .repartition(col("pt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // NB: no labels.isEmpty probe — the empty (no-core) case flows
     // through naturally (empty edges → empty components → every point
@@ -232,7 +236,10 @@ object Dbscan {
     val pmin = labels.groupBy("pt").agg(min(col("label")).as("l1"))
     val edges = pmin.join(labels, Seq("pt"))
       .filter(col("l1") =!= col("label"))
-      .select(col("l1"), col("label").as("l2")).distinct()
+      // NO distinct: the union-find (and GraphX CC) tolerate duplicate
+      // edges, and the distinct's exchange cost more than collecting the
+      // extra rows under the driver cap
+      .select(col("l1"), col("label").as("l2"))
     val comp = componentsFromEdges(spark, edges)
     mark("cc")
 
@@ -250,7 +257,10 @@ object Dbscan {
 
     val out = pts.join(repOut, col("value") === col("__v"))
       .select(col("id"), col("component"), col("is_core"))
-    reps.unpersist()
+    // reps stays persisted: the caller has not materialized `out` yet,
+    // and the final join reads reps again — an eager unpersist here made
+    // that job silently recompute the groupBy (LRU eviction reclaims
+    // the handful of cached MBs once the query finishes)
     out
   }
 
