@@ -138,29 +138,41 @@ object Dbscan {
     //    pair set but spreads it over G*(G+1)/2 tasks per cell.
     // Adaptive grid: the block fan-out only pays off when cells are big;
     // tiny inputs (fixtures, small SFs) skip the replication entirely.
-    val G = if (nDistinct < 2000) 1 else 8
+    val G = if (nDistinct < 2000) 1 else 16
+    // every point is copied to its ring r and r+1 (and key k and k+1),
+    // so an eps-pair with true rings (ra, rb) co-occurs in cell
+    // max(ra, rb) — and, when ra == rb, AGAIN in ra+1. Each pair is
+    // therefore OWNED by exactly one cell (the max of the true
+    // ring/key coordinates): testing only owned pairs makes the scan
+    // output duplicate-free by construction, which both halves the
+    // duplicated DP work and removes the pair-table dropDuplicates
+    // exchange r3 paid to clean it up. True coords ride along with
+    // each copy.
     val ringed = reps.flatMap { case (rep, v, w) =>
       val ring = math.floor(dist(v, pivot) / eps).toLong
-      val keys = if (scanKey == null) Seq(0L)
-                 else { val kb = scanKey(v); Seq(kb, kb + 1L) }
+      val tk = if (scanKey == null) 0L else scanKey(v)
+      val keys = if (scanKey == null) Seq(0L) else Seq(tk, tk + 1L)
       val g = ((rep % G) + G) % G
       val blocks = (0 until G)
         .map(o => (math.min(g, o.toLong), math.max(g, o.toLong))).distinct
       for {
         r <- Seq(ring, ring + 1L); k <- keys; (bi, bj) <- blocks
-      } yield ((r, k, bi, bj), g.toLong, rep, v, w)
+      } yield ((r, k, bi, bj), g.toLong, rep, v, w, ring, tk)
     }
     val nbrPairs = ringed.groupByKey(_._1).flatMapGroups { (key, it) =>
-      val (_, _, bi, bj) = key
+      val (cellR, cellK, bi, bj) = key
       val arr = it.toArray
       val test = scan.prepare(arr.map(_._4))
+      @inline def owned(i: Int, j: Int): Boolean =
+        math.max(arr(i)._6, arr(j)._6) == cellR &&
+          math.max(arr(i)._7, arr(j)._7) == cellK
       if (bi == bj) {
-        // the predicate is symmetric — test each unordered pair once,
-        // emit both directions (halves the DP work in diagonal blocks)
+        // the predicate is symmetric — test each unordered owned pair
+        // once, emit both directions
         for {
           i <- arr.indices.iterator
           j <- (i + 1) until arr.length
-          if test(i, j)
+          if owned(i, j) && test(i, j)
           p <- Iterator((arr(i)._3, arr(j)._3, arr(j)._5),
                         (arr(j)._3, arr(i)._3, arr(i)._5))
         } yield p
@@ -170,19 +182,16 @@ object Dbscan {
         for {
           i <- as.iterator
           j <- bs
-          if test(i, j)
+          if owned(i, j) && test(i, j)
           p <- Iterator((arr(i)._3, arr(j)._3, arr(j)._5),
                         (arr(j)._3, arr(i)._3, arr(i)._5))
         } yield p
       }
     }.toDF("rep", "nbr", "nw")
       // ONE explicit exchange on `rep`, reused by everything downstream:
-      // partitioning on a subset of the dedup key satisfies
-      // dropDuplicates(rep, nbr), the ball-weight groupBy(rep), and the
-      // (broadcast) core label join — r3's plan exchanged the 600k-row
-      // pair table three more times after the scan
+      // the ball-weight groupBy(rep) and the (broadcast) core label
+      // join — no dedup needed, ownership already made pairs unique
       .repartition(col("rep"))
-      .dropDuplicates("rep", "nbr")
       // persisted: both the ball-weight aggregation and the label-spread
       // join read this — unpersisted, the O(cell²) scan runs twice
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -210,14 +219,10 @@ object Dbscan {
     // cores is a bounded label summary (≤ nDistinct ids, no payload) —
     // broadcast both uses so the 600k-row pair table keeps its `rep`
     // partitioning instead of sort-merge-exchanging twice more
-    // partitioned by pt BEFORE the persist: both consumers (the pmin
-    // aggregation and the star-edge self-join) key on pt, so the one
-    // exchange here replaces one per consumer
     val labels = cores.select(col("rep").as("label"), col("rep").as("pt"))
       .unionByName(nbrPairs
         .select(col("rep").as("label"), col("nbr").as("pt"))
         .join(broadcast(cores.select(col("rep").as("label"))), Seq("label")))
-      .repartition(col("pt"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // NB: no labels.isEmpty probe — the empty (no-core) case flows
     // through naturally (empty edges → empty components → every point
@@ -233,8 +238,14 @@ object Dbscan {
     //    appear in an edge are their own component (coalesce below).
     //    This drops the separate vertex-frame job r3 paid inside
     //    connectedComponents.
+    // pmin has one row per labeled POINT — bounded by nDistinct, which
+    // is known exactly — so under the cap it broadcasts and the
+    // 600k-row label table never exchanges again (the groupBy's own
+    // shuffle is tiny: partial min() reduces each partition to ≤ #pts
+    // rows first)
     val pmin = labels.groupBy("pt").agg(min(col("label")).as("l1"))
-    val edges = pmin.join(labels, Seq("pt"))
+    val pminHinted = if (nDistinct <= 100000L) broadcast(pmin) else pmin
+    val edges = labels.join(pminHinted, Seq("pt"))
       .filter(col("l1") =!= col("label"))
       // NO distinct: the union-find (and GraphX CC) tolerate duplicate
       // edges, and the distinct's exchange cost more than collecting the
@@ -255,7 +266,12 @@ object Dbscan {
         coalesce(col("component"), lit(-1L)).as("component"),
         coalesce(col("is_core"), lit(false)).as("is_core"))
 
-    val out = pts.join(repOut, col("value") === col("__v"))
+    // the representative table is bounded by nDistinct (known exactly
+    // from the stats job) — under the cap, broadcast it so the final
+    // value join neither exchanges nor sorts the full point set
+    val repOutHinted =
+      if (nDistinct <= 100000L) broadcast(repOut) else repOut
+    val out = pts.join(repOutHinted, col("value") === col("__v"))
       .select(col("id"), col("component"), col("is_core"))
     // reps stays persisted: the caller has not materialized `out` yet,
     // and the final join reads reps again — an eager unpersist here made
@@ -306,12 +322,34 @@ object Dbscan {
     import spark.implicits._
     // persist: the size probe below plus the collect (or RDD conversion)
     // would otherwise run the whole upstream edge pipeline twice
-    // (measured 2.3 s of the 4.8 s m8 total)
+    // (measured 2.3 s of the 4.8 s m8 total).
+    // Partition-LOCAL streaming dedup (no shuffle): callers skip the
+    // global distinct (the union-find dedups anyway), but when the edge
+    // list arrives partitioned by one endpoint — as the DBSCAN label
+    // graph does — duplicates are co-located and this filter collapses
+    // them before they are collected/serialized to the driver.
     val eDs = edges.select(col("l1").cast("long"), col("l2").cast("long"))
-      .as[(Long, Long)].persist(StorageLevel.MEMORY_AND_DISK)
+      .as[(Long, Long)]
+      .mapPartitions { it =>
+        val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
+        it.filter(seen.add)
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // size-guarded collect in ONE job: limit(cap+1) instead of a separate
-    // count — each extra action costs a full scheduling round trip
-    val probe = eDs.limit(DriverCcMaxEdges.toInt + 1).collect()
+    // count — each extra action costs a full scheduling round trip.
+    // CollectLimit scans partitions incrementally (1, then ×4, …), which
+    // re-introduces the very round trips the limit was chosen to avoid —
+    // bump initialNumPartitions around the probe so all partitions run
+    // in the one job.
+    val confKey = "spark.sql.limit.initialNumPartitions"
+    val prevConf = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "1000000")
+    val probe =
+      try eDs.limit(DriverCcMaxEdges.toInt + 1).collect()
+      finally prevConf match {
+        case Some(v) => spark.conf.set(confKey, v)
+        case None => spark.conf.unset(confKey)
+      }
     if (probe.length <= DriverCcMaxEdges) {
       eDs.unpersist(blocking = false)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]

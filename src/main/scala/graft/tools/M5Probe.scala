@@ -11,7 +11,7 @@ object M5Probe {
     spark.sparkContext.setLogLevel("WARN")
     val d = "/root/testdata/sf0.1"
     val qs = graft.SparkEntry.queries
-    for (name <- Seq("m5_dbscan_editdist", "d6_dedup_groups", "m8_connected_components"); rep <- 1 to 2) {
+    for (name <- Seq("m5_dbscan_editdist", "m6_dbscan_jaccard", "d6_dedup_groups", "m8_connected_components"); rep <- 1 to 3) {
       val t0 = System.nanoTime()
       qs(name)(spark, d).write.format("noop").mode("overwrite").save()
       println(f"[probe] $name rep$rep ${(System.nanoTime()-t0)/1e9}%.2f s")
