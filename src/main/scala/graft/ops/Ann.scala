@@ -26,6 +26,9 @@ object Ann extends QueryModule {
   /** Fixed IVF centroid count — constant by construction (top-K by
     * md5(vec_id)), never a fraction of the corpus. */
   val IvfK = 32
+  /** Fixed demo query-set size for the brute-force kNN baseline — the
+    * broadcast side must be CONSTANT, not a corpus fraction. */
+  val QueryK = 25
 
   /** Deterministic ±1 hyperplane matrix (NumTables*BitsPerTable × Dim). */
   lazy val SIGNS: IndexedSeq[IndexedSeq[Int]] = {
@@ -130,12 +133,14 @@ object Ann extends QueryModule {
 
   override def queries: Seq[GQuery] = Seq(
 
-    // Brute-force cosine top-5 for a bounded query set (vec_id % 20 = 0):
-    // broadcast the queries, stream the corpus, window-rank per query.
+    // Brute-force cosine top-5 for a BOUNDED query set — exactly QueryK
+    // md5-ranked ids (a corpus-fraction filter like `vec_id % 20` would
+    // make the broadcast grow with the data): broadcast the queries,
+    // stream the corpus, window-rank per query.
     GQuery("n1_knn_brute",
       (s, d) => {
         val vecs = normedVecs(s, d)
-        val q = vecs.filter(col("vec_id") % 20 === 0)
+        val q = vecs.orderBy(md5(col("vec_id").cast("string"))).limit(QueryK)
           .select(col("vec_id").as("qid"), col("v").as("qv"),
             col("nrm").as("qn"))
         val w = Window.partitionBy("qid").orderBy(col("sim").desc, col("vec_id"))
@@ -150,7 +155,8 @@ object Ann extends QueryModule {
       },
       Some(vCte +
         s""",
-           |q AS (SELECT vec_id AS qid, v AS qv FROM v WHERE vec_id % 20 = 0),
+           |q AS (SELECT vec_id AS qid, v AS qv FROM v
+           |      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $QueryK),
            |s AS (SELECT q.qid, v.vec_id AS nbr,
            |        round(${cosSql("q.qv", "v.v")}, 4) AS sim
            |      FROM q JOIN v ON v.vec_id <> q.qid)
