@@ -20,6 +20,11 @@ object Cluster extends QueryModule {
     * the process analog fed to the DBSCAN wrappers. */
   private def sessions(s: SparkSession, d: String): DataFrame =
     Tables.events(s, d)
+      // project BEFORE the spread: the repartition exchange must carry
+      // only the four session columns, not the unused value/props
+      // payload (explicit rather than trusting pruning through the
+      // Repartition node)
+      .select("user_id", "ts", "event_id", "event_type")
       // single-row-group file → 1-task scan; without the spread the
       // partial collect_list agg runs single-threaded on the scan task
       .repartition(s.sparkContext.defaultParallelism)

@@ -37,6 +37,9 @@ object TextAnalysis extends QueryModule {
     * compute-bound (no-op at real scale where files split). */
   private def docsSpread(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.Tables.documents(s, d)
+      // only (doc_id, text) ride the spread exchange — not lang/source/
+      // n_chars (explicit rather than trusting pruning through Repartition)
+      .select("doc_id", "text")
       .repartition(s.sparkContext.defaultParallelism)
 
   override def queries: Seq[GQuery] = Seq(
