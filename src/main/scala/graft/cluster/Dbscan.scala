@@ -229,37 +229,74 @@ object Dbscan {
     // noise via the left joins below), which matches the DBSCAN
     // definition AND saves a full scheduling round trip in every run.
 
-    // 4. merge co-occurring labels via connected components (star edges:
-    //    each point links its min label to its other labels — join form,
-    //    not collect_set+explode, so no unbounded per-point arrays).
-    //    Components are resolved over edge ENDPOINTS only: a point's
-    //    labels are all connected through its own star edges, so
-    //    comp(min label) already is the component min; labels that never
-    //    appear in an edge are their own component (coalesce below).
-    //    This drops the separate vertex-frame job r3 paid inside
-    //    connectedComponents.
-    // pmin has one row per labeled POINT — bounded by nDistinct, which
-    // is known exactly — so under the cap it broadcasts and the
-    // 600k-row label table never exchanges again (the groupBy's own
-    // shuffle is tiny: partial min() reduces each partition to ≤ #pts
-    // rows first)
-    val pmin = labels.groupBy("pt").agg(min(col("label")).as("l1"))
-    val pminHinted = if (nDistinct <= 100000L) broadcast(pmin) else pmin
-    val edges = labels.join(pminHinted, Seq("pt"))
-      .filter(col("l1") =!= col("label"))
-      // NO distinct: the union-find (and GraphX CC) tolerate duplicate
-      // edges, and the distinct's exchange cost more than collecting the
-      // extra rows under the driver cap
-      .select(col("l1"), col("label").as("l2"))
-    val comp = componentsFromEdges(spark, edges)
+    // 4. merge co-occurring labels via connected components. The
+    //    (label, pt) table IS the co-occurrence structure: two labels
+    //    sharing a point are in one cluster, and a point's component is
+    //    the min label reachable through that sharing. Size-guarded
+    //    driver path (same dimension-table-class move as
+    //    componentsFromEdges): collect the label table in ONE job and
+    //    run a union-find over LABEL ids, unioning each point's labels
+    //    through a per-point anchor (the first label seen for that
+    //    point — a star rooted anywhere spans the same set as one
+    //    rooted at the min). union-by-min makes find() return the
+    //    component's min label, and the anchor map yields
+    //    (pt → component) directly — r4's pmin groupBy exchange, pmin
+    //    broadcast, edges join and second labels read all disappear.
+    //    Past the cap, the distributed chain (per-point min label →
+    //    star edges → GraphX) runs exactly as before.
+    val repComp: DataFrame = {
+      val probe = collectUpTo(
+        labels.select(col("label"), col("pt")).as[(Long, Long)],
+        DriverCcMaxEdges)
+      if (probe.length <= DriverCcMaxEdges) {
+        labels.unpersist(blocking = false)
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent.getOrElse(r, r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) {
+            val next = parent.getOrElse(c, c); parent(c) = r; c = next
+          }
+          r
+        }
+        val anchor = scala.collection.mutable.HashMap.empty[Long, Long]
+        probe.foreach { case (label, pt) =>
+          parent.getOrElseUpdate(label, label)
+          anchor.get(pt) match {
+            case None => anchor(pt) = label
+            case Some(a) =>
+              val (ra, rl) = (find(a), find(label))
+              if (ra != rl) parent(math.max(ra, rl)) = math.min(ra, rl)
+          }
+        }
+        val ptComp = anchor.iterator
+          .map { case (pt, a) => (pt, find(a)) }.toSeq
+        spark.createDataset(ptComp).toDF("rep", "component")
+      } else {
+        // distributed fallback: per-point min label (bounded by
+        // nDistinct — partial min() reduces each partition first),
+        // star edges (min label → other labels; k-1 edges per point,
+        // not k²), GraphX components over edge endpoints only. No
+        // edge distinct: CC tolerates duplicates.
+        val pmin = labels.groupBy("pt").agg(min(col("label")).as("l1"))
+        val edges = labels.join(pmin, Seq("pt"))
+          .filter(col("l1") =!= col("label"))
+          .select(col("l1"), col("label").as("l2"))
+        val comp = componentsFromEdges(spark, edges)
+        pmin.join(comp, col("l1") === col("v"), "left")
+          .select(col("pt").as("rep"),
+            coalesce(col("component"), col("l1")).as("component"))
+      }
+    }
     mark("cc")
-
-    val repComp = pmin
-      .join(comp, col("l1") === col("v"), "left")
-      .select(col("pt").as("rep"),
-        coalesce(col("component"), col("l1")).as("component"))
+    // repComp is bounded by nDistinct (one row per labeled point) — on
+    // the driver path it is already a local relation; hint it so the
+    // join never exchanges the representative table
+    val repCompHinted =
+      if (nDistinct <= 100000L) broadcast(repComp) else repComp
     val repOut = reps.toDF("rep", "value", "w")
-      .join(repComp, Seq("rep"), "left")
+      .join(repCompHinted, Seq("rep"), "left")
       .join(broadcast(cores.select(col("rep"), lit(true).as("is_core"))),
         Seq("rep"), "left")
       .select(col("value").as("__v"),
@@ -335,21 +372,7 @@ object Dbscan {
         it.filter(seen.add)
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // size-guarded collect in ONE job: limit(cap+1) instead of a separate
-    // count — each extra action costs a full scheduling round trip.
-    // CollectLimit scans partitions incrementally (1, then ×4, …), which
-    // re-introduces the very round trips the limit was chosen to avoid —
-    // bump initialNumPartitions around the probe so all partitions run
-    // in the one job.
-    val confKey = "spark.sql.limit.initialNumPartitions"
-    val prevConf = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "1000000")
-    val probe =
-      try eDs.limit(DriverCcMaxEdges.toInt + 1).collect()
-      finally prevConf match {
-        case Some(v) => spark.conf.set(confKey, v)
-        case None => spark.conf.unset(confKey)
-      }
+    val probe = collectUpTo(eDs, DriverCcMaxEdges)
     if (probe.length <= DriverCcMaxEdges) {
       eDs.unpersist(blocking = false)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
@@ -375,6 +398,26 @@ object Dbscan {
       val eRdd = eDs.rdd.map { case (a, b) => Edge(a, b, ()) }
       Graph(vRdd, eRdd).connectedComponents().vertices
         .toDF("v", "component")
+    }
+  }
+
+  /** Size-guarded collect in ONE job: limit(cap+1) instead of a separate
+    * count — each extra action costs a full scheduling round trip.
+    * CollectLimit scans partitions incrementally (1, then ×4, …), which
+    * re-introduces the very round trips the limit was chosen to avoid —
+    * bump initialNumPartitions around the probe so all partitions run
+    * in the one job. Callers compare `result.length` against the cap:
+    * length > cap means the input exceeded it. */
+  private def collectUpTo(ds: Dataset[(Long, Long)],
+      cap: Long): Array[(Long, Long)] = {
+    val spark = ds.sparkSession
+    val confKey = "spark.sql.limit.initialNumPartitions"
+    val prevConf = spark.conf.getOption(confKey)
+    spark.conf.set(confKey, "1000000")
+    try ds.limit(cap.toInt + 1).collect()
+    finally prevConf match {
+      case Some(v) => spark.conf.set(confKey, v)
+      case None => spark.conf.unset(confKey)
     }
   }
 
