@@ -234,7 +234,7 @@ object Dbscan {
     //    sharing a point are in one cluster, and a point's component is
     //    the min label reachable through that sharing. Size-guarded
     //    driver path (same dimension-table-class move as
-    //    componentsFromEdges): collect the label table in ONE job and
+    //    componentsFromEdges): collect the label table under the cap and
     //    run a union-find over LABEL ids, unioning each point's labels
     //    through a per-point anchor (the first label seen for that
     //    point — a star rooted anywhere spans the same set as one
@@ -248,8 +248,11 @@ object Dbscan {
       val probe = collectUpTo(
         labels.select(col("label"), col("pt")).as[(Long, Long)],
         DriverCcMaxEdges)
-      if (probe.length <= DriverCcMaxEdges) {
+      if (probe.isDefined) {
         labels.unpersist(blocking = false)
+        // labels is now fully on the driver — the pair table behind it is
+        // dead on this path (the ball/core joins already ran to build it)
+        nbrPairs.unpersist(blocking = false)
         val parent = scala.collection.mutable.HashMap.empty[Long, Long]
         def find(x: Long): Long = {
           var r = x
@@ -261,7 +264,7 @@ object Dbscan {
           r
         }
         val anchor = scala.collection.mutable.HashMap.empty[Long, Long]
-        probe.foreach { case (label, pt) =>
+        probe.get.foreach { case (label, pt) =>
           parent.getOrElseUpdate(label, label)
           anchor.get(pt) match {
             case None => anchor(pt) = label
@@ -357,9 +360,9 @@ object Dbscan {
   private[graft] def componentsFromEdges(spark: SparkSession,
       edges: DataFrame): DataFrame = {
     import spark.implicits._
-    // persist: the size probe below plus the collect (or RDD conversion)
-    // would otherwise run the whole upstream edge pipeline twice
-    // (measured 2.3 s of the 4.8 s m8 total).
+    // persist: the size probe below plus the guarded collect (or RDD
+    // conversion) would otherwise run the whole upstream edge pipeline
+    // twice (measured 2.3 s of the 4.8 s m8 total).
     // Partition-LOCAL streaming dedup (no shuffle): callers skip the
     // global distinct (the union-find dedups anyway), but when the edge
     // list arrives partitioned by one endpoint — as the DBSCAN label
@@ -373,7 +376,7 @@ object Dbscan {
       }
       .persist(StorageLevel.MEMORY_AND_DISK)
     val probe = collectUpTo(eDs, DriverCcMaxEdges)
-    if (probe.length <= DriverCcMaxEdges) {
+    if (probe.isDefined) {
       eDs.unpersist(blocking = false)
       val parent = scala.collection.mutable.HashMap.empty[Long, Long]
       def find(x: Long): Long = {
@@ -385,7 +388,7 @@ object Dbscan {
         }
         r
       }
-      probe.foreach { case (a, b) =>
+      probe.get.foreach { case (a, b) =>
         parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
         val (ra, rb) = (find(a), find(b))
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
@@ -401,24 +404,38 @@ object Dbscan {
     }
   }
 
-  /** Size-guarded collect in ONE job: limit(cap+1) instead of a separate
-    * count — each extra action costs a full scheduling round trip.
-    * CollectLimit scans partitions incrementally (1, then ×4, …), which
-    * re-introduces the very round trips the limit was chosen to avoid —
-    * bump initialNumPartitions around the probe so all partitions run
-    * in the one job. Callers compare `result.length` against the cap:
-    * length > cap means the input exceeded it. */
+  /** Size-guarded collect: `Some(rows)` iff the input holds <= cap rows,
+    * `None` past the cap. Driver-safe by construction: every task ships
+    * at most `cap / numPartitions` rows plus one bounded count, so the
+    * worst-case single-job driver transfer is O(cap) — independent of
+    * input size. (An r4 single-job `limit(cap+1)` probe with
+    * initialNumPartitions bumped to 1e6 could ship cap+1 rows PER TASK
+    * on over-cap inputs, blowing spark.driver.maxResultSize in exactly
+    * the case the probe exists to detect — and it mutated session-global
+    * SQL conf to do it.) The common case stays ONE job: a second
+    * (cache-backed) collect runs only when the total is under the cap
+    * but some partition overflowed its per-task share — a skew shape the
+    * bounded first job cannot distinguish without risking the transfer. */
   private def collectUpTo(ds: Dataset[(Long, Long)],
-      cap: Long): Array[(Long, Long)] = {
-    val spark = ds.sparkSession
-    val confKey = "spark.sql.limit.initialNumPartitions"
-    val prevConf = spark.conf.getOption(confKey)
-    spark.conf.set(confKey, "1000000")
-    try ds.limit(cap.toInt + 1).collect()
-    finally prevConf match {
-      case Some(v) => spark.conf.set(confKey, v)
-      case None => spark.conf.unset(confKey)
-    }
+      cap: Long): Option[Array[(Long, Long)]] = {
+    val capInt = cap.toInt
+    val rdd = ds.rdd
+    val perTask =
+      math.max(capInt / math.max(rdd.getNumPartitions, 1) + 1, 4096)
+    val chunks = rdd.mapPartitions { it =>
+      val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]
+      var n = 0L
+      while (it.hasNext && n <= capInt) {
+        val e = it.next(); n += 1
+        if (buf.length < perTask) buf += e
+      }
+      Iterator((n, buf.toArray))
+    }.collect()
+    val total = chunks.iterator.map(_._1).sum
+    if (total > cap) None
+    else if (chunks.forall { case (n, a) => n == a.length })
+      Some(chunks.flatMap(_._2))
+    else Some(ds.collect())
   }
 
   private def emptyResult(spark: SparkSession): DataFrame = {

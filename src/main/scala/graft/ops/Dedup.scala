@@ -17,6 +17,14 @@ import org.apache.spark.sql.functions._
   * LSH-driven near-dup grouping is `Src/servers.py:96-147`; the banding
   * here is the same math expressed as pure Column expressions (xxhash64)
   * rather than Spark ML vectors, so everything stays codegen'd.
+  *
+  * Cache lifecycle: operators persist bounded intermediates (shingle
+  * sets, normalized vectors) that the returned LAZY plan still reads, so
+  * they cannot be unpersisted here. MEMORY_AND_DISK entries are evicted
+  * LRU under pressure; a long-lived session that wants deterministic
+  * release should call `spark.catalog.clearCache()` after materializing
+  * the result — the documented cleanup hook for this module and
+  * [[graft.similarity.Similarity.neighborClusters]].
   */
 object Dedup extends QueryModule {
 

@@ -235,15 +235,23 @@ object TracePipeline {
 
   /** Stage-1 approximate clustering: DBSCAN over element sets with
     * Jaccard distance (the reference's minhash_dbscan, ε=0.5, minPts=2
-    * — `Src/processes.py:319-331`). DBSCAN ids only need uniqueness,
-    * so they are `xxhash64(process_id)` — no global rank window. */
+    * — `Src/processes.py:319-331`). DBSCAN ids must be UNIQUE — a hash
+    * id (r4 used `xxhash64`) is only probabilistically so, and at ~1e9
+    * processes the birthday bound makes a silent collision (two
+    * processes sharing one DBSCAN point, corrupting labels) a real
+    * event. [[graft.functions.DenseIds.zipDenseIds]] assigns ids
+    * guaranteed-unique AND scale-safe (range shuffle + zipWithIndex —
+    * no global window, no collision). */
   def elementClusters(spark: SparkSession, elements: DataFrame,
       eps: Double = 0.5, minPts: Int = 2): DataFrame = {
     import spark.implicits._
-    // >>>1 keeps ids non-negative: noise is -1 downstream, and min-id
-    // component labels must stay in [0, 2^63)
-    val numbered = elements.withColumn("pidNum",
-      shiftrightunsigned(xxhash64(col("process_id")), 1))
+    // `elements` is one row per process_id (post-aggregation), so the
+    // frame itself satisfies zipDenseIds's unique-key contract. Lazy
+    // localCheckpoint: the numbered frame is read three times (zip
+    // offsets job, DBSCAN input, join-back) — without it each read
+    // re-runs the upstream aggregation.
+    val numbered = graft.functions.DenseIds
+      .zipDenseIds(elements.localCheckpoint(false), "process_id", "pidNum")
     val pts = numbered.select(col("pidNum"),
       array_join(col("cluster_elements"), "-").as("value"))
     val out = Dbscan.jaccardDbscan(spark, pts.as[(Long, String)], eps, minPts)
@@ -265,12 +273,14 @@ object TracePipeline {
       val i = s.indexOf('|')
       (s.substring(0, i), s.substring(i + 1))
     }
-    val numbered = procs
-      .join(stage1.select(col("process_id"), col("component")),
-        Seq("process_id"), "left")
-      // unique-only non-negative ids for Dbscan.run — see elementClusters
-      .withColumn("pidNum",
-        shiftrightunsigned(xxhash64(col("process_id")), 1))
+    // guaranteed-unique ids for Dbscan.run — see elementClusters. The
+    // lazy localCheckpoint matters doubly here: the join input embeds
+    // the ENTIRE stage-1 DBSCAN plan, which would otherwise recompute
+    // on every read of `numbered`.
+    val numbered = graft.functions.DenseIds.zipDenseIds(
+      procs.join(stage1.select(col("process_id"), col("component")),
+        Seq("process_id"), "left").localCheckpoint(false),
+      "process_id", "pidNum")
     val pts = numbered.filter(col("component") >= 0)
       .select(col("pidNum"), concat(col("component"), lit("|"),
         col("euler_string")).as("value"))
