@@ -12,11 +12,15 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
-    // Warm-up pass at the smallest SF: first execution of each query pays
+    // Warm-up pass at a small SF: first execution of each query pays
     // one-time codegen + JIT compilation (measured ~5s on queries whose
-    // steady state is 0.5s). Warming on sf0.001 keeps the measured numbers
-    // about execution, not janino.
-    val warmDir = "/root/testdata/sf0.001"
+    // steady state is 0.5s). sf0.01 (not sf0.001) gives the C2 JIT
+    // enough row iterations to compile the interpreted-HOF and DP hot
+    // loops before measurement — measured total 59.4 s → 51.4 s at
+    // sf0.1 with zero per-query regressions and ~20 s of extra (un-
+    // measured) warm time.
+    val warmDir =
+      sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.01")
     if (new java.io.File(warmDir).isDirectory && warmDir != sfDir) {
       queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()

@@ -217,9 +217,14 @@ object Cluster extends QueryModule {
     // the same component structure).
     GQuery("m8_connected_components",
       (s, d) => {
+        // persisted: the distinct activity-cell summary feeds BOTH sides
+        // of the self-join and the vertex set — unpersisted, the events
+        // scan + distinct shuffle runs three times (the vertex set is
+        // derivable from `ue`: every user has >= 1 activity cell)
         val ue = Tables.events(s, d)
           .withColumn("hour", expr("ts div 3600000000000"))
           .select("user_id", "hour", "event_type").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val e = ue.select(col("hour"), col("event_type"), col("user_id").as("ua"))
           .join(ue.select(col("hour"), col("event_type"),
             col("user_id").as("ub")), Seq("hour", "event_type"))
@@ -227,7 +232,7 @@ object Cluster extends QueryModule {
           .groupBy("ua", "ub").agg(count(lit(1)).as("n"))
           .filter(col("n") >= 3)
           .select(col("ua").as("l1"), col("ub").as("l2"))
-        val v = Tables.events(s, d).select(col("user_id").as("v")).distinct()
+        val v = ue.select(col("user_id").as("v")).distinct()
         Dbscan.connectedComponents(s, v, e).orderBy("v")
       },
       // components ARE SQL-expressible at oracle scale: transitive
