@@ -15,7 +15,7 @@ class StressSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  test("part1 + stage-1 part2 complete on homogeneity.json (5,852 servers)") {
+  test("part1 + both part2 stages complete on homogeneity.json (5,852 servers)") {
     val t0 = System.nanoTime()
     val logs = TP.readLogJson(spark, "/root/reference/Data/homogeneity.json")
     assert(logs.count() == 14264)
@@ -43,12 +43,30 @@ class StressSpec extends AnyFunSuite {
     val nClusters = dim.select("cluster_id").distinct().count()
     assert(nClusters > 1 && nClusters < 5851,
       s"server clustering degenerate: $nClusters clusters")
-    val stage1 = TP.elementClusters(spark,
-      TP.processElements(TP.clusterLogs(logs, dim)))
+    val clogs = TP.clusterLogs(logs, dim)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stage1 = TP.elementClusters(spark, TP.processElements(clogs))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val comps = stage1.agg(
       count(lit(1)), sum(when(col("component") >= 0, 1).otherwise(0))).head()
     assert(comps.getLong(0) == 1000L)
     assert(comps.getLong(1) > 0L, "stage-1 DBSCAN found no clusters")
+
+    // stage-2 refinement (edit-distance DBSCAN WITHIN each stage-1
+    // component) at the same scale: every process must come back with a
+    // label, and fine clusters may only form among stage-1-clustered
+    // processes (component < 0 ⇒ fine_component == -1 by construction)
+    val cprocs = TP.processes(clogs, from = "cluster_from", to = "cluster_to")
+    val fine = TP.refineClusters(spark, cprocs, stage1)
+    val fstats = fine.agg(count(lit(1)),
+      sum(when(col("fine_component") >= 0, 1).otherwise(0))).head()
+    assert(fstats.getLong(0) == 1000L, s"stage-2 rows ${fstats.getLong(0)}")
+    assert(fstats.getLong(1) <= comps.getLong(1),
+      "fine clusters leaked outside stage-1 components")
+    val leaked = fine.select("process_id", "fine_component")
+      .join(stage1.select("process_id", "component"), Seq("process_id"))
+      .filter(col("component") < 0 && col("fine_component") >= 0).count()
+    assert(leaked == 0L, s"$leaked unclustered processes got fine labels")
 
     val secs = (System.nanoTime() - t0) / 1e9
     info(f"homogeneity stress: $nGroups groups, $nClusters clusters, $secs%.1f s")
