@@ -92,10 +92,16 @@ object Dedup extends QueryModule {
       .select(col("p.da").as("da"), col("p.db").as("db")).distinct()
     val candIds = cand
       .select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
+    // persisted: BOTH verify legs (sha, shb) read this frame — without
+    // the persist each leg re-runs the documents scan + semi-join +
+    // shingle projection. Bounded by the candidate set, so the cache is
+    // part of the working set even at 100 TB (unlike the full corpus
+    // shingles, which stay uncached by design).
     val shCand = Tables.documents(s, d)
       .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(wordNgrams(col("toks"), 3)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     cand
       .join(shCand.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
       .join(shCand.select(col("doc_id").as("db"), col("sh").as("shb")), Seq("db"))
