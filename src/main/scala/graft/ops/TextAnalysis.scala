@@ -167,6 +167,67 @@ object TextAnalysis extends QueryModule {
              |  len(regexp_extract_all(text,
              |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
              |  len(regexp_extract_all(text, '[0-9]{6,}')) AS n_num
-             |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin))
+             |FROM documents WHERE doc_id % 10 = 0 ORDER BY doc_id""".stripMargin)),
+
+    // Deterministic stratified sampling — per-language rates applied via
+    // a portable hash of the KEY (first 8 hex chars of md5, mod 100), so
+    // the sample is reproducible run-to-run, engine-independent, and
+    // join-stable (the same doc is always in or out). Scale posture: a
+    // pure narrow filter over the scan — no shuffle, no state; rates
+    // live in a CASE (a broadcast dim at real vocabulary sizes).
+    GQuery("x6_strat_sample",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100).as("bucket"))
+        .filter(col("bucket") <
+          when(col("lang") === "en", 25)
+            .when(col("lang") === "zh", 50).otherwise(10))
+        .orderBy("doc_id"),
+      Some("""SELECT doc_id, lang, bucket FROM (
+             |  SELECT doc_id, lang,
+             |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+             |      ::UBIGINT % 100 AS BIGINT) AS bucket
+             |  FROM documents)
+             |WHERE bucket < CASE WHEN lang = 'en' THEN 25
+             |               WHEN lang = 'zh' THEN 50 ELSE 10 END
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Token-budget packing — the curation step that fills a per-language
+    // token quota with the highest-quality documents first: rank within
+    // each language by the x2 quality score, keep documents while the
+    // running token total stays under the budget. Scale posture: one
+    // partitioned window (per-language), no global ordering anywhere.
+    GQuery("x7_budget_pack",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val scored = Tables.documents(s, d)
+          .select("doc_id", "lang", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("lang"),
+            size(toks).cast("long").as("n_toks"),
+            hits(toks, stopwords).as("n_stop"))
+          .select(col("doc_id"), col("lang"), col("n_toks"),
+            round(least(col("n_toks") / 60.0, lit(1.0)) * 0.5 +
+              (lit(1.0) - col("n_stop") * 1.0 / col("n_toks")) * 0.5, 4)
+              .as("quality"))
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("lang")
+          .orderBy(col("quality").desc, col("doc_id"))
+        scored.withColumn("cum_toks", sum(col("n_toks")).over(w))
+          .filter(col("cum_toks") <= 2000)
+          .orderBy("doc_id")
+      },
+      Some(s"""SELECT doc_id, lang, n_toks, quality, cum_toks FROM (
+              |  SELECT doc_id, lang, n_toks, quality,
+              |    sum(n_toks) OVER (PARTITION BY lang
+              |      ORDER BY quality DESC, doc_id) AS cum_toks
+              |  FROM (SELECT doc_id, lang, n_toks,
+              |          round(least(n_toks / 60.0, 1.0) * 0.5 +
+              |                (1.0 - n_stop * 1.0 / n_toks) * 0.5, 4) AS quality
+              |        FROM (SELECT doc_id, lang,
+              |                len(string_split(trim(text), ' ')) AS n_toks,
+              |                ${sqlHits(stopwords)} AS n_stop
+              |              FROM documents)))
+              |WHERE cum_toks <= 2000 ORDER BY doc_id""".stripMargin))
   )
 }
