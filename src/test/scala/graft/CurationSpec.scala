@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property specs for the curation operators (x6 stratified sampling,
+  * x7 token-budget packing) beyond their DuckDB oracle rows: sampling
+  * determinism/containment and the greedy-prefix/budget invariants. */
+class CurationSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  test("x6 sample is deterministic, contained, and respects strata rates") {
+    val a = q("x6_strat_sample").collect().map(_.getLong(0)).toSeq
+    val b = q("x6_strat_sample").collect().map(_.getLong(0)).toSeq
+    assert(a == b, "hash-based sampling must be reproducible run-to-run")
+    val all = Tables.documents(spark, sfDir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a.toSet.subsetOf(all))
+    // rate sanity: a mod-100 bucket threshold keeps roughly rate% per
+    // stratum; with hundreds of docs per language the loose 3x envelope
+    // only catches wiring bugs (rate applied to the wrong stratum)
+    val byLang = q("x6_strat_sample").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = byLang.getOrElse("en", 0L).toDouble / totals("en")
+    assert(enRate > 0.05 && enRate < 0.75, s"en rate $enRate vs nominal 0.25")
+  }
+
+  test("x7 keeps the budget and packs highest-quality-first per language") {
+    val rows = q("x7_budget_pack")
+      .select("lang", "doc_id", "n_toks", "quality", "cum_toks").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    // budget invariant: every running total (so every per-lang sum) <= 2000
+    assert(rows.forall(_._5 <= 2000L))
+    rows.groupBy(_._1).foreach { case (lang, rs) =>
+      assert(rs.map(_._3).sum == rs.map(_._5).max,
+        s"$lang: kept rows must form one contiguous running total")
+    }
+    // greedy-prefix invariant: within a language, every kept doc ranks
+    // (quality desc, doc_id asc) before every dropped doc
+    val keptIds = rows.map(_._2).toSet
+    val scored = q("x2_quality").select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val langs = Tables.documents(spark, sfDir).select("doc_id", "lang")
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    langs.groupBy(_._2).foreach { case (lang, docs) =>
+      val order = docs.map(_._1).filter(scored.contains)
+        .sortBy(id => (-scored(id), id))
+      val keptPos = order.zipWithIndex.filter(p => keptIds.contains(p._1))
+      val dropPos = order.zipWithIndex.filterNot(p => keptIds.contains(p._1))
+      if (keptPos.nonEmpty && dropPos.nonEmpty)
+        assert(keptPos.map(_._2).max < dropPos.map(_._2).min,
+          s"$lang: kept set must be a prefix of the quality order")
+    }
+  }
+}
