@@ -44,12 +44,21 @@ object Bench {
     // Keep the JSON line compact (2-decimal secs, basename sf) so it plus
     // sbt's trailing "[success]" line fit the tail buffer; full precision
     // goes to stderr for local analysis.
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.2f""" }
-      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = new java.io.File(sfDir).getName
     System.err.println(results.map { case (k, v) => f"$k=$v%.4f" }.mkString("[bench-detail] ", " ", ""))
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":$qs,"sf":"$sfName"}""")
+    // Emit at 2-decimal precision, but drop to 1 decimal if the line
+    // would crowd the driver's 2000-char tail buffer (which must also
+    // hold sbt's ~75-char "[success]" trailer). 77 queries at 2dp sit
+    // ~1880 chars — one more query or a 3-digit value would truncate
+    // the JSON mid-line and the round would record parsed:null (r2 bug).
+    def line(dp: Int): String = {
+      val qs = results.map { case (k, v) =>
+        "\"" + k + "\":" + s"%.${dp}f".format(v) }.mkString("{", ",", "}")
+      s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
+    }
+    val out = { val l2 = line(2); if (l2.length <= 1880) l2 else line(1) }
+    println(out)
     spark.stop()
   }
 }

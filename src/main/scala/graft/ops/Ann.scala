@@ -286,6 +286,34 @@ object Ann extends QueryModule {
            |    CAST(row_number() OVER (PARTITION BY qid
            |      ORDER BY sim DESC, nbr) AS BIGINT) AS rn
            |  FROM s)
-           |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin))
+           |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
+
+    // Distributed embedding aggregation: per-label centroids in
+    // quantized integer space. Quantizing (round(x*1000) as long) before
+    // the sum makes the aggregation ORDER-INDEPENDENT — float sums are
+    // not associative and Spark/DuckDB partial-agg orders differ, so an
+    // exact-hash oracle over doubles is impossible; integer sums commute
+    // exactly. Scale posture: the explode is map-side, the shuffle
+    // carries only (label, pos) partial sums — 64·|labels| rows of
+    // longs regardless of corpus size.
+    GQuery("n4_centroids",
+      (s, d) => Tables.embeddings(s, d)
+        .repartition(s.sparkContext.defaultParallelism)
+        .select(col("label").cast("long").as("label"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("label"), col("pos").cast("long").as("pos"))
+        .agg(sum(round(col("x").cast("double") * 1000, 0).cast("long"))
+          .as("qsum"), count(lit(1)).as("n_vecs"))
+        .orderBy("label", "pos"),
+      Some("""SELECT label, pos, qsum, n_vecs FROM (
+             |  SELECT CAST(label AS BIGINT) AS label,
+             |    CAST(pos AS BIGINT) AS pos,
+             |    sum(CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qsum,
+             |    count(*) AS n_vecs
+             |  FROM (SELECT label, unnest(embedding) AS x,
+             |          unnest(range(len(embedding))) AS pos
+             |        FROM embeddings)
+             |  GROUP BY 1, 2)
+             |ORDER BY label, pos""".stripMargin))
   )
 }
