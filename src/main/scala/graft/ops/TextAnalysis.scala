@@ -16,6 +16,63 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis extends QueryModule {
 
+  /** Gopher-style repetition stats per document: duplicate-bigram and
+    * top-bigram fractions. The per-doc gram histogram is computed
+    * DISTRIBUTED (explode → two-level groupBy keyed on (doc_id, gram)),
+    * not with an O(len²) per-row loop — corpus size scales out across
+    * the shuffle and a single long document costs only its own
+    * histogram. Expects columns (doc_id, text). */
+  def repetitionStats(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // two-step projection: materialize the token array before the HOF
+    // lambda so split() is not re-evaluated per element (interpreted HOF)
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) >= 2, expr(
+          "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
+          .otherwise(array().cast("array<string>")).as("grams"))
+    grams.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id").agg(
+        sum("c").as("n_grams"),
+        count(lit(1)).as("n_distinct"),
+        max("c").as("top_c"))
+      .select(col("doc_id"), col("n_grams"),
+        round(lit(1.0) - col("n_distinct") * 1.0 / col("n_grams"), 4)
+          .as("dup_frac"),
+        round(col("top_c") * 1.0 / col("n_grams"), 4).as("top_frac"))
+      .withColumn("flagged", col("dup_frac") > 0.2 || col("top_frac") > 0.1)
+  }
+
+  /** Benchmark decontamination: flag corpus documents whose 5-gram set
+    * overlaps an evaluation ("benchmark") document set. The benchmark
+    * gram set is DISTINCT + broadcast (eval suites are bounded — a few
+    * hundred MB of n-grams at most), so the corpus side is one map-side
+    * left join and a single shuffle keyed on doc_id; no corpus×bench
+    * pair blowup is possible. Expects (doc_id, text); `isBench` selects
+    * the benchmark rows. */
+  def decontam(docs: org.apache.spark.sql.DataFrame, isBench: Column)
+      : org.apache.spark.sql.DataFrame = {
+    val grams = docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .select(col("doc_id"),
+        when(size(col("t")) >= 5, expr(
+          "transform(sequence(0, size(t)-5), " +
+            "i -> concat_ws(' ', slice(t, i+1, 5)))"))
+          .otherwise(array().cast("array<string>")).as("grams"))
+      .select(col("doc_id"), explode(array_distinct(col("grams"))).as("gram"))
+    val bench = grams.filter(isBench)
+      .select("gram").distinct().withColumn("inb", lit(1))
+    grams.filter(!isBench)
+      .join(broadcast(bench), Seq("gram"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"), count(col("inb")).as("n_hit"))
+      .select(col("doc_id"), col("n_grams"), col("n_hit"),
+        round(col("n_hit") * 1.0 / col("n_grams"), 4).as("rate"))
+      .withColumn("flagged", col("rate") >= 0.05)
+  }
+
   /** Three word lists partitioning the corpus vocabulary — the scoring
     * skeleton of an n-gram language-ID heuristic (argmax of per-class
     * token hits with a deterministic tiebreak). */
@@ -228,6 +285,50 @@ object TextAnalysis extends QueryModule {
               |                len(string_split(trim(text), ' ')) AS n_toks,
               |                ${sqlHits(stopwords)} AS n_stop
               |              FROM documents)))
-              |WHERE cum_toks <= 2000 ORDER BY doc_id""".stripMargin))
+              |WHERE cum_toks <= 2000 ORDER BY doc_id""".stripMargin)),
+
+    // Repetition filter (Gopher-style pretraining quality rule):
+    // duplicate-bigram fraction and most-frequent-bigram fraction per
+    // document, with a flag over both. See [[repetitionStats]] for the
+    // distributed-histogram scale posture.
+    GQuery("x8_repetition",
+      (s, d) => repetitionStats(docsSpread(s, d)).orderBy("doc_id"),
+      Some("""SELECT doc_id, sum(c) AS n_grams,
+             |  round(1.0 - count(*) * 1.0 / sum(c), 4) AS dup_frac,
+             |  round(max(c) * 1.0 / sum(c), 4) AS top_frac,
+             |  (round(1.0 - count(*) * 1.0 / sum(c), 4) > 0.2 OR
+             |   round(max(c) * 1.0 / sum(c), 4) > 0.1) AS flagged
+             |FROM (SELECT doc_id, w1 || ' ' || w2 AS gram, count(*) AS c
+             |      FROM (SELECT doc_id,
+             |              unnest(list_slice(t, 1, len(t)-1)) AS w1,
+             |              unnest(list_slice(t, 2, len(t))) AS w2
+             |            FROM (SELECT doc_id,
+             |                    string_split(trim(text), ' ') AS t
+             |                  FROM documents)
+             |            WHERE len(t) >= 2)
+             |      GROUP BY 1, 2)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Benchmark decontamination: 5-gram overlap of every corpus doc
+    // against the benchmark subset (doc_id % 97 = 0 stands in for the
+    // eval suite). See [[decontam]] for the broadcast-set scale posture.
+    GQuery("x9_decontam",
+      (s, d) => decontam(docsSpread(s, d), col("doc_id") % 97 === 0)
+        .orderBy("doc_id"),
+      Some("""WITH ex AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    list_transform(range(1, len(t)-3),
+             |      i -> array_to_string(list_slice(t, i, i+4), ' ')))) AS gram
+             |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+             |        FROM documents)
+             |  WHERE len(t) >= 5)
+             |SELECT c.doc_id AS doc_id, count(*) AS n_grams,
+             |  count(b.gram) AS n_hit,
+             |  round(count(b.gram) * 1.0 / count(*), 4) AS rate,
+             |  (round(count(b.gram) * 1.0 / count(*), 4) >= 0.05) AS flagged
+             |FROM (SELECT doc_id, gram FROM ex WHERE doc_id % 97 <> 0) c
+             |LEFT JOIN (SELECT DISTINCT gram FROM ex WHERE doc_id % 97 = 0) b
+             |  USING (gram)
+             |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin))
   )
 }

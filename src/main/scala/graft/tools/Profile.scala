@@ -25,45 +25,16 @@ object Profile {
       println(f"[profile] $label%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
 
+    def q(name: String) = graft.SparkEntry.queries(name)
+
     // warm the JIT/codegen once
     time("warmup")(Tables.documents(spark, sfDir).select(count(lit(1)).as("n")))
-    time("warmup2")(graft.ops.Relational.queries
-      .find(_.name == "a14_percentiles").get.run(spark, sfDir))
 
-    // a14: does the repartition exchange carry full lineitem width?
-    for (rep <- 1 to 2) {
-      time(s"a14.asis.$rep")(graft.ops.Relational.queries
-        .find(_.name == "a14_percentiles").get.run(spark, sfDir))
-      time(s"a14.preselect.$rep")(Tables.lineitem(spark, sfDir)
-        .select("l_returnflag", "l_extendedprice")
-        .repartition(spark.sparkContext.defaultParallelism)
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
-        .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 2).as("p50"),
-          round(element_at(col("ps"), 2), 2).as("p90"),
-          round(element_at(col("ps"), 3), 2).as("p99"))
-        .orderBy("l_returnflag"))
-      time(s"a14.norep.$rep")(Tables.lineitem(spark, sfDir)
-        .select("l_returnflag", "l_extendedprice")
-        .groupBy("l_returnflag")
-        .agg(expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").as("ps"))
-        .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 2).as("p50"),
-          round(element_at(col("ps"), 2), 2).as("p90"),
-          round(element_at(col("ps"), 3), 2).as("p99"))
-        .orderBy("l_returnflag"))
-    }
-
-    // d3 / m3: is the candidate subtree re-evaluated across branches?
-    for (rep <- 1 to 2) {
-      time(s"d3.full.$rep")(graft.ops.Dedup.queries
-        .find(_.name == "d3_minhash_lsh").get.run(spark, sfDir))
-      time(s"m3.full.$rep")(graft.ops.Cluster.queries
-        .find(_.name == "m3_neighbor_clusters").get.run(spark, sfDir))
-      time(s"d6.full.$rep")(graft.ops.Dedup.queries
-        .find(_.name == "d6_dedup_groups").get.run(spark, sfDir))
-    }
+    val targets = if (args.nonEmpty) args.toSeq
+      else Seq("d2_ngram_jaccard", "d3_minhash_lsh", "m5_dbscan_editdist",
+        "m3_neighbor_clusters")
+    for (t <- targets) time(s"$t.warm")(q(t)(spark, sfDir))
+    for (rep <- 1 to 3; t <- targets) time(s"$t.$rep")(q(t)(spark, sfDir))
 
     spark.stop()
   }

@@ -61,4 +61,44 @@ class CurationSpec extends AnyFunSuite {
           s"$lang: kept set must be a prefix of the quality order")
     }
   }
+
+  test("x8 repetition stats: planted loop flagged, all-distinct doc clean") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ("ab cd " * 50).trim),            // one bigram repeated
+      (2L, (1 to 60).map(i => s"w$i").mkString(" ")), // all distinct
+      (3L, "solo"))                           // <2 tokens: no grams
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.repetitionStats(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(!out.contains(3L), "gram-less docs drop out")
+    val (n1, dup1, top1, flag1) = out(1L)
+    assert(n1 == 99 && dup1 > 0.9 && top1 > 0.4 && flag1,
+      s"looped doc must be flagged, got $out")
+    val (n2, dup2, top2, flag2) = out(2L)
+    assert(n2 == 59 && dup2 == 0.0 && !flag2,
+      s"all-distinct doc must be clean, got $out")
+  }
+
+  test("x9 decontam: verbatim copy of a benchmark doc scores rate 1.0") {
+    import spark.implicits._
+    val benchText = (1 to 30).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      (0L, benchText),                          // benchmark member
+      (10L, benchText),                         // verbatim contamination
+      (11L, (1 to 30).map(i => s"c$i").mkString(" ")), // disjoint
+      (12L, benchText.split(" ").take(10).mkString(" ") + " " +
+        (1 to 20).map(i => s"d$i").mkString(" "))) // partial overlap
+      .toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .decontam(docs, col("doc_id") === 0L)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getBoolean(4))).toMap
+    assert(!out.contains(0L), "benchmark rows are excluded from the report")
+    assert(out(10L)._3 == 1.0 && out(10L)._4, s"verbatim copy: $out")
+    assert(out(11L)._2 == 0L && !out(11L)._4, s"disjoint doc: $out")
+    assert(out(12L)._2 == 6L && out(12L)._4,
+      s"10 shared leading tokens = 6 shared 5-grams: $out")
+  }
 }
