@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.{GQuery, QueryModule, Tables}
-import graft.functions.tokens
+import graft.functions.{tokens, wordNgrams}
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -24,15 +24,17 @@ object TextAnalysis extends QueryModule {
     * histogram. Expects columns (doc_id, text). */
   def repetitionStats(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    // two-step projection: materialize the token array before the HOF
-    // lambda so split() is not re-evaluated per element (interpreted HOF)
-    val grams = docs
+    // The >=2 guard is a FILTER between the token projection and the
+    // gram projection, not a `when` inside it: Project-Filter-Project
+    // blocks CollapseProject, so the lambda's `t` stays a materialized
+    // attribute. With a when-guard the projections collapse and the
+    // regex split re-evaluates per array element under the interpreted
+    // HOF — measured 11.5 s vs 0.6 s at sf0.1 (same trap as
+    // Dedup.shinglesOf, which this mirrors).
+    docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
-      .select(col("doc_id"),
-        when(size(col("t")) >= 2, expr(
-          "transform(sequence(0, size(t)-2), i -> concat(t[i], ' ', t[i+1]))"))
-          .otherwise(array().cast("array<string>")).as("grams"))
-    grams.select(col("doc_id"), explode(col("grams")).as("gram"))
+      .filter(size(col("t")) >= 2)
+      .select(col("doc_id"), explode(wordNgrams(col("t"), 2)).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
         sum("c").as("n_grams"),
@@ -54,14 +56,12 @@ object TextAnalysis extends QueryModule {
     * the benchmark rows. */
   def decontam(docs: org.apache.spark.sql.DataFrame, isBench: Column)
       : org.apache.spark.sql.DataFrame = {
+    // same Project-Filter-Project shape as repetitionStats (see there)
     val grams = docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 5)
       .select(col("doc_id"),
-        when(size(col("t")) >= 5, expr(
-          "transform(sequence(0, size(t)-5), " +
-            "i -> concat_ws(' ', slice(t, i+1, 5)))"))
-          .otherwise(array().cast("array<string>")).as("grams"))
-      .select(col("doc_id"), explode(array_distinct(col("grams"))).as("gram"))
+        explode(array_distinct(wordNgrams(col("t"), 5))).as("gram"))
     val bench = grams.filter(isBench)
       .select("gram").distinct().withColumn("inb", lit(1))
     grams.filter(!isBench)
