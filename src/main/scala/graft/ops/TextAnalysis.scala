@@ -329,6 +329,60 @@ object TextAnalysis extends QueryModule {
              |FROM (SELECT doc_id, gram FROM ex WHERE doc_id % 97 <> 0) c
              |LEFT JOIN (SELECT DISTINCT gram FROM ex WHERE doc_id % 97 = 0) b
              |  USING (gram)
-             |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY c.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // KMV (k-minimum-values) distinct-count sketch: estimate distinct
+    // tokens per source from only the k smallest distinct hash values —
+    // the bounded-memory, mergeable cardinality path at 100 TB, where
+    // an exact distinct over a token explosion is the cost center.
+    // Estimator: (k-1) / kth_min_fraction. Portability: hashes are the
+    // first 12 hex chars of md5 (48 bits — exactly representable in a
+    // double, so the estimate divides bit-identically in DuckDB).
+    // Scale posture: the only corpus-sized shuffle is the map-side-
+    // combined distinct on (source, h); the min-k is the salted
+    // two-phase top-k (a5 pattern) — every window task is bounded by
+    // distinct/32 resp. 32·k rows, never by a source's full vocabulary.
+    GQuery("x10_kmv_distinct",
+      (s, d) => {
+        val k = 256
+        val hashes = Tables.documents(s, d)
+          .select("source", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .select(col("source"),
+            conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long")
+              .as("h"))
+          .distinct()
+        val wSalt = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source"), col("salt")).orderBy("h")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("h")
+        hashes.withColumn("salt", col("h") % 32)
+          .withColumn("rn", row_number().over(wSalt))
+          .filter(col("rn") <= k).drop("rn", "salt")
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_kept"), max(col("h")).as("kth_hash"))
+          .select(col("source"), col("n_kept"), col("kth_hash"),
+            round(when(col("n_kept") < k, col("n_kept").cast("double"))
+              .otherwise((col("n_kept") - 1) * lit(281474976710656.0) /
+                col("kth_hash")), 2).as("est_distinct"))
+          .orderBy("source")
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT source,
+             |    ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h
+             |  FROM (SELECT source,
+             |          unnest(string_split(trim(text), ' ')) AS tok
+             |        FROM documents)),
+             |r AS (SELECT source, h,
+             |        row_number() OVER (PARTITION BY source ORDER BY h)
+             |          AS rn FROM h)
+             |SELECT source, count(*) AS n_kept, max(h) AS kth_hash,
+             |  round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+             |        ELSE (count(*) - 1) * 281474976710656.0 / max(h)
+             |        END, 2) AS est_distinct
+             |FROM r WHERE rn <= 256
+             |GROUP BY source ORDER BY source""".stripMargin))
   )
 }

@@ -101,4 +101,25 @@ class CurationSpec extends AnyFunSuite {
     assert(out(12L)._2 == 6L && out(12L)._4,
       s"10 shared leading tokens = 6 shared 5-grams: $out")
   }
+
+  test("x10 KMV estimate tracks the exact distinct count") {
+    val rows = q("x10_kmv_distinct")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(3))).toMap
+    val exact = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(graft.functions.tokens(col("text")))
+        .as("tok"))
+      .groupBy("source").agg(countDistinct("tok").as("nd"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(rows.keySet == exact.keySet)
+    for ((src, (nKept, est)) <- rows) {
+      val truth = exact(src).toDouble
+      if (nKept < 256)
+        assert(est == truth, s"$src under-k estimate must be exact")
+      else
+        // KMV standard error is 1/sqrt(k-1) ≈ 6.3% at k=256; 3σ envelope
+        assert(math.abs(est - truth) / truth < 0.19,
+          s"$src: est $est vs exact $truth drifts past 3σ")
+    }
+  }
 }
