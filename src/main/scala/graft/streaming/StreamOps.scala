@@ -32,6 +32,12 @@ final case class SessionOut(
 /** Last-click state for streaming as-of attribution. */
 final case class LastClick(click_id: Long, click_ms: Long)
 
+/** KMV sketch state: the ≤ k smallest distinct hashes seen for a key. */
+final case class KmvState(hashes: List[Long])
+
+/** Current cardinality estimate for one key. */
+final case class KmvOut(key: String, n_kept: Int, est_distinct: Double)
+
 /** One attributed purchase. */
 final case class AsofOut(
     user_id: Long,
@@ -168,6 +174,37 @@ object StreamOps extends Serializable {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming KMV distinct-count sketch (the streaming face of the
+    * batch `x10_kmv_distinct`): per key, keep only the k smallest
+    * distinct hashes and re-emit the cardinality estimate every
+    * micro-batch the key sees data (Update mode). The merge is the
+    * sketch's native union, so the streamed state after any prefix of
+    * batches is BIT-IDENTICAL to the batch sketch over the same rows —
+    * KMV's mergeability is what makes it the 100 TB streaming
+    * cardinality path. State: ≤ k longs per key, independent of stream
+    * length; hashes are computed upstream in codegen'd SQL (same 48-bit
+    * md5 prefix as x10) so the state function is a pure bounded merge. */
+  def kmvDistinct(rows: Dataset[(String, Long)], k: Int = 256)
+      : Dataset[KmvOut] = {
+    import rows.sparkSession.implicits._
+
+    def fn(key: String, batch: Iterator[(String, Long)],
+        state: GroupState[KmvState]): KmvOut = {
+      val prev = state.getOption.map(_.hashes).getOrElse(Nil)
+      val merged = (prev.iterator ++ batch.map(_._2)).toList
+        .distinct.sorted.take(k)
+      state.update(KmvState(merged))
+      val n = merged.size
+      val est =
+        if (n < k) n.toDouble
+        else (n - 1) * 281474976710656.0 / merged.last
+      KmvOut(key, n, math.round(est * 100) / 100.0)
+    }
+
+    rows.groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Stream-stream interval join (the streaming analog of the

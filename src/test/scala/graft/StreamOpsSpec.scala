@@ -148,4 +148,55 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(byUser(2L)._2 == 1 && byUser(2L)._3 == "signup")
     } finally q.stop()
   }
+
+  test("kmvDistinct: streamed merge equals the batch sketch, state bounded") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 16
+    // deterministic 48-bit hashes, same construction as x10
+    def h(tok: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.substring(0, 12), 16)
+    }
+    val batch1 = (1 to 10).map(i => ("a", h(s"t$i"))) ++
+      (1 to 40).map(i => ("b", h(s"u$i")))
+    val batch2 = (5 to 15).map(i => ("a", h(s"t$i"))) ++
+      (30 to 80).map(i => ("b", h(s"u$i")))
+    val mem = MemoryStream[(String, Long)]
+    val q = StreamOps.kmvDistinct(mem.toDS(), k)
+      .writeStream.format("memory").queryName("kmv")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // memory sink in Update mode appends each emission; take the last
+      // estimate per key (streams emit one row per key per batch seen)
+      val last = spark.sql("SELECT key, n_kept, est_distinct FROM kmv")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1).map { case (key, rs) => key -> rs.last }
+      // batch replay of the same sketch over all rows seen
+      def batchSketch(rows: Seq[Long]): (Int, Double) = {
+        val m = rows.distinct.sorted.take(k)
+        val est = if (m.size < k) m.size.toDouble
+          else (m.size - 1) * 281474976710656.0 / m.last
+        (m.size, math.round(est * 100) / 100.0)
+      }
+      val all = batch1 ++ batch2
+      for (key <- Seq("a", "b")) {
+        val (en, ee) = batchSketch(all.filter(_._1 == key).map(_._2))
+        assert(last(key)._2 == en && last(key)._3 == ee,
+          s"$key: stream ${last(key)} != batch ($en, $ee)")
+      }
+      // under k → exact; over k → the estimator path with bounded state
+      assert(last("a")._2 == 15 && last("a")._3 == 15.0)
+      assert(last("b")._2 == k, "key b must have saturated the sketch")
+      val truthB = (batch1 ++ batch2).filter(_._1 == "b")
+        .map(_._2).distinct.size.toDouble
+      assert(math.abs(last("b")._3 - truthB) / truthB < 0.8,
+        s"b: est ${last("b")._3} vs exact $truthB beyond 3σ at k=16")
+    } finally q.stop()
+  }
 }
