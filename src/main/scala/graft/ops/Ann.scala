@@ -314,6 +314,56 @@ object Ann extends QueryModule {
              |          unnest(range(len(embedding))) AS pos
              |        FROM embeddings)
              |  GROUP BY 1, 2)
-             |ORDER BY label, pos""".stripMargin))
+             |ORDER BY label, pos""".stripMargin)),
+
+    // One Lloyd iteration of distributed (spherical) k-means over the
+    // embedding corpus — the workhorse of embedding-space curation
+    // (cluster-balanced sampling, semantic dedup, IVF training).
+    // Assignment: argmax cosine against the same exactly-K md5-ranked
+    // seed set n3 uses — a CONSTANT broadcast, so the scored join is
+    // linear in the corpus. Update: the n4 trick — per-(cluster, pos)
+    // QUANTIZED integer sums (round(x*1000) as long), which commute
+    // exactly, so the emitted sufficient statistics are order- and
+    // partitioning-independent and DuckDB replays them bit-for-bit
+    // (float centroid means would differ by partial-agg order). The
+    // caller derives the next centroids as qsum/(1000·n_vecs); the
+    // update shuffle carries only 64·K partial-sum rows per task.
+    GQuery("n5_kmeans_step",
+      (s, d) => {
+        val vecs = normedVecs(s, d)
+        val cents = vecs
+          .orderBy(md5(col("vec_id").cast("string"))).limit(IvfK)
+          .select(col("vec_id").as("cid"), col("v").as("cv"),
+            col("nrm").as("cn"))
+        val wAsg = Window.partitionBy("vec_id")
+          .orderBy(col("csim").desc, col("cid"))
+        val asg = vecs.crossJoin(broadcast(cents))
+          .withColumn("csim", round(
+            simFromNorms(col("v"), col("cv"), col("nrm"), col("cn")), 6))
+          .withColumn("rn", row_number().over(wAsg))
+          .filter(col("rn") === 1)
+          .select(col("cid"), col("v"))
+        asg.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("cid"), col("pos").cast("long").as("pos"))
+          .agg(sum(round(col("x") * 1000, 0).cast("long")).as("qsum"),
+            count(lit(1)).as("n_vecs"))
+          .orderBy("cid", "pos")
+      },
+      Some(vCte +
+        s""",
+           |c AS (SELECT vec_id AS cid, v AS cv FROM v
+           |      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfK),
+           |sc AS (SELECT v.vec_id, c.cid, v.v,
+           |         round(${cosSql("v.v", "c.cv")}, 6) AS csim
+           |       FROM v, c),
+           |asg AS (SELECT cid, v FROM (
+           |  SELECT vec_id, cid, v, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY csim DESC, cid) AS rn FROM sc) WHERE rn = 1)
+           |SELECT cid, CAST(pos AS BIGINT) AS pos,
+           |  sum(CAST(round(x * 1000) AS BIGINT)) AS qsum,
+           |  count(*) AS n_vecs
+           |FROM (SELECT cid, unnest(v) AS x,
+           |        unnest(range(len(v))) AS pos FROM asg)
+           |GROUP BY 1, 2 ORDER BY cid, pos""".stripMargin))
   )
 }
