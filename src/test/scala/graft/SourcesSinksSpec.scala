@@ -61,4 +61,41 @@ class SourcesSinksSpec extends AnyFunSuite {
     assert(!Seq(1).toDS().isEmpty)
     assert(Seq(1, 2, 3).toDS().filter(_ > 10).isEmpty)
   }
+
+  test("S11: partitioned parquet sink controls layout AND file count") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_part").toString + "/out"
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "lang", "n_chars")
+    // the at-scale output recipe: repartition on the partition column
+    // BEFORE partitionBy, so each Hive partition is written by the one
+    // task that owns it — without this every task writes a sliver into
+    // every partition and a 1000-executor job emits numTasks×numLangs
+    // small files, the classic 100 TB sink mistake
+    docs.repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val langs = docs.select("lang").distinct().as[String].collect()
+    val root = new java.io.File(dir)
+    val partDirs = root.listFiles().filter(_.isDirectory)
+      .map(_.getName).filter(_.startsWith("lang=")).sorted
+    assert(partDirs.toSeq == langs.map(l => s"lang=$l").sorted.toSeq,
+      s"expected one directory per lang, got ${partDirs.mkString(",")}")
+    for (pd <- partDirs) {
+      val files = new java.io.File(root, pd).listFiles()
+        .filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"$pd: expected 1 file after key repartition, got ${files.length}")
+    }
+    // partition pruning: a lang filter must prune to one directory
+    val pruned = spark.read.parquet(dir).filter(col("lang") === langs.head)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves().head
+    assert(scan.toString.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter must reach PartitionFilters, got:\n$scan")
+    // round-trip equality
+    val back = spark.read.parquet(dir)
+      .select("doc_id", "lang", "n_chars").as[(Long, String, Long)]
+      .collect().sortBy(_._1)
+    val orig = docs.as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(back.toSeq == orig.toSeq)
+  }
 }
