@@ -383,6 +383,54 @@ object TextAnalysis extends QueryModule {
              |        ELSE (count(*) - 1) * 281474976710656.0 / max(h)
              |        END, 2) AS est_distinct
              |FROM r WHERE rn <= 256
-             |GROUP BY source ORDER BY source""".stripMargin))
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
+    // Inter-document boilerplate detection (CCNet-flavored): per doc,
+    // the fraction of its DISTINCT trigrams whose document frequency
+    // exceeds 2% of the corpus — headers/footers/navigation chrome that
+    // repeats across documents rather than within one. The threshold is
+    // corpus-RELATIVE so the operator means the same thing at sf0.01
+    // and at 100 TB. Shape: one inverted-index build (gram → doc
+    // frequency, map-side combined) and one keyed equi-join back — the
+    // same two-shuffle skeleton as d2's inverted index; the hot-gram
+    // side is filtered before the join so the join build side carries
+    // only actual boilerplate grams.
+    GQuery("x11_boilerplate",
+      (s, d) => {
+        val grams = docsSpread(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 3)
+          .select(col("doc_id"),
+            explode(array_distinct(wordNgrams(col("t"), 3))).as("gram"))
+        val nDocs = Tables.documents(s, d).count()
+        val hot = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+          .filter(col("df") > nDocs * 0.02)
+        grams.join(hot, Seq("gram"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"), count(col("df")).as("n_boiler"))
+          .select(col("doc_id"), col("n_grams"), col("n_boiler"),
+            round(col("n_boiler") * 1.0 / col("n_grams"), 4)
+              .as("boiler_frac"))
+          .withColumn("flagged", col("boiler_frac") >= 0.5)
+          .orderBy("doc_id")
+      },
+      Some("""WITH g AS (
+             |  SELECT doc_id, unnest(list_distinct(
+             |    list_transform(range(1, len(t)-1),
+             |      i -> array_to_string(list_slice(t, i, i+2), ' ')))) AS gram
+             |  FROM (SELECT doc_id, string_split(trim(text), ' ') AS t
+             |        FROM documents)
+             |  WHERE len(t) >= 3),
+             |df AS (SELECT gram, count(*) AS df FROM g GROUP BY 1),
+             |n AS (SELECT count(*) AS n_docs FROM documents)
+             |SELECT g.doc_id AS doc_id, count(*) AS n_grams,
+             |  count(CASE WHEN df.df > n.n_docs * 0.02 THEN 1 END)
+             |    AS n_boiler,
+             |  round(count(CASE WHEN df.df > n.n_docs * 0.02 THEN 1 END)
+             |    * 1.0 / count(*), 4) AS boiler_frac,
+             |  (round(count(CASE WHEN df.df > n.n_docs * 0.02 THEN 1 END)
+             |    * 1.0 / count(*), 4) >= 0.5) AS flagged
+             |FROM g JOIN df USING (gram) CROSS JOIN n
+             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin))
   )
 }
