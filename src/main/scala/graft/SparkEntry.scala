@@ -20,7 +20,8 @@ object SparkEntry {
     graft.ops.Ann,
     graft.ops.Cluster,
     graft.ops.Sources,
-    graft.ops.Skew)
+    graft.ops.Skew,
+    graft.ops.Pipeline)
 
   private lazy val all: Seq[GQuery] = modules.flatMap(_.queries)
 

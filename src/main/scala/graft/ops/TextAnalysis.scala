@@ -73,6 +73,34 @@ object TextAnalysis extends QueryModule {
       .withColumn("flagged", col("rate") >= 0.05)
   }
 
+  /** (doc_id, lang, n_toks, quality) — the x2 quality score with the
+    * grouping columns the downstream curation steps need; shared by x7
+    * packing and the p0 end-to-end pipeline. */
+  private[ops] def qualityScored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, d)
+      .select("doc_id", "lang", "text")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"),
+        size(toks).cast("long").as("n_toks"),
+        hits(toks, stopwords).as("n_stop"))
+      .select(col("doc_id"), col("lang"), col("n_toks"),
+        round(least(col("n_toks") / 60.0, lit(1.0)) * 0.5 +
+          (lit(1.0) - col("n_stop") * 1.0 / col("n_toks")) * 0.5, 4)
+          .as("quality"))
+  }
+
+  /** DuckDB replay of [[qualityScored]] as a CTE named `q`. */
+  private[ops] def qualitySqlCte: String =
+    s"""q AS (SELECT doc_id, lang, n_toks,
+       |        round(least(n_toks / 60.0, 1.0) * 0.5 +
+       |              (1.0 - n_stop * 1.0 / n_toks) * 0.5, 4) AS quality
+       |      FROM (SELECT doc_id, lang,
+       |              len(string_split(trim(text), ' ')) AS n_toks,
+       |              ${sqlHits(stopwords)} AS n_stop
+       |            FROM documents))""".stripMargin
+
   /** Three word lists partitioning the corpus vocabulary — the scoring
     * skeleton of an n-gram language-ID heuristic (argmax of per-class
     * token hits with a deterministic tiebreak). */
