@@ -445,6 +445,29 @@ object Relational extends QueryModule {
              |ORDER BY p_brand ASC NULLS FIRST,
              |         p_size ASC NULLS FIRST""".stripMargin)),
 
+    // A15: CUBE — all 2^k grouping sets in one pass (per-status, per-
+    // priority, per-pair, grand total); the multi-dimensional report
+    // shape ROLLUP (a13) can't express. `grouping(col)` disambiguates a
+    // rolled-up NULL from a data NULL portably across both engines.
+    GQuery("a15_cube",
+      (s, d) => Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        // grouping() resolves only inside the grouping-sets aggregate
+        .agg(grouping(col("o_orderstatus")).cast("int").as("g_status"),
+          grouping(col("o_orderpriority")).cast("int").as("g_prio"),
+          count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+      Some("""SELECT o_orderstatus, o_orderpriority,
+             |  CAST(grouping(o_orderstatus) AS INT) AS g_status,
+             |  CAST(grouping(o_orderpriority) AS INT) AS g_prio,
+             |  count(*) AS n, round(sum(o_totalprice), 2) AS total
+             |FROM orders
+             |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+             |ORDER BY o_orderstatus ASC NULLS FIRST,
+             |         o_orderpriority ASC NULLS FIRST""".stripMargin)),
+
     // A14: exact percentiles (median + tails) per group — interpolated
     // continuous quantiles; Spark `percentile` and DuckDB
     // `quantile_cont` share the lower+frac*(upper-lower) formula.

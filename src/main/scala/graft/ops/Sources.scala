@@ -67,6 +67,34 @@ object Sources extends QueryModule {
              |         n_nationkey, n_name, n_regionkey) AS line
              |FROM nation ORDER BY n_nationkey""".stripMargin)),
 
+    // S11: CSV sink + source roundtrip with an explicit read schema (no
+    // inference — a 100 TB CSV inference pass would scan everything
+    // twice). The aggregate over the re-read CSV must hash-match the
+    // oracle's aggregate over the original parquet, so header handling,
+    // quoting and numeric round-trip fidelity are all machine-checked.
+    GQuery("s11_csv_roundtrip",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_csv_").toString
+        Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+            col("c_mktsegment"))
+          .write.mode("overwrite").option("header", "true").csv(dir)
+        val schema = StructType(Seq(
+          StructField("c_custkey", LongType),
+          StructField("c_name", StringType),
+          StructField("c_acctbal", DoubleType),
+          StructField("c_mktsegment", StringType)))
+        s.read.option("header", "true").schema(schema).csv(dir)
+          .groupBy("c_mktsegment")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("c_acctbal")), 2).as("bal"))
+          .orderBy("c_mktsegment")
+      },
+      Some("""SELECT c_mktsegment, count(*) AS n,
+             |       round(sum(c_acctbal), 2) AS bal
+             |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Multimodal pipeline head (decode/resize/frame-sample stubs over
     // synthetic binary media). The generator is md5-derived (portable
     // arithmetic — the d4 trick), so DuckDB replays payload bytes,

@@ -459,6 +459,58 @@ object TextAnalysis extends QueryModule {
              |  (round(count(CASE WHEN df.df > n.n_docs * 0.02 THEN 1 END)
              |    * 1.0 / count(*), 4) >= 0.5) AS flagged
              |FROM g JOIN df USING (gram) CROSS JOIN n
-             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin))
+             |GROUP BY g.doc_id ORDER BY doc_id""".stripMargin)),
+
+    // Unigram-LM scoring (perplexity proxy): per-doc mean negative
+    // log-likelihood under the corpus's OWN unigram distribution, plus
+    // the rare-token fraction — the distributable analog of CCNet's LM
+    // quality filter (no external model; the corpus is the model).
+    // High nll ≈ gibberish/OCR noise, very low ≈ templated chrome.
+    // Portability: per-token log-probs are quantized to integer
+    // micro-nats AT THE VOCABULARY LEVEL (one round(ln(cnt)·1e6) per
+    // distinct token), so every per-doc sum is exact long arithmetic —
+    // no float-summation order dependence between engines or partitions.
+    // Scale posture: the vocabulary frame (token, cnt, lp_micro) is the
+    // only broadcast (Heaps-law bounded; at open-web scale swap the
+    // hint for the co-partitioned shuffle join + x6-style hot-token
+    // salting); the corpus-sized work is one map-side-combined groupBy
+    // and one keyed join.
+    GQuery("x12_lm_score",
+      (s, d) => {
+        val toks = docsSpread(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+          .select(col("tok"), col("cnt"),
+            round(log(col("cnt").cast("double")) * 1e6).cast("long")
+              .as("lp_micro"))
+        val totalToks = freq.agg(sum(col("cnt"))).head().getLong(0)
+        val lnTotalMicro = math.round(math.log(totalToks.toDouble) * 1e6)
+        toks.join(broadcast(freq), Seq("tok"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_toks"),
+            sum(col("lp_micro")).as("s_micro"),
+            sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("n_rare"))
+          .select(col("doc_id"), col("n_toks"),
+            round((lit(lnTotalMicro) * col("n_toks") - col("s_micro")) /
+              (col("n_toks") * 1e6), 3).as("nll"),
+            round(col("n_rare") * 1.0 / col("n_toks"), 4).as("rare_frac"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents),
+             |f AS (SELECT tok, count(*) AS cnt,
+             |        CAST(round(ln(count(*)) * 1e6) AS BIGINT) AS lp_micro
+             |      FROM t GROUP BY 1),
+             |n AS (SELECT CAST(round(ln(sum(cnt)) * 1e6) AS BIGINT)
+             |        AS ln_total_micro FROM f)
+             |SELECT t.doc_id AS doc_id, count(*) AS n_toks,
+             |  round((n.ln_total_micro * count(*) - sum(f.lp_micro)) /
+             |        (count(*) * 1e6), 3) AS nll,
+             |  round(sum(CASE WHEN f.cnt <= 2 THEN 1 ELSE 0 END) * 1.0
+             |        / count(*), 4) AS rare_frac
+             |FROM t JOIN f USING (tok) CROSS JOIN n
+             |GROUP BY t.doc_id, n.ln_total_micro
+             |ORDER BY doc_id""".stripMargin))
   )
 }

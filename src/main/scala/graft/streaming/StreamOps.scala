@@ -116,6 +116,25 @@ object StreamOps extends Serializable {
       s.startMs, s.lastMs)
   }
 
+  /** Native session-window aggregation — the declarative form of gap
+    * sessionization. Catalyst merges overlapping [ts, ts+gap) intervals
+    * per key inside the session-window state store; no user code holds
+    * state (contrast [[sessionize]], the flatMapGroupsWithState form
+    * that additionally carries the ordered action path). At scale this
+    * is the cheaper default: state is (key, merged-interval, agg
+    * buffer), evicted by the watermark, and the aggregation is
+    * partial-agg friendly within each micro-batch. */
+  def sessionWindowStats(events: DataFrame, gap: String = "30 seconds",
+      watermark: String = "0 seconds"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total"))
+      .select(col("user_id"),
+        col("session_window.start").as("s_start"),
+        col("session_window.end").as("s_end"),
+        col("n_events"), col("total"))
+
   /** Streaming exact dedup on event_id with a bounded state window —
     * duplicates arriving within the watermark are dropped; state for
     * ids older than the watermark is evicted (the streaming face of

@@ -39,6 +39,32 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionWindowStats: events within the gap merge into one session") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[StreamEvent]
+    val q = StreamOps.sessionWindowStats(mem.toDF(), gap = "30 seconds")
+      .writeStream.format("memory").queryName("swin")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: 10,25,40 chain (gaps 15s < 30s) → ONE session [10, 70);
+      // user 2: isolated event at 12 → its own session [12, 42)
+      mem.addData(ev(1, 1, "click", 10), ev(2, 1, "view", 25),
+        ev(3, 1, "click", 40), ev(4, 2, "view", 12))
+      q.processAllAvailable()
+      // push the watermark past both sessions' close so append emits them
+      mem.addData(ev(5, 1, "click", 500))
+      q.processAllAvailable()
+      val rows = spark.sql(
+        "SELECT user_id, n_events, unix_timestamp(s_start) AS st, " +
+        "unix_timestamp(s_end) AS en FROM swin").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(rows == Set((1L, 3L, 10L, 70L), (2L, 1L, 12L, 42L)),
+        s"got $rows")
+    } finally q.stop()
+  }
+
   test("dedupEvents: duplicate event ids within the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -31,8 +31,12 @@ def main():
         r = subprocess.run(
             ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
             capture_output=True, text=True, cwd="/root/repo")
-        sys.stdout.write("\n".join(l for l in r.stdout.splitlines()
-                                   if "[verify]" in l or "error" in l.lower()) + "\n")
+        # [verify] failure lines are printed to stderr by Verify.scala —
+        # scan BOTH streams or a per-query failure passes silently (the
+        # missing output dir is simply never compared).
+        sys.stdout.write("\n".join(
+            l for l in (r.stdout + "\n" + r.stderr).splitlines()
+            if "[verify]" in l or "error" in l.lower()) + "\n")
         if r.returncode != 0:
             print("VERIFY FAILED rc=%d" % r.returncode)
             print(r.stdout[-3000:]); print(r.stderr[-2000:])
@@ -43,6 +47,11 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
     names = sorted(p.name for p in OUT.iterdir() if p.is_dir())
     n_pass = n_fail = 0
+    # a registered oracle whose query never wrote output is a FAILURE,
+    # not a silent omission
+    for missing in sorted(set(oracle) - set(names)):
+        print(f"FAIL {missing}: no spark output written (query threw?)")
+        n_fail += 1
     for name in names:
         try:
             spark_df = con.sql(
