@@ -740,6 +740,83 @@ object Relational extends QueryModule {
              |FROM (SELECT n_name,
              |        dense_rank() OVER (ORDER BY n_name) - 1 AS rank0
              |      FROM nation)
-             |ORDER BY n_name""".stripMargin))
+             |ORDER BY n_name""".stripMargin)),
+
+    // A16: PIVOT — long-to-wide reshape with an EXPLICIT value list (no
+    // extra distinct-scan to discover columns, and the output schema is
+    // known at plan time — the only pivot form that's sane at 100 TB).
+    // Compiles to one Expand-free two-phase hash aggregate.
+    GQuery("a16_pivot",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", Seq("F", "O"))
+        .agg(round(sum(col("l_quantity")), 2))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag,
+             |  round(sum(CASE WHEN l_linestatus = 'F'
+             |            THEN l_quantity END), 2) AS F,
+             |  round(sum(CASE WHEN l_linestatus = 'O'
+             |            THEN l_quantity END), 2) AS O
+             |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // A17: time-series resample + gap-fill — hourly event counts with
+    // ZERO rows for silent hours (the shape every monitoring/feature
+    // pipeline needs before windowed models). The hour spine is
+    // generated from the observed min/max (sequence+explode of a 1-row
+    // aggregate — O(hours), never a scan), crossed with the bounded
+    // event-type dimension, then left-joined against the real counts.
+    GQuery("a17_gapfill",
+      (s, d) => {
+        val ev = Tables.events(s, d)
+          .select(expr("ts div 3600000000000").as("hb"), col("event_type"))
+        val counts = ev.groupBy("hb", "event_type")
+          .agg(count(lit(1)).as("n"))
+        val spine = ev.agg(min("hb").as("lo"), max("hb").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"))).as("hb"))
+        val types = ev.select("event_type").distinct()
+        spine.crossJoin(broadcast(types))
+          .join(counts, Seq("hb", "event_type"), "left")
+          .select(col("hb"), col("event_type"),
+            coalesce(col("n"), lit(0L)).as("n"))
+          .orderBy("hb", "event_type")
+      },
+      Some("""WITH e AS (SELECT epoch_ns(ts) // 3600000000000 AS hb,
+             |             event_type FROM events),
+             |c AS (SELECT hb, event_type, count(*) AS n
+             |      FROM e GROUP BY 1, 2),
+             |s AS (SELECT unnest(range((SELECT min(hb) FROM e),
+             |                          (SELECT max(hb) FROM e) + 1)) AS hb),
+             |t AS (SELECT DISTINCT event_type FROM e)
+             |SELECT s.hb AS hb, t.event_type AS event_type,
+             |       coalesce(c.n, 0) AS n
+             |FROM s CROSS JOIN t
+             |LEFT JOIN c ON s.hb = c.hb AND t.event_type = c.event_type
+             |ORDER BY hb, event_type""".stripMargin)),
+
+    // F12: URL parsing — host / path / query-param extraction, the
+    // first step of any web-crawl curation pipeline (per-domain stats,
+    // domain blocklists, UTM stripping). The URL is synthesized from
+    // document columns, so the oracle states the expected parts from
+    // ground truth — Spark's parse_url must reproduce them exactly.
+    GQuery("f12_parse_url",
+      (s, d) => {
+        val url = concat(lit("https://"), col("source"),
+          lit(".example.com/docs/"), col("doc_id").cast("string"),
+          lit("?lang="), col("lang"), lit("&v=2"))
+        Tables.documents(s, d)
+          .select(col("doc_id"), url.as("url"))
+          .select(col("doc_id"), col("url"),
+            parse_url(col("url"), lit("HOST")).as("host"),
+            parse_url(col("url"), lit("PATH")).as("path"),
+            parse_url(col("url"), lit("QUERY"), lit("lang")).as("q_lang"))
+          .orderBy("doc_id")
+      },
+      Some("""SELECT doc_id,
+             |  'https://' || source || '.example.com/docs/' || doc_id ||
+             |    '?lang=' || lang || '&v=2' AS url,
+             |  source || '.example.com' AS host,
+             |  '/docs/' || doc_id AS path,
+             |  lang AS q_lang
+             |FROM documents ORDER BY doc_id""".stripMargin))
   )
 }

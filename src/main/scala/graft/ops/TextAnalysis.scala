@@ -413,6 +413,45 @@ object TextAnalysis extends QueryModule {
              |FROM r WHERE rn <= 256
              |GROUP BY source ORDER BY source""".stripMargin)),
 
+    // KMV as a typed Aggregator/UDAF (one-pass form of x10): the sketch
+    // folds per-row under map-side combine — each task ships ≤ k longs
+    // per source, no distinct pre-pass, no window, no per-group row
+    // shuffle. Same hash domain + estimator as x10, so the SAME oracle
+    // verifies both paths agree with DuckDB (and hence each other).
+    GQuery("x13_kmv_agg",
+      (s, d) => {
+        val k = 256
+        Tables.documents(s, d)
+          .select("source", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("source"), explode(tokens(col("text"))).as("tok"))
+          .select(col("source"),
+            conv(substring(md5(col("tok")), 1, 12), 16, 10).cast("long")
+              .as("h"))
+          .groupBy("source")
+          .agg(graft.functions.NamedAggregators.kmv(col("h"), k).as("kmv"))
+          .select(col("source"),
+            col("kmv.n_kept").cast("long").as("n_kept"),
+            col("kmv.kth_hash").as("kth_hash"),
+            round(col("kmv.est_distinct"), 2).as("est_distinct"))
+          .orderBy("source")
+      },
+      Some("""WITH h AS (
+             |  SELECT DISTINCT source,
+             |    ('0x' || substr(md5(tok), 1, 12))::BIGINT AS h
+             |  FROM (SELECT source,
+             |          unnest(string_split(trim(text), ' ')) AS tok
+             |        FROM documents)),
+             |r AS (SELECT source, h,
+             |        row_number() OVER (PARTITION BY source ORDER BY h)
+             |          AS rn FROM h)
+             |SELECT source, count(*) AS n_kept, max(h) AS kth_hash,
+             |  round(CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+             |        ELSE (count(*) - 1) * 281474976710656.0 / max(h)
+             |        END, 2) AS est_distinct
+             |FROM r WHERE rn <= 256
+             |GROUP BY source ORDER BY source""".stripMargin)),
+
     // Inter-document boilerplate detection (CCNet-flavored): per doc,
     // the fraction of its DISTINCT trigrams whose document frequency
     // exceeds 2% of the corpus — headers/footers/navigation chrome that

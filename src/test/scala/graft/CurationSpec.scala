@@ -122,4 +122,32 @@ class CurationSpec extends AnyFunSuite {
           s"$src: est $est vs exact $truth drifts past 3σ")
     }
   }
+
+  test("x13 KmvAggregator: order- and partitioning-independent, equals x10") {
+    // Algebraic contract: any fold/merge tree over any permutation must
+    // equal sorted-distinct-take-k of the whole input.
+    val agg = new graft.functions.KmvAggregator(8)
+    val rnd = new scala.util.Random(42)
+    val xs = Vector.fill(300)(rnd.nextLong(1L << 40))
+    val expect = xs.distinct.sorted.take(8)
+    for (trial <- 0 until 20) {
+      val perm = rnd.shuffle(xs)
+      // random partitioning into 1..6 chunks, each folded then merged
+      val nChunks = 1 + rnd.nextInt(6)
+      val chunks = perm.grouped(math.max(1, perm.size / nChunks)).toSeq
+      val merged = chunks
+        .map(c => c.foldLeft(agg.zero)(agg.reduce))
+        .reduce(agg.merge)
+      assert(merged.hashes == expect, s"trial $trial diverged")
+    }
+    // duplicate-heavy input: buffer holds DISTINCT hashes only
+    val dup = agg.reduce(agg.reduce(agg.zero, 5L), 5L)
+    assert(dup.hashes == Vector(5L))
+
+    // end-to-end: the one-pass aggregator query returns exactly the
+    // window-based x10 rows (same sketch, same estimator)
+    val viaAgg = q("x13_kmv_agg").collect().map(_.toSeq).toSet
+    val viaWin = q("x10_kmv_distinct").collect().map(_.toSeq).toSet
+    assert(viaAgg == viaWin)
+  }
 }
