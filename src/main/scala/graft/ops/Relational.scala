@@ -793,6 +793,66 @@ object Relational extends QueryModule {
              |LEFT JOIN c ON s.hb = c.hb AND t.event_type = c.event_type
              |ORDER BY hb, event_type""".stripMargin)),
 
+    // J12: upsert / MERGE INTO — apply a change set to a base table:
+    // matched keys take the update's values, unmatched keys insert.
+    // Without a table format carrying merge (Delta/Iceberg), the
+    // engine's form is anti-join + union — ONE shuffle on the merge
+    // key (broadcast the change set when it's small, as here). The
+    // change set is derived deterministically so the oracle replays
+    // the whole merge.
+    GQuery("j12_merge_upsert",
+      (s, d) => {
+        val base = Tables.customer(s, d)
+          .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+        val updates = base.filter(col("c_custkey") % 97 === 0)
+          .select(col("c_custkey"),
+            col("c_name"),
+            round(col("c_acctbal") + 1000.0, 2).as("c_acctbal"))
+          .unionByName(base.filter(col("c_custkey") % 101 === 0)
+            .select((col("c_custkey") + 1000000L).as("c_custkey"),
+              concat(lit("NEW-"), col("c_name")).as("c_name"),
+              lit(0.0).as("c_acctbal")))
+        base.join(broadcast(updates), Seq("c_custkey"), "left_anti")
+          .unionByName(updates)
+          .filter(col("c_custkey") % 10 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            round(col("c_acctbal"), 2).as("c_acctbal"))
+          .orderBy("c_custkey")
+      },
+      Some("""WITH base AS (SELECT c_custkey, c_name, c_acctbal
+             |              FROM customer),
+             |updates AS (
+             |  SELECT c_custkey, c_name,
+             |         round(c_acctbal + 1000.0, 2) AS c_acctbal
+             |  FROM base WHERE c_custkey % 97 = 0
+             |  UNION ALL
+             |  SELECT c_custkey + 1000000, 'NEW-' || c_name, 0.0
+             |  FROM base WHERE c_custkey % 101 = 0)
+             |SELECT c_custkey, c_name, round(c_acctbal, 2) AS c_acctbal
+             |FROM (SELECT * FROM base
+             |      WHERE c_custkey NOT IN (SELECT c_custkey FROM updates)
+             |      UNION ALL SELECT * FROM updates)
+             |WHERE c_custkey % 10 = 0
+             |ORDER BY c_custkey""".stripMargin)),
+
+    // A18: approximate percentiles — the MERGEABLE sketch path for
+    // quantiles at 100 TB, where a14's exact per-group value buffer is
+    // the cost center. percentile_approx's GK-style sketch carries a
+    // bounded state per group regardless of row count. No SQL oracle
+    // (the sketch is engine-specific); gated by FunctionsSpec's error
+    // envelope against the exact a14 values.
+    GQuery("a18_approx_quantile",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.9), lit(0.99)), lit(5000)).as("ps"))
+        .select(col("l_returnflag"),
+          round(element_at(col("ps"), 1), 2).as("p50"),
+          round(element_at(col("ps"), 2), 2).as("p90"),
+          round(element_at(col("ps"), 3), 2).as("p99"))
+        .orderBy("l_returnflag"),
+      None),
+
     // F12: URL parsing — host / path / query-param extraction, the
     // first step of any web-crawl curation pipeline (per-domain stats,
     // domain blocklists, UTM stripping). The URL is synthesized from

@@ -131,4 +131,23 @@ class FunctionsSpec extends AnyFunSuite {
       .as[Double].collect()
     assert(out.toSeq == Seq(0.0, 1.0, 0.0))
   }
+
+  test("a18 approx quantiles track a14 exact percentiles within 1%") {
+    val spark = TestSpark.spark
+    val sfDir = "/root/testdata/sf0.001"
+    def byFlag(name: String) =
+      SparkEntry.queries(name)(spark, sfDir).collect()
+        .map(r => r.getString(0) ->
+          (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = byFlag("a18_approx_quantile")
+    val exact = byFlag("a14_percentiles")
+    assert(approx.keySet == exact.keySet)
+    for ((flag, (a50, a90, a99)) <- approx) {
+      val (e50, e90, e99) = exact(flag)
+      for (((a, e), tag) <- Seq((a50, e50), (a90, e90), (a99, e99))
+             .zip(Seq("p50", "p90", "p99")))
+        assert(math.abs(a - e) / e < 0.01,
+          s"$flag $tag: approx $a vs exact $e drifts past 1%")
+    }
+  }
 }
