@@ -580,6 +580,31 @@ object Relational extends QueryModule {
              |               ORDER BY o_totalprice, o_orderkey))
              |WHERE o_orderkey % 500 = 0 ORDER BY o_orderkey""".stripMargin)),
 
+    // W5: RANGE window frame — the frame is bounded by ORDER-KEY VALUE
+    // distance (activity in the last 2 hours), not row count: rows
+    // with equal keys share a frame and silent hours shrink it. The
+    // other frame family w2's ROWS can't express.
+    GQuery("w5_range_frame",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("hb")
+          .rangeBetween(-2, 0)
+        Tables.events(s, d)
+          .select(col("user_id"), col("event_id"),
+            expr("ts div 3600000000000").as("hb"), col("value"))
+          .withColumn("v3h", round(sum("value").over(w), 4))
+          .filter(col("event_id") % 100 === 0)
+          .select("user_id", "event_id", "hb", "v3h")
+          .orderBy("user_id", "event_id")
+      },
+      Some("""SELECT user_id, event_id, hb, v3h FROM (
+             |  SELECT user_id, event_id, hb,
+             |    round(sum(value) OVER (PARTITION BY user_id ORDER BY hb
+             |      RANGE BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS v3h
+             |  FROM (SELECT user_id, event_id,
+             |          epoch_ns(ts) // 3600000000000 AS hb, value
+             |        FROM events))
+             |WHERE event_id % 100 = 0 ORDER BY user_id, event_id""".stripMargin)),
+
     // F11: fuzzy string match — character-level Levenshtein self-join on
     // the part-type dimension (bounded vocab), pairs within distance 5.
     // Exercises Spark's codegen'd `levenshtein` against DuckDB's.
@@ -792,6 +817,29 @@ object Relational extends QueryModule {
              |FROM s CROSS JOIN t
              |LEFT JOIN c ON s.hb = c.hb AND t.event_type = c.event_type
              |ORDER BY hb, event_type""".stripMargin)),
+
+    // J13: null-safe equi-join (`<=>` / IS NOT DISTINCT FROM) — NULL
+    // keys MATCH each other instead of silently dropping, the behavior
+    // late-arriving dimension keys need in a pipeline join. Nulls are
+    // synthesized via nullif so both engines see identical keys.
+    GQuery("j13_nullsafe_join",
+      (s, d) => {
+        val nat = Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"),
+            nullif(col("n_regionkey"), lit(2)).as("nk"))
+        val reg = Tables.region(s, d)
+          .select(col("r_name"), nullif(col("r_regionkey"), lit(2)).as("rk"))
+        nat.join(broadcast(reg), col("nk") <=> col("rk"))
+          .select(col("n_nationkey"), col("n_name"), col("r_name"))
+          .orderBy("n_nationkey")
+      },
+      Some("""SELECT n_nationkey, n_name, r_name
+             |FROM (SELECT n_nationkey, n_name,
+             |        nullif(n_regionkey, 2) AS nk FROM nation)
+             |JOIN (SELECT r_name, nullif(r_regionkey, 2) AS rk
+             |      FROM region)
+             |  ON nk IS NOT DISTINCT FROM rk
+             |ORDER BY n_nationkey""".stripMargin)),
 
     // J12: upsert / MERGE INTO — apply a change set to a base table:
     // matched keys take the update's values, unmatched keys insert.

@@ -13,6 +13,15 @@ import org.apache.spark.sql.types._
   * action-shaped, not query-shaped — they live in SourcesSinksSpec. */
 object Sources extends QueryModule {
 
+  /** One ANSI statement executed VERBATIM by both Spark (s13) and the
+    * DuckDB oracle — the shared-dialect subset both engines parse. */
+  private val SqlFrontendStatement: String =
+    """SELECT n_name, count(*) AS n_cust,
+      |       round(sum(c_acctbal), 2) AS bal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin
+
   override def queries: Seq[GQuery] = Seq(
 
     // S2+S4: driver-local collection with explicit StructType joined
@@ -94,6 +103,39 @@ object Sources extends QueryModule {
       Some("""SELECT c_mktsegment, count(*) AS n,
              |       round(sum(c_acctbal), 2) AS bal
              |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S12: ORC sink + source roundtrip — the second columnar format a
+    // warehouse migration meets. Schema rides in the ORC footer (no
+    // explicit read schema needed, unlike CSV); the aggregate over the
+    // re-read ORC must hash-match the parquet oracle.
+    GQuery("s12_orc_roundtrip",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_orc_").toString
+        Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .write.mode("overwrite").orc(dir)
+        s.read.orc(dir)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("s_acctbal")), 2).as("bal"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n,
+             |       round(sum(s_acctbal), 2) AS bal
+             |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S13: SQL-text front end — temp views + spark.sql over the SAME
+    // statement DuckDB runs as the oracle (modulo nothing: the text is
+    // shared verbatim). Proves a reference user can bring raw ANSI SQL
+    // to the engine, not just the DataFrame API.
+    GQuery("s13_sql_frontend",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.nation(s, d).createOrReplaceTempView("nation")
+        s.sql(SqlFrontendStatement)
+      },
+      Some(SqlFrontendStatement)),
 
     // Multimodal pipeline head (decode/resize/frame-sample stubs over
     // synthetic binary media). The generator is md5-derived (portable
