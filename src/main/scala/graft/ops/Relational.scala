@@ -680,6 +680,28 @@ object Relational extends QueryModule {
              |                          ['click','view','purchase'])), 4) AS jac
              |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin)),
 
+    // U4: relational EXCEPT / INTERSECT (set semantics, dedup'd) — the
+    // two set operators u1/u2's unions don't cover. Suppliers' nations
+    // vs customers' nations; both compile to aggregate-over-join shapes
+    // Catalyst picks (no manual distinct needed).
+    GQuery("u4_except_intersect",
+      (s, d) => {
+        val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+        val cus = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        sup.intersect(cus).withColumn("op", lit("both"))
+          .unionByName(sup.except(cus).withColumn("op", lit("sup_only")))
+          .orderBy("op", "nk")
+      },
+      Some("""SELECT nk, op FROM (
+             |  SELECT nk, 'both' AS op FROM
+             |    (SELECT s_nationkey AS nk FROM supplier
+             |     INTERSECT SELECT c_nationkey FROM customer)
+             |  UNION ALL
+             |  SELECT nk, 'sup_only' AS op FROM
+             |    (SELECT s_nationkey AS nk FROM supplier
+             |     EXCEPT SELECT c_nationkey FROM customer))
+             |ORDER BY op, nk""".stripMargin)),
+
     // ---- F: scalar functions ---------------------------------------------
     // F4/F5/F-string: concat_ws, upper, substring, replace, length.
     GQuery("f1_string_funcs",

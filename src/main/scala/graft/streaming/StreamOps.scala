@@ -247,4 +247,17 @@ object StreamOps extends Serializable {
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"), col("c_ts"), col("p_ts"))
   }
+
+  /** foreachBatch parquet sink with EXACTLY-ONCE output under retries:
+    * each micro-batch lands in `dir/batch_id=N`, so a replayed batch
+    * (failure between write and commit) OVERWRITES its own partition
+    * instead of appending duplicates — idempotence comes from the
+    * deterministic batch-id path, the standard production pattern when
+    * the target store has no transactional sink. Readers prune on the
+    * batch_id partition column like any other. */
+  def foreachBatchParquetSink(df: DataFrame, dir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+    }
 }

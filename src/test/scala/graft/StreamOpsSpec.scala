@@ -65,6 +65,30 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("foreachBatchParquetSink: per-batch partitions, idempotent on replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_febatch_").toString
+    val mem = MemoryStream[StreamEvent]
+    val q = StreamOps.foreachBatchParquetSink(mem.toDF(), dir).start()
+    try {
+      mem.addData(ev(1, 1, "click", 10), ev(2, 2, "view", 20))
+      q.processAllAvailable()
+      mem.addData(ev(3, 1, "click", 30))
+      q.processAllAvailable()
+      val out = spark.read.parquet(dir)
+      assert(out.count() == 3)
+      // two micro-batches → two batch_id partitions, prunable on read
+      assert(out.select("batch_id").distinct().count() == 2)
+      // replay semantics: re-writing a batch's partition replaces it,
+      // never appends (simulate the retry directly)
+      Seq(ev(1, 1, "click", 10), ev(2, 2, "view", 20)).toDF()
+        .write.mode("overwrite").parquet(s"$dir/batch_id=0")
+      assert(spark.read.parquet(dir).count() == 3)
+    } finally q.stop()
+  }
+
   test("dedupEvents: duplicate event ids within the watermark are dropped") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
