@@ -923,6 +923,43 @@ object Relational extends QueryModule {
         .orderBy("l_returnflag"),
       None),
 
+    // A19: UNPIVOT (melt) — wide-to-long reshape, the inverse of a16:
+    // one row per (id, metric). Spark compiles it to a single Expand
+    // pass (no join, no union of scans — ONE read of the input however
+    // many metrics unpivot).
+    GQuery("a19_unpivot",
+      (s, d) => Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("size"),
+          col("p_retailprice").as("retail"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("size"), col("retail")), "metric", "val")
+        .filter(col("p_partkey") % 50 === 0)
+        .select(col("p_partkey"), col("metric"), round(col("val"), 2).as("val"))
+        .orderBy("p_partkey", "metric"),
+      Some("""SELECT p_partkey, metric, round(val, 2) AS val FROM (
+             |  SELECT p_partkey, 'size' AS metric,
+             |         CAST(p_size AS DOUBLE) AS val FROM part
+             |  UNION ALL
+             |  SELECT p_partkey, 'retail', p_retailprice FROM part)
+             |WHERE p_partkey % 50 = 0
+             |ORDER BY p_partkey, metric""".stripMargin)),
+
+    // F13: schema-full JSON parsing — from_json materializes the whole
+    // document into a typed struct in ONE parse; f3's per-path
+    // get_json_object re-parses the string per extracted field, which
+    // at 100 TB × many fields is the difference that matters.
+    GQuery("f13_from_json",
+      (s, d) => Tables.events(s, d)
+        .select(col("event_id"),
+          from_json(col("props"), lit("k INT")).as("p"))
+        .select(col("event_id"), col("p.k").as("k"))
+        .filter(col("event_id") % 200 === 0)
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CAST(json_extract_string(props, '$.k') AS INT) AS k
+             |FROM events WHERE event_id % 200 = 0
+             |ORDER BY event_id""".stripMargin)),
+
     // F12: URL parsing — host / path / query-param extraction, the
     // first step of any web-crawl curation pipeline (per-domain stats,
     // domain blocklists, UTM stripping). The URL is synthesized from
