@@ -63,17 +63,36 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = new java.io.File(sfDir).getName
     System.err.println(results.map { case (k, v) => f"$k=$v%.4f" }.mkString("[bench-detail] ", " ", ""))
-    // Emit at 2-decimal precision, but drop to 1 decimal if the line
+    // Emit at 2-decimal precision, dropping to 1 decimal if the line
     // would crowd the driver's 2000-char tail buffer (which must also
-    // hold sbt's ~75-char "[success]" trailer). 77 queries at 2dp sit
-    // ~1880 chars — one more query or a 3-digit value would truncate
-    // the JSON mid-line and the round would record parsed:null (r2 bug).
-    def line(dp: Int): String = {
-      val qs = results.map { case (k, v) =>
+    // hold sbt's ~75-char "[success]" trailer). At 100 registered
+    // queries even 1dp is ~2200 chars, so past that the per-query map
+    // keeps only the SLOWEST queries that fit the budget (the headline
+    // set — fast queries are the uninteresting ones) while `value`
+    // still totals every query. Omissions are listed on stderr.
+    def line(dp: Int, keep: Set[String]): String = {
+      val qs = results.filter(r => keep(r._1)).map { case (k, v) =>
         "\"" + k + "\":" + s"%.${dp}f".format(v) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${"%.2f".format(total)},"unit":"sec","queries":$qs,"sf":"$sfName"}"""
     }
-    val out = { val l2 = line(2); if (l2.length <= 1880) l2 else line(1) }
+    val allNames = results.map(_._1).toSet
+    val out = {
+      val l2 = line(2, allNames)
+      if (l2.length <= 1880) l2
+      else if (line(1, allNames).length <= 1880) line(1, allNames)
+      else {
+        val bySlow = results.sortBy(-_._2).map(_._1)
+        // Largest prefix of the slowest-first ordering that fits.
+        val keep = (bySlow.length to 1 by -1).iterator
+          .map(n => bySlow.take(n).toSet)
+          .find(s => line(1, s).length <= 1880)
+          .getOrElse(Set.empty[String])
+        System.err.println(
+          (allNames -- keep).toSeq.sorted
+            .mkString("[bench-omitted-from-line] ", " ", ""))
+        line(1, keep)
+      }
+    }
     println(out)
     spark.stop()
   }

@@ -550,6 +550,67 @@ object TextAnalysis extends QueryModule {
              |        / count(*), 4) AS rare_frac
              |FROM t JOIN f USING (tok) CROSS JOIN n
              |GROUP BY t.doc_id, n.ln_total_micro
-             |ORDER BY doc_id""".stripMargin))
+             |ORDER BY doc_id""".stripMargin)),
+
+    // Count-min sketch heavy hitters: a (d=4 × w=512) counter matrix
+    // over the token stream, probed with the exact top-20 tokens so the
+    // sketch's one-sided overestimate sits next to ground truth in the
+    // output. The matrix is a plain keyed groupBy whose OUTPUT is
+    // bounded at d·w rows regardless of corpus size — the mergeable
+    // frequency sketch that answers "how often does token X occur"
+    // over 100 TB without materializing the vocabulary. Probe lookups
+    // ride a broadcast of 20·d cells; the top-k itself is
+    // TakeOrderedAndProject, never a global sort. Hashes are the
+    // portable 48-bit md5 prefix (x10's trick) so DuckDB rebuilds the
+    // identical matrix bit-for-bit.
+    GQuery("x14_countmin",
+      (s, d) => {
+        val dRows = 4; val w = 512
+        def cellsOf(tok: Column): Column =
+          array((0 until dRows).map { i =>
+            struct(lit(i).as("r"),
+              (conv(substring(md5(concat_ws("#", lit(i.toString), tok)),
+                1, 12), 16, 10).cast("long") % w).as("c"))
+          }: _*)
+        val toks = docsSpread(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+        val counters = toks
+          .select(explode(cellsOf(col("tok"))).as("cell"))
+          .groupBy(col("cell.r").as("r"), col("cell.c").as("c"))
+          .agg(count(lit(1)).as("cnt"))
+        val probes = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+          .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+        val probeCells = probes
+          .select(col("tok"), col("exact_cnt"),
+            explode(cellsOf(col("tok"))).as("cell"))
+          .select(col("tok"), col("exact_cnt"),
+            col("cell.r").as("r"), col("cell.c").as("c"))
+        counters.join(broadcast(probeCells), Seq("r", "c"))
+          .groupBy("tok")
+          .agg(max(col("exact_cnt")).as("exact_cnt"),
+            min(col("cnt")).as("cms_est"))
+          .orderBy(col("exact_cnt").desc, col("tok"))
+      },
+      Some("""WITH t AS (
+             |  SELECT unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents),
+             |i AS (SELECT unnest([0, 1, 2, 3]) AS r),
+             |cells AS (
+             |  SELECT r, ('0x' || substr(md5(CAST(r AS VARCHAR) || '#' ||
+             |    tok), 1, 12))::BIGINT % 512 AS c, count(*) AS cnt
+             |  FROM t CROSS JOIN i GROUP BY 1, 2),
+             |probes AS (
+             |  SELECT tok, count(*) AS exact_cnt FROM t GROUP BY 1
+             |  ORDER BY exact_cnt DESC, tok LIMIT 20),
+             |pc AS (
+             |  SELECT tok, exact_cnt, r,
+             |    ('0x' || substr(md5(CAST(r AS VARCHAR) || '#' ||
+             |      tok), 1, 12))::BIGINT % 512 AS c
+             |  FROM probes CROSS JOIN i)
+             |SELECT pc.tok AS tok, max(pc.exact_cnt) AS exact_cnt,
+             |  min(cells.cnt) AS cms_est
+             |FROM pc JOIN cells USING (r, c)
+             |GROUP BY pc.tok
+             |ORDER BY exact_cnt DESC, tok""".stripMargin))
   )
 }

@@ -150,4 +150,24 @@ class CurationSpec extends AnyFunSuite {
     val viaWin = q("x10_kmv_distinct").collect().map(_.toSeq).toSet
     assert(viaAgg == viaWin)
   }
+
+  test("x14 count-min estimate is a one-sided, bounded overestimate") {
+    val rows = q("x14_countmin")
+      .select("tok", "exact_cnt", "cms_est").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(rows.length == 20)
+    // one-sided error: a count-min cell only ever overcounts
+    rows.foreach { case (tok, exact, est) =>
+      assert(est >= exact, s"$tok: est $est < exact $exact")
+    }
+    // standard CMS bound: err <= (e/w)·N w.h.p. per probe; 3x envelope
+    // so only wiring bugs (wrong hash row, wrong min) trip it
+    val n = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.tokens(col("text")))).count()
+    val bound = 3 * (math.E / 512) * n
+    rows.foreach { case (tok, exact, est) =>
+      assert(est - exact <= bound,
+        s"$tok overestimate ${est - exact} exceeds bound $bound")
+    }
+  }
 }

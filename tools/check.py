@@ -27,9 +27,13 @@ def norm(v):
     return str(v)
 
 def main():
+    only = None
+    if "--only" in sys.argv:
+        only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
     if "--skip-verify" not in sys.argv:
+        extra = " " + ",".join(sorted(only)) if only else ""
         r = subprocess.run(
-            ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}'],
+            ["sbt", "-batch", f'runMain graft.Verify {SF} {OUT}{extra}'],
             capture_output=True, text=True, cwd="/root/repo")
         # [verify] failure lines are printed to stderr by Verify.scala —
         # scan BOTH streams or a per-query failure passes silently (the
@@ -42,10 +46,13 @@ def main():
             print(r.stdout[-3000:]); print(r.stderr[-2000:])
             sys.exit(1)
     oracle = json.loads((OUT / "oracle_sql.json").read_text())
+    if only:
+        oracle = {k: v for k, v in oracle.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
-    names = sorted(p.name for p in OUT.iterdir() if p.is_dir())
+    names = sorted(p.name for p in OUT.iterdir() if p.is_dir()
+                   and (only is None or p.name in only))
     n_pass = n_fail = 0
     # a registered oracle whose query never wrote output is a FAILURE,
     # not a silent omission
