@@ -944,6 +944,90 @@ object Relational extends QueryModule {
              |WHERE p_partkey % 50 = 0
              |ORDER BY p_partkey, metric""".stripMargin)),
 
+    // A20: explicit GROUPING SETS — the general form that ROLLUP (a13)
+    // and CUBE (a15) are sugar for: exactly the named aggregation
+    // levels in one Expand pass (per-brand and per-size here, but NOT
+    // the pair or the grand total), so the Expand fan-out is the
+    // number of requested levels, not 2^k.
+    GQuery("a20_grouping_sets",
+      (s, d) => Tables.part(s, d)
+        .filter(col("p_size") <= 3)
+        .groupingSets(Seq(Seq(col("p_brand")), Seq(col("p_size"))),
+          col("p_brand"), col("p_size"))
+        .agg(grouping(col("p_brand")).cast("int").as("g_brand"),
+          count(lit(1)).as("n"),
+          round(sum(col("p_retailprice")), 2).as("retail"))
+        .orderBy(col("p_brand").asc_nulls_first,
+          col("p_size").asc_nulls_first),
+      Some("""SELECT p_brand, p_size,
+             |  CAST(grouping(p_brand) AS INT) AS g_brand,
+             |  count(*) AS n, round(sum(p_retailprice), 2) AS retail
+             |FROM part WHERE p_size <= 3
+             |GROUP BY GROUPING SETS ((p_brand), (p_size))
+             |ORDER BY p_brand ASC NULLS FIRST,
+             |         p_size ASC NULLS FIRST""".stripMargin)),
+
+    // J14: interval-overlap join — 30-min-gap sessions against a
+    // derived bounded dimension of 20 equal "promo" windows spanning
+    // the corpus time range. The promo side is constant-sized and
+    // BROADCAST, so each session is checked against overlapping
+    // windows map-side with no shuffle of the big side — the canonical
+    // shape for interval × bounded-dimension joins at 100 TB (the
+    // interval × interval case is j5's time-bucket equi-join). All
+    // arithmetic is microseconds (`ts div 1000` = DuckDB epoch_us,
+    // j5's proven mapping) so window edges agree bit-for-bit.
+    GQuery("j14_interval_join",
+      (s, d) => {
+        val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+        val gap = 1800000000L // 30 min in micros
+        val evs = Tables.events(s, d)
+          .select(col("user_id"), expr("ts div 1000").as("t"),
+            col("event_id"))
+        val sess = evs
+          .withColumn("brk",
+            when(col("t") - lag("t", 1).over(w) > gap, 1).otherwise(0))
+          .withColumn("sid", sum("brk").over(w))
+          .groupBy("user_id", "sid")
+          .agg(min("t").as("s_start"), max("t").as("s_end"))
+        val promos = evs.agg(min("t").as("gmin"), max("t").as("gmax"))
+          .select(explode(sequence(lit(0), lit(19))).as("k"),
+            col("gmin"), col("gmax"))
+          .selectExpr("k AS promo_id",
+            "gmin + (k * (gmax - gmin + 1)) div 20 AS p_start",
+            "gmin + ((k + 1) * (gmax - gmin + 1)) div 20 - 1 AS p_end")
+        sess.join(broadcast(promos),
+            col("s_start") <= col("p_end") && col("s_end") >= col("p_start"))
+          .groupBy("promo_id")
+          .agg(count(lit(1)).as("n_sessions"),
+            countDistinct("user_id").as("n_users"))
+          .orderBy("promo_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS t, event_id FROM events),
+             |b AS (SELECT user_id, t, event_id,
+             |        CASE WHEN t - lag(t) OVER
+             |               (PARTITION BY user_id ORDER BY t, event_id)
+             |             > 1800000000 THEN 1 ELSE 0 END AS brk
+             |      FROM e),
+             |g AS (SELECT user_id, t,
+             |        sum(brk) OVER
+             |          (PARTITION BY user_id ORDER BY t, event_id) AS sid
+             |      FROM b),
+             |sess AS (SELECT user_id, sid, min(t) AS s_start,
+             |           max(t) AS s_end
+             |         FROM g GROUP BY 1, 2),
+             |bounds AS (SELECT min(t) AS gmin, max(t) AS gmax FROM e),
+             |promos AS (
+             |  SELECT k AS promo_id,
+             |    gmin + (k * (gmax - gmin + 1)) // 20 AS p_start,
+             |    gmin + ((k + 1) * (gmax - gmin + 1)) // 20 - 1 AS p_end
+             |  FROM bounds CROSS JOIN (SELECT unnest(range(20)) AS k))
+             |SELECT promo_id, count(*) AS n_sessions,
+             |  count(DISTINCT user_id) AS n_users
+             |FROM sess JOIN promos
+             |  ON s_start <= p_end AND s_end >= p_start
+             |GROUP BY 1 ORDER BY promo_id""".stripMargin)),
+
     // F13: schema-full JSON parsing — from_json materializes the whole
     // document into a typed struct in ONE parse; f3's per-path
     // get_json_object re-parses the string per extracted field, which
