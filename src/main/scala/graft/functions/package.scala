@@ -29,6 +29,26 @@ package object functions {
 
   def jaccardDist(a: Column, b: Column): Column = lit(1.0) - jaccardSim(a, b)
 
+  /** Morton/z-order interleave of the low `bits` bits of two long
+    * columns: bit i of `x` lands at position 2i, bit i of `y` at
+    * 2i+1. Sorting (or range-partitioning) by the z-value clusters
+    * rows so per-file min/max statistics are tight on BOTH dimensions
+    * — the layout that makes scan-time skipping work for
+    * two-predicate workloads where sorting by either single column
+    * only helps that column. Pure bit arithmetic → whole-stage
+    * codegen; no UDF. */
+  def zorderBits(x: Column, y: Column, bits: Int = 16): Column =
+    (0 until bits).map { i =>
+      shiftleft(shiftrightunsigned(x, i).bitwiseAND(1), 2 * i) +
+        shiftleft(shiftrightunsigned(y, i).bitwiseAND(1), 2 * i + 1)
+    }.reduce(_ + _)
+
+  /** The same interleave as ANSI SQL text (for DuckDB oracles). */
+  def zorderSql(x: String, y: String, bits: Int = 16): String =
+    (0 until bits).map { i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})"
+    }.mkString(" + ")
+
   /** Cosine similarity of two equal-length numeric array columns.
     * Pure `zip_with` + `aggregate` — whole-stage-codegen friendly, no UDF. */
   def cosineSim(a: Column, b: Column): Column = {

@@ -125,6 +125,38 @@ object Sources extends QueryModule {
              |       round(sum(s_acctbal), 2) AS bal
              |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S14: z-order (Morton) layout for two-dimensional data skipping.
+    // Interleaving the bits of (l_partkey, l_suppkey) and clustering by
+    // the z-value keeps per-file min/max statistics tight on BOTH keys
+    // — a scan filtered on either column (or both) skips most files,
+    // where a single-column sort only serves that column. At 100 TB
+    // this is `repartitionByRange(z).sortWithinPartitions(z)` before
+    // the parquet write; here the bucketed extents (the quantity file
+    // skipping depends on) are the checked output. The interleave is
+    // pure codegen'd bit arithmetic (`functions.zorderBits`) and the
+    // oracle replays the identical expression (`functions.zorderSql`).
+    GQuery("s14_zorder",
+      (s, d) => Tables.lineitem(s, d)
+        .select(col("l_partkey").cast("long").as("x"),
+          col("l_suppkey").cast("long").as("y"))
+        .withColumn("z",
+          graft.functions.zorderBits(col("x"), col("y")))
+        .withColumn("zbucket", expr("z div 4096"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("xmin"), max("x").as("xmax"),
+          min("y").as("ymin"), max("y").as("ymax"))
+        .orderBy("zbucket"),
+      Some(s"""WITH z AS (
+             |  SELECT l_partkey AS x, l_suppkey AS y,
+             |    ${graft.functions.zorderSql("l_partkey", "l_suppkey")}
+             |      AS zv
+             |  FROM lineitem)
+             |SELECT zv // 4096 AS zbucket, count(*) AS n,
+             |  min(x) AS xmin, max(x) AS xmax,
+             |  min(y) AS ymin, max(y) AS ymax
+             |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin)),
+
     // S13: SQL-text front end — temp views + spark.sql over the SAME
     // statement DuckDB runs as the oracle (modulo nothing: the text is
     // shared verbatim). Proves a reference user can bring raw ANSI SQL

@@ -150,4 +150,30 @@ class FunctionsSpec extends AnyFunSuite {
           s"$flag $tag: approx $a vs exact $e drifts past 1%")
     }
   }
+
+  test("zorderBits: known interleaves, and z-sort tightens 2-D extents") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val known = Seq((0L, 0L, 0L), (1L, 0L, 1L), (0L, 1L, 2L),
+      (5L, 3L, 27L), (65535L, 0L, 0x55555555L), (0L, 65535L, 0xAAAAAAAAL))
+    val got = known.map { case (x, y, _) => (x, y) }.toDF("x", "y")
+      .select(zorderBits(col("x"), col("y")).as("z"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == known.map(_._3), s"interleave mismatch: $got")
+
+    // locality: bucketing a 64x64 grid by z-value gives far tighter
+    // per-bucket y-extents than bucketing the x-sorted order (which is
+    // perfectly tight on x but spans ALL of y in every bucket)
+    val grid = (for (x <- 0L until 64L; y <- 0L until 64L) yield (x, y))
+      .toDF("x", "y")
+      .select(col("x"), col("y"), zorderBits(col("x"), col("y")).as("z"))
+    def meanYExtent(bucket: org.apache.spark.sql.Column): Double =
+      grid.groupBy(bucket.as("b"))
+        .agg((max("y") - min("y")).as("ey"))
+        .agg(avg("ey")).head().getDouble(0)
+    val zExtent = meanYExtent(expr("z div 256"))      // 16 z-buckets
+    val xExtent = meanYExtent(expr("(x * 64 + y) div 256")) // x-major
+    assert(zExtent < xExtent / 4,
+      s"z-order extents $zExtent not tighter than x-sort $xExtent")
+  }
 }
