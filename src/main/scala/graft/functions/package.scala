@@ -43,6 +43,19 @@ package object functions {
         shiftleft(shiftrightunsigned(y, i).bitwiseAND(1), 2 * i + 1)
     }.reduce(_ + _)
 
+  /** The d count-min cells `(r, c)` for a token: row r hashes the
+    * token to column c = 48-bit md5 prefix of "r#tok" mod w —
+    * portable arithmetic (x10's trick) so DuckDB lands every token in
+    * the identical cell. Shared by the batch sketch (x14_countmin)
+    * and the streaming one (`StreamOps.countMin`), which is what makes
+    * their matrices comparable cell-for-cell. */
+  def cmsCells(tok: Column, d: Int = 4, w: Int = 512): Column =
+    array((0 until d).map { i =>
+      struct(lit(i).as("r"),
+        (conv(substring(md5(concat_ws("#", lit(i.toString), tok)), 1, 12),
+          16, 10).cast("long") % w).as("c"))
+    }: _*)
+
   /** The same interleave as ANSI SQL text (for DuckDB oracles). */
   def zorderSql(x: String, y: String, bits: Int = 16): String =
     (0 until bits).map { i =>

@@ -567,11 +567,7 @@ object TextAnalysis extends QueryModule {
       (s, d) => {
         val dRows = 4; val w = 512
         def cellsOf(tok: Column): Column =
-          array((0 until dRows).map { i =>
-            struct(lit(i).as("r"),
-              (conv(substring(md5(concat_ws("#", lit(i.toString), tok)),
-                1, 12), 16, 10).cast("long") % w).as("c"))
-          }: _*)
+          graft.functions.cmsCells(tok, dRows, w)
         val toks = docsSpread(s, d)
           .select(explode(tokens(col("text"))).as("tok"))
         val counters = toks

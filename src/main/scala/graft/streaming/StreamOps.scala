@@ -226,6 +226,23 @@ object StreamOps extends Serializable {
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
   }
 
+  /** Streaming count-min sketch (the streaming face of the batch
+    * `x14_countmin`): the counter matrix is a purely ADDITIVE
+    * aggregate, so Structured Streaming's stateful groupBy holds
+    * exactly the d·w bounded cells as state — no custom state
+    * function needed, and the matrix after any prefix of batches
+    * equals the batch matrix over the same rows cell-for-cell (the
+    * mergeability that makes CMS the streaming frequency path at
+    * 100 TB: counters add across batches, executors, and clusters).
+    * Expects a `tok` string column; emits (r, c, cnt) in Update mode.
+    * Probing stays the batch-side `min` over a token's d cells. */
+  def countMin(toks: DataFrame, d: Int = 4, w: Int = 512): DataFrame =
+    toks
+      .select(explode(graft.functions.cmsCells(col("tok"), d, w))
+        .as("cell"))
+      .groupBy(col("cell.r").as("r"), col("cell.c").as("c"))
+      .count()
+
   /** Stream-stream interval join (the streaming analog of the
     * time-bucketed j5): pairs a click stream with a purchase stream of
     * the same user where the purchase lands within `withinSec` seconds

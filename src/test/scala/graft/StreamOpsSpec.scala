@@ -4,6 +4,7 @@ import java.sql.Timestamp
 
 import graft.streaming.{StreamEvent, StreamOps}
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.{col, explode}
 import org.apache.spark.sql.streaming.OutputMode
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -196,6 +197,48 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(byUser(1L)._2 == 2 && byUser(1L)._3 == "click-view",
         s"user1 session wrong: $rows")
       assert(byUser(2L)._2 == 1 && byUser(2L)._3 == "signup")
+    } finally q.stop()
+  }
+
+  test("countMin: streamed matrix equals the batch matrix cell-for-cell") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val (d, w) = (4, 64)
+    val batch1 = Seq.fill(30)("apple") ++ Seq.fill(10)("pear") ++
+      (1 to 25).map(i => s"rare$i")
+    val batch2 = Seq.fill(20)("apple") ++ Seq.fill(5)("fig") ++
+      (20 to 45).map(i => s"rare$i")
+    val mem = MemoryStream[String]
+    val q = StreamOps.countMin(mem.toDS().toDF("tok"), d, w)
+      .writeStream.format("memory").queryName("cms")
+      .outputMode(OutputMode.Update).start()
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // Update mode re-emits a cell each batch it changes; keep the last
+      val streamed = spark.sql("SELECT r, c, count FROM cms").collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2)))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.last._2 }
+      val batchMat = (batch1 ++ batch2).toDF("tok")
+        .select(explode(graft.functions.cmsCells(col("tok"), d, w))
+          .as("cell"))
+        .groupBy(col("cell.r"), col("cell.c")).count().collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+      assert(streamed == batchMat,
+        s"stream/batch matrices differ: ${streamed.size} vs ${batchMat.size} cells")
+      // state is the matrix: never more than d*w cells
+      assert(streamed.size <= d * w)
+      // probe through the streamed matrix: one-sided overestimate
+      def probe(tok: String): Long =
+        Seq(tok).toDF("tok")
+          .select(explode(graft.functions.cmsCells(col("tok"), d, w))
+            .as("cell"))
+          .select(col("cell.r"), col("cell.c")).collect()
+          .map(r => streamed((r.getInt(0), r.getLong(1)))).min
+      assert(probe("apple") >= 50 && probe("pear") >= 10 &&
+        probe("fig") >= 5)
     } finally q.stop()
   }
 
