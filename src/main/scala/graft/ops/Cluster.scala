@@ -215,6 +215,79 @@ object Cluster extends QueryModule {
     // Hour granularity keeps cells small, so the candidate-pair join is
     // bounded (the coarser day-level cells produced ~20x more pairs for
     // the same component structure).
+    // M11: distributed triangle counting with DEGREE ORIENTATION over
+    // the part-co-occurrence graph (parts are adjacent when some order
+    // contains both; per-order fan-out is bounded by order size, so
+    // edge generation is linear in lineitem). Orienting every edge
+    // from its lower-(degree, id) endpoint makes the orientation
+    // acyclic with out-degree O(sqrt(|E|)) — each triangle then has
+    // EXACTLY one node with two out-edges to the others, so the
+    // wedge self-join (the only quadratic step) is bounded by
+    // out-degree, never by a hub's full degree. The standard way to
+    // count triangles on a 100 TB graph without a hub blowup.
+    GQuery("m11_triangles",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.select(col("o"), col("p").as("pa"))
+          .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
+          .filter(col("pa") < col("pb"))
+          .select("pa", "pb").distinct()
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val deg = e.select(col("pa").as("n"))
+          .union(e.select(col("pb").as("n")))
+          .groupBy("n").agg(count(lit(1)).as("dg"))
+        val oriented = e
+          .join(deg.select(col("n").as("pa"), col("dg").as("da")), Seq("pa"))
+          .join(deg.select(col("n").as("pb"), col("dg").as("db")), Seq("pb"))
+          .select(
+            when(col("da") < col("db") ||
+              (col("da") === col("db") && col("pa") < col("pb")),
+              struct(col("pa").as("f"), col("pb").as("t")))
+              .otherwise(struct(col("pb").as("f"), col("pa").as("t")))
+              .as("oe"))
+          .select(col("oe.f").as("f"), col("oe.t").as("t"))
+        val wedges = oriented.select(col("f"), col("t").as("b"))
+          .join(oriented.select(col("f"), col("t").as("c")), Seq("f"))
+          .filter(col("b") < col("c"))
+        val tri = wedges
+          .select(col("f"), least(col("b"), col("c")).as("pa"),
+            greatest(col("b"), col("c")).as("pb"))
+          .join(e, Seq("pa", "pb"))
+        tri.select(explode(array(col("f"), col("pa"), col("pb")))
+            .as("node"))
+          .groupBy("node").agg(count(lit(1)).as("n_tri"))
+          .orderBy(col("n_tri").desc, col("node")).limit(15)
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |  FROM lineitem),
+             |e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
+             |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+             |deg AS (SELECT n, count(*) AS dg FROM (
+             |          SELECT pa AS n FROM e
+             |          UNION ALL SELECT pb FROM e) GROUP BY 1),
+             |r AS (SELECT
+             |        CASE WHEN d1.dg < d2.dg OR
+             |                  (d1.dg = d2.dg AND pa < pb)
+             |             THEN pa ELSE pb END AS f,
+             |        CASE WHEN d1.dg < d2.dg OR
+             |                  (d1.dg = d2.dg AND pa < pb)
+             |             THEN pb ELSE pa END AS t
+             |      FROM e JOIN deg d1 ON d1.n = pa
+             |             JOIN deg d2 ON d2.n = pb),
+             |w AS (SELECT e1.f, e1.t AS b, e2.t AS c
+             |      FROM r e1 JOIN r e2 ON e1.f = e2.f AND e1.t < e2.t),
+             |tri AS (SELECT w.f, least(w.b, w.c) AS pa,
+             |          greatest(w.b, w.c) AS pb
+             |        FROM w JOIN e
+             |          ON e.pa = least(w.b, w.c)
+             |         AND e.pb = greatest(w.b, w.c)),
+             |nodes AS (SELECT unnest([f, pa, pb]) AS node FROM tri)
+             |SELECT node, count(*) AS n_tri FROM nodes
+             |GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 15""".stripMargin)),
+
     GQuery("m8_connected_components",
       (s, d) => {
         // persisted: the distinct activity-cell summary feeds BOTH sides

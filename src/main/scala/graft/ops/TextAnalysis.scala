@@ -552,6 +552,43 @@ object TextAnalysis extends QueryModule {
              |GROUP BY t.doc_id, n.ln_total_micro
              |ORDER BY doc_id""".stripMargin)),
 
+    // Data-quality expectation report (deequ-style): one pass over the
+    // fact computes row count, key uniqueness, range violations,
+    // domain-membership violations, and (via one left join) foreign-key
+    // orphans — the gate a 100 TB ingest runs BEFORE data enters the
+    // lake. Everything folds into a single aggregation (map-side
+    // combined, one row out); the referential check is the only
+    // shuffle and it is the join a validator cannot avoid.
+    GQuery("x15_expectations",
+      (s, d) => Tables.orders(s, d)
+        .join(Tables.customer(s, d).select(col("c_custkey")),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          (count(lit(1)) - countDistinct(col("o_orderkey")))
+            .as("n_dup_keys"),
+          sum(when(col("o_totalprice") <= 0 ||
+            col("o_totalprice") > 1000000, 1L).otherwise(0L))
+            .as("n_price_range_viol"),
+          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
+            .as("n_null_date"),
+          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+            .otherwise(0L)).as("n_bad_status"),
+          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+            .as("n_orphan_custkey")),
+      Some("""SELECT count(*) AS n_rows,
+             |  count(*) - count(DISTINCT o_orderkey) AS n_dup_keys,
+             |  sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000
+             |           THEN 1 ELSE 0 END) AS n_price_range_viol,
+             |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+             |    AS n_null_date,
+             |  sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+             |           THEN 1 ELSE 0 END) AS n_bad_status,
+             |  sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+             |    AS n_orphan_custkey
+             |FROM orders LEFT JOIN customer
+             |  ON o_custkey = c_custkey""".stripMargin)),
+
     // Count-min sketch heavy hitters: a (d=4 × w=512) counter matrix
     // over the token stream, probed with the exact top-20 tokens so the
     // sketch's one-sided overestimate sits next to ground truth in the
