@@ -1028,6 +1028,49 @@ object Relational extends QueryModule {
              |  ON s_start <= p_end AND s_end >= p_start
              |GROUP BY 1 ORDER BY promo_id""".stripMargin)),
 
+    // W7: SCD Type-2 dimension versioning — collapse a per-customer
+    // order history into priority VERSIONS with [valid_from, valid_to)
+    // intervals: a change row starts a version (lag-compare), the next
+    // version's start closes it (lead), the open version keeps NULL.
+    // Both windows partition on the entity key, so the history of one
+    // customer never leaves its task and the operator scales with
+    // customers, not history length. The warehouse pattern every
+    // dimension load needs; j10's as-of join is its read-side dual.
+    GQuery("w7_scd2",
+      (s, d) => {
+        val wAll = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        val wVer = Window.partitionBy("o_custkey")
+          .orderBy("valid_from", "o_orderkey")
+        Tables.orders(s, d)
+          // partition-key filter: safe BEFORE the window (whole
+          // partitions survive or vanish) and it reaches the scan
+          .filter(col("o_custkey") % 20 === 0)
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_orderpriority").as("prio"))
+          .withColumn("prev", lag("prio", 1).over(wAll))
+          .filter(col("prev").isNull || col("prio") =!= col("prev"))
+          .withColumn("valid_from", col("o_orderdate"))
+          .select(col("o_custkey"), col("prio"), col("valid_from"),
+            lead("valid_from", 1).over(wVer).as("valid_to"))
+          .orderBy("o_custkey", "valid_from", "prio")
+      },
+      Some("""WITH v AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey,
+             |    o_orderpriority AS prio,
+             |    lag(o_orderpriority) OVER
+             |      (PARTITION BY o_custkey
+             |       ORDER BY o_orderdate, o_orderkey) AS prev
+             |  FROM orders WHERE o_custkey % 20 = 0),
+             |s AS (SELECT o_custkey, prio, o_orderdate AS valid_from,
+             |        o_orderkey
+             |      FROM v WHERE prev IS NULL OR prio <> prev)
+             |SELECT o_custkey, prio, valid_from,
+             |  lead(valid_from) OVER
+             |    (PARTITION BY o_custkey
+             |     ORDER BY valid_from, o_orderkey) AS valid_to
+             |FROM s ORDER BY o_custkey, valid_from, prio""".stripMargin)),
+
     // F13: schema-full JSON parsing — from_json materializes the whole
     // document into a typed struct in ONE parse; f3's per-path
     // get_json_object re-parses the string per extracted field, which
