@@ -552,6 +552,57 @@ object TextAnalysis extends QueryModule {
              |GROUP BY t.doc_id, n.ln_total_micro
              |ORDER BY doc_id""".stripMargin)),
 
+    // TF-IDF keyword extraction: top-3 terms per document by
+    // tf · ln(N/df). The idf is quantized to integer micro-nats AT THE
+    // VOCABULARY LEVEL (x12's trick) so every per-doc score is exact
+    // long arithmetic — order-independent across partitions and
+    // engines. Shape: one map-side-combined (doc, tok) count, one
+    // vocabulary aggregate (Heaps-law bounded, broadcast — at open-web
+    // scale swap for the co-partitioned join), one per-doc top-k
+    // window on the (doc, tok) frame — partitioned by doc_id, so no
+    // global funnel.
+    GQuery("x16_tfidf",
+      (s, d) => {
+        val tf = docsSpread(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        val nDocs = Tables.documents(s, d).count()
+        val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .select(col("tok"),
+            round(log(lit(nDocs.toDouble) / col("df")) * 1e6)
+              .cast("long").as("idf_micro"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("doc_id")
+          .orderBy(col("score_micro").desc, col("tok"))
+        tf.join(broadcast(idf), Seq("tok"))
+          .select(col("doc_id"), col("tok"),
+            (col("tf") * col("idf_micro")).as("score_micro"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") <= 3 && col("doc_id") % 10 === 0)
+          .select(col("doc_id"), col("rk").cast("long").as("rk"),
+            col("tok"), col("score_micro"))
+          .orderBy("doc_id", "rk")
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf
+             |       FROM t GROUP BY 1, 2),
+             |n AS (SELECT count(*) AS n_docs FROM documents),
+             |idf AS (SELECT tok,
+             |          CAST(round(ln(n_docs / count(*)) * 1e6) AS BIGINT)
+             |            AS idf_micro
+             |        FROM tf CROSS JOIN n
+             |        GROUP BY tok, n_docs),
+             |scored AS (
+             |  SELECT doc_id, tok, tf * idf_micro AS score_micro,
+             |    row_number() OVER (PARTITION BY doc_id
+             |      ORDER BY tf * idf_micro DESC, tok) AS rk
+             |  FROM tf JOIN idf USING (tok))
+             |SELECT doc_id, rk, tok, score_micro
+             |FROM scored WHERE rk <= 3 AND doc_id % 10 = 0
+             |ORDER BY doc_id, rk""".stripMargin)),
+
     // Data-quality expectation report (deequ-style): one pass over the
     // fact computes row count, key uniqueness, range violations,
     // domain-membership violations, and (via one left join) foreign-key
