@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan regression net: the scale-critical plan shapes that
+  * `runMain graft.Explain` audits by hand, locked in as tests so a
+  * refactor cannot silently trade them away. String-level assertions
+  * on `executedPlan` are deliberate — they express exactly what a
+  * plan reviewer greps for (PushedFilters, join strategy, Expand
+  * count), survive Spark-internal class renames better than node
+  * casts, and fail with the full plan in the message.
+  */
+class PlanAuditSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("no registered query plans a CartesianProduct") {
+    // a cross product that is not a broadcast nested-loop is the one
+    // join shape that can never survive a 100x scale-up; every cross
+    // in the repo must ride a broadcast of a bounded side
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { n =>
+      val p =
+        try plan(n)
+        catch { case e: Throwable => fail(s"$n failed to plan: $e") }
+      if (p.contains("CartesianProduct")) Some(n) else None
+    }
+    assert(offenders.isEmpty,
+      s"CartesianProduct planned in: ${offenders.mkString(", ")}")
+  }
+
+  test("p4: filter predicates are pushed into the parquet scan") {
+    val p = plan("p4_filter_predicates")
+    assert(p.contains("PushedFilters: [") && !p.contains("PushedFilters: []"),
+      s"expected non-empty PushedFilters:\n$p")
+  }
+
+  test("j7: all three dimension joins broadcast (no SMJ for dims)") {
+    val p = plan("j7_join_broadcast")
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 3, s"expected >=3 BroadcastHashJoin, got $n:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dim join fell back to SMJ:\n$p")
+  }
+
+  test("o1: global sort+limit compiles to TakeOrderedAndProject") {
+    val p = plan("o1_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"global sort planned:\n$p")
+  }
+
+  test("j14: overlap join builds the bounded promo side as broadcast") {
+    val p = plan("j14_interval_join")
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"expected BroadcastNestedLoopJoin:\n$p")
+  }
+
+  test("a16 pivots without Expand; a20 grouping-sets uses exactly one") {
+    assert(!plan("a16_pivot").contains("Expand"),
+      "explicit-value pivot must not add an Expand")
+    val n = "Expand".r.findAllIn(plan("a20_grouping_sets")).length
+    assert(n == 1, s"grouping sets should plan exactly one Expand, got $n")
+  }
+
+  test("j11: the bloom filter sits on the scan, before any exchange") {
+    val p = plan("j11_bloom_prune")
+    val filterAt = p.indexOf("might_contain")
+    val exchangeAt = p.indexOf("Exchange")
+    assert(filterAt >= 0, s"bloom filter missing from plan:\n$p")
+    // formatted plans list downstream ops first: the scan-side filter
+    // must appear BELOW (later in the string than) the first exchange
+    assert(exchangeAt < 0 || filterAt > exchangeAt,
+      s"bloom filter not at the scan:\n$p")
+  }
+}
