@@ -270,6 +270,64 @@ object Trace extends QueryModule {
              |  SELECT user_id, event_id, value,
              |    row_number() OVER (PARTITION BY user_id
              |      ORDER BY value DESC, event_id) AS rn
-             |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin))
+             |  FROM events) WHERE rn = 1 ORDER BY user_id""".stripMargin)),
+
+    // T13: funnel analysis — first click, first view STRICTLY after
+    // it, first purchase strictly after that, per user, in ONE pass:
+    // array_sort(collect_list) + a single HOF fold carrying the
+    // (c1, v1, p1) state. One shuffle total, state is three longs per
+    // user regardless of history length — where the naive form (three
+    // sequential min-aggregate + join-back rounds) pays three keyed
+    // shuffles. The oracle IS that naive form, so the two derivations
+    // checking each other is part of the point. Timestamps in micros
+    // (`ts div 1000` = epoch_us). Users with no click are out of the
+    // funnel and dropped.
+    GQuery("t13_funnel",
+      (s, d) => {
+        val acc0 = struct(lit(null).cast("long").as("c1"),
+          lit(null).cast("long").as("v1"), lit(null).cast("long").as("p1"))
+        def fold(evs: Column): Column = aggregate(evs, acc0, (acc, e) => {
+          val (t, ty) = (e.getField("t"), e.getField("ty"))
+          val c1 = when(acc.getField("c1").isNull && ty === "click", t)
+            .otherwise(acc.getField("c1"))
+          val v1 = when(acc.getField("v1").isNull && ty === "view" &&
+              acc.getField("c1").isNotNull && t > acc.getField("c1"), t)
+            .otherwise(acc.getField("v1"))
+          val p1 = when(acc.getField("p1").isNull && ty === "purchase" &&
+              acc.getField("v1").isNotNull && t > acc.getField("v1"), t)
+            .otherwise(acc.getField("p1"))
+          struct(c1.as("c1"), v1.as("v1"), p1.as("p1"))
+        })
+        Tables.events(s, d)
+          .select(col("user_id"),
+            struct(expr("ts div 1000").as("t"), col("event_id").as("eid"),
+              col("event_type").as("ty")).as("e"))
+          .groupBy("user_id")
+          .agg(array_sort(collect_list(col("e"))).as("evs"))
+          .select(col("user_id"), fold(col("evs")).as("f"))
+          .select(col("user_id"), col("f.c1").as("c1"),
+            col("f.v1").as("v1"), col("f.p1").as("p1"))
+          .filter(col("c1").isNotNull)
+          .withColumn("stage",
+            when(col("p1").isNotNull, 3).when(col("v1").isNotNull, 2)
+              .otherwise(1))
+          .orderBy("user_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_us(ts) AS t, event_type FROM events),
+             |c AS (SELECT user_id, min(t) AS c1 FROM e
+             |      WHERE event_type = 'click' GROUP BY 1),
+             |v AS (SELECT e.user_id, min(t) AS v1
+             |      FROM e JOIN c USING (user_id)
+             |      WHERE event_type = 'view' AND t > c1 GROUP BY 1),
+             |p AS (SELECT e.user_id, min(t) AS p1
+             |      FROM e JOIN v USING (user_id)
+             |      WHERE event_type = 'purchase' AND t > v1 GROUP BY 1)
+             |SELECT c.user_id AS user_id, c1, v1, p1,
+             |  CASE WHEN p1 IS NOT NULL THEN 3
+             |       WHEN v1 IS NOT NULL THEN 2 ELSE 1 END AS stage
+             |FROM c LEFT JOIN v ON c.user_id = v.user_id
+             |       LEFT JOIN p ON c.user_id = p.user_id
+             |ORDER BY user_id""".stripMargin))
   )
 }

@@ -250,17 +250,25 @@ object StreamOps extends Serializable {
     * the join state: click state is kept `withinSec` past the purchase
     * watermark, purchase state drops immediately. */
   def clickToPurchase(clicks: DataFrame, purchases: DataFrame,
-      withinSec: Long, watermark: String = "1 minute"): DataFrame = {
+      withinSec: Long, watermark: String = "1 minute",
+      joinType: String = "inner"): DataFrame = {
     val c = clicks.withWatermark("ts", watermark)
       .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
         col("ts").as("c_ts"))
     val p = purchases.withWatermark("ts", watermark)
       .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
         col("ts").as("p_ts"))
+    // joinType "leftOuter": a click whose window expired unmatched is
+    // EMITTED with null purchase columns once the global watermark
+    // (min over both streams) proves no match can still arrive — the
+    // streaming "unconverted funnel rows" that an inner join silently
+    // drops. Same state bound as inner: the time condition lets Spark
+    // evict click state `withinSec` past the watermark.
     c.join(p,
       col("c_user") === col("p_user") &&
         col("p_ts") > col("c_ts") &&
-        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $withinSec SECONDS"))
+        col("p_ts") <= col("c_ts") + expr(s"INTERVAL $withinSec SECONDS"),
+      joinType)
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"), col("c_ts"), col("p_ts"))
   }

@@ -173,6 +173,35 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("clickToPurchase leftOuter: expired unmatched clicks emit nulls") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[StreamEvent]
+    val purchases = MemoryStream[StreamEvent]
+    val q = StreamOps.clickToPurchase(clicks.toDF(), purchases.toDF(),
+        120L, "10 seconds", "leftOuter")
+      .writeStream.format("memory").queryName("c2p_lo")
+      .outputMode(OutputMode.Append).start()
+    try {
+      clicks.addData(ev(1, 1, "click", 10), ev(2, 2, "click", 10))
+      purchases.addData(ev(100, 1, "purchase", 60))
+      q.processAllAvailable()
+      // push BOTH watermarks far past click@10s + 120s window + 10s delay
+      clicks.addData(ev(8, 9, "click", 2000))
+      purchases.addData(ev(9, 9, "purchase", 2000))
+      q.processAllAvailable()
+      val rows = spark.sql(
+          "SELECT user_id, click_id, purchase_id FROM c2p_lo")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2))).toSet
+      // user 1 matched; user 2's window expired with no purchase →
+      // emitted with null purchase (the row an inner join never shows)
+      assert(rows.contains((1L, 1L, 100L)), s"matched pair missing: $rows")
+      assert(rows.contains((2L, 2L, -1L)), s"outer row missing: $rows")
+    } finally q.stop()
+  }
+
   test("sessionize: sessions close after the gap, path is time-ordered") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
