@@ -133,7 +133,31 @@ object Dedup extends QueryModule {
 
   /** [[ngramJaccardPairs]] over an arbitrary (doc_id, sh) shingle frame. */
   private[graft] def ngramJaccardPairsOf(shingles: DataFrame,
-      minSim: Double, maxDocsPerShingle: Option[Int]): DataFrame = {
+      minSim: Double, maxDocsPerShingle: Option[Int]): DataFrame =
+    shingleOverlapCounts(shingles, maxDocsPerShingle)
+      .withColumn("jac",
+        col("shared") / (col("na") + col("nb") - col("shared")))
+      .filter(col("jac") >= minSim)
+      .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
+
+  /** Asymmetric containment pairs over a (doc_id, sh) shingle frame:
+    * keeps pairs where either direction's |∩|/|side| clears `minCont`.
+    * Same cap semantics as [[ngramJaccardPairsOf]]. */
+  private[graft] def containmentPairsOf(shingles: DataFrame,
+      minCont: Double, maxDocsPerShingle: Option[Int]): DataFrame =
+    shingleOverlapCounts(shingles, maxDocsPerShingle)
+      .withColumn("c_ab", round(col("shared") / col("na"), 4))
+      .withColumn("c_ba", round(col("shared") / col("nb"), 4))
+      .filter(col("c_ab") >= minCont || col("c_ba") >= minCont)
+      .select("da", "db", "c_ab", "c_ba")
+
+  /** The inverted-index overlap skeleton shared by the Jaccard (d2)
+    * and containment (d7) near-dup operators: candidate pairs sharing
+    * ≥ 1 shingle, with set sizes and shared counts — every similarity
+    * in the |∩|/sizes family is arithmetic on these four columns, no
+    * array join-backs. */
+  private def shingleOverlapCounts(shingles: DataFrame,
+      maxDocsPerShingle: Option[Int]): DataFrame = {
     // set sizes ride along with the inverted index so the join output
     // carries |A| and |B| directly — no extra size joins (each would
     // re-evaluate the corpus-wide shingle projection); persist the
@@ -164,10 +188,6 @@ object Dedup extends QueryModule {
         Seq("g"))
       .filter(col("da") < col("db"))
       .groupBy("da", "db", "na", "nb").agg(count(lit(1)).as("shared"))
-      .withColumn("jac",
-        col("shared") / (col("na") + col("nb") - col("shared")))
-      .filter(col("jac") >= minSim)
-      .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
   }
 
   private[ops] val shingleSqlCte =
@@ -255,6 +275,30 @@ object Dedup extends QueryModule {
           |  round(shared * 1.0 / (na.n + nb.n - shared), 4) AS jac
           |FROM p JOIN n na ON p.da = na.doc_id JOIN n nb ON p.db = nb.doc_id
           |WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5
+          |ORDER BY da, db""".stripMargin)),
+
+    // Containment near-dup (ASYMMETRIC): c(A→B) = |A∩B| / |A| — the
+    // subset-duplication detector Jaccard misses when one document
+    // swallows a much smaller one (quoted articles, concatenated
+    // shards): A ⊂ B has c(A→B) = 1 while jaccard = |A|/|B| can be
+    // arbitrarily low. Same inverted-index skeleton, cost, and scale
+    // posture as d2; only the final arithmetic on (na, nb, shared)
+    // differs.
+    GQuery("d7_containment",
+      (s, d) => containmentPairsOf(docShingles(s, d), 0.8, None)
+        .orderBy("da", "db"),
+      Some(shingleSqlCte +
+        """,
+          |n AS (SELECT doc_id, len(sh) AS n FROM s),
+          |inv AS (SELECT doc_id, unnest(sh) AS g FROM s),
+          |p AS (SELECT a.doc_id AS da, b.doc_id AS db, count(*) AS shared
+          |      FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+          |      GROUP BY 1, 2)
+          |SELECT da, db, round(shared * 1.0 / na.n, 4) AS c_ab,
+          |  round(shared * 1.0 / nb.n, 4) AS c_ba
+          |FROM p JOIN n na ON p.da = na.doc_id JOIN n nb ON p.db = nb.doc_id
+          |WHERE round(shared * 1.0 / na.n, 4) >= 0.8
+          |   OR round(shared * 1.0 / nb.n, 4) >= 0.8
           |ORDER BY da, db""".stripMargin)),
 
     // MinHash + LSH banding: 64 seeded minhashes (xxhash64 over shingles),

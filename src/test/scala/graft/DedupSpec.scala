@@ -72,6 +72,28 @@ class DedupSpec extends AnyFunSuite {
     assert(!capped.keySet.exists { case (a, b) => a < 30 || b < 30 })
   }
 
+  test("d7 containment catches a subset doc that Jaccard misses") {
+    // doc 1 is VERBATIM contained in doc 2, which is 3x longer:
+    // c(1→2) = 1.0 while jaccard ≈ |A|/|B| ≈ 0.33 — below d2's 0.5
+    val small = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = docsDf(Seq(
+      (1L, small),
+      (2L, s"$small one two three four five six seven eight nine ten " +
+        "eleven twelve thirteen fourteen fifteen sixteen"),
+      (3L, "totally different content with no overlap at all here")))
+    val sh = Dedup.shinglesOf(docs).cache()
+    val jac = Dedup.ngramJaccardPairsOf(sh, 0.5, None).collect()
+    assert(!jac.exists(r => r.getLong(0) == 1L && r.getLong(1) == 2L),
+      "jaccard at 0.5 should NOT pair the subset doc")
+    val cont = Dedup.containmentPairsOf(sh, 0.8, None).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(cont.exists { case (a, b, cab, _) =>
+      a == 1L && b == 2L && cab == 1.0 },
+      s"containment must pair (1, 2) with c_ab = 1.0: ${cont.toSeq}")
+    assert(!cont.exists(t => t._1 == 3L || t._2 == 3L),
+      "disjoint doc must not pair")
+  }
+
   test("chunk-bucket recall is exact vs all-pairs hamming <= 3") {
     // 40 docs: 10 base variants × small perturbations
     val rnd = new scala.util.Random(11)
