@@ -552,6 +552,45 @@ object TextAnalysis extends QueryModule {
              |GROUP BY t.doc_id, n.ln_total_micro
              |ORDER BY doc_id""".stripMargin)),
 
+    // Character-entropy gibberish scoring: per-doc Shannon entropy
+    // H = ln(n) − (Σ c·ln c)/n over the character distribution — the
+    // Gopher/CCNet-family signal orthogonal to x2's ratios: random
+    // byte noise scores HIGH, repeated-character runs score LOW, and
+    // both tails are cut. ln(c) is a deterministic function of the
+    // INTEGER count, quantized to micro-nats per (doc, char) row
+    // (x12's trick one level down), so the per-doc sum is exact long
+    // arithmetic. One explode + two keyed aggregations, all map-side
+    // combined.
+    GQuery("x17_char_entropy",
+      (s, d) => docsSpread(s, d)
+        .filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .filter(length(col("ch")) > 0)
+        .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+        .withColumn("lnc_micro",
+          round(log(col("c").cast("double")) * 1e6).cast("long"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_chars"),
+          count(lit(1)).as("n_distinct_chars"),
+          sum(col("c") * col("lnc_micro")).as("s_micro"))
+        .select(col("doc_id"), col("n_chars"), col("n_distinct_chars"),
+          round((round(log(col("n_chars").cast("double")) * 1e6) -
+            col("s_micro") / col("n_chars")) / 1e6, 4).as("entropy"))
+        .orderBy("doc_id"),
+      Some("""WITH ch AS (
+             |  SELECT doc_id, unnest(string_split_regex(text, '')) AS ch
+             |  FROM documents WHERE doc_id % 10 = 0),
+             |cc AS (SELECT doc_id, ch, count(*) AS c
+             |       FROM ch WHERE len(ch) > 0 GROUP BY 1, 2),
+             |q AS (SELECT doc_id, c,
+             |        CAST(round(ln(c) * 1e6) AS BIGINT) AS lnc_micro
+             |      FROM cc)
+             |SELECT doc_id, sum(c) AS n_chars,
+             |  count(*) AS n_distinct_chars,
+             |  round((round(ln(sum(c)) * 1e6) -
+             |    sum(c * lnc_micro) * 1.0 / sum(c)) / 1e6, 4) AS entropy
+             |FROM q GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
     // TF-IDF keyword extraction: top-3 terms per document by
     // tf · ln(N/df). The idf is quantized to integer micro-nats AT THE
     // VOCABULARY LEVEL (x12's trick) so every per-doc score is exact
