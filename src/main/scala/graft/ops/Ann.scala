@@ -288,6 +288,77 @@ object Ann extends QueryModule {
            |  FROM s)
            |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
 
+    // Scalar-quantized (SQ8) kNN: per-dimension [lo, hi] corpus bounds
+    // map every coordinate to an 8-bit code; distances are then EXACT
+    // INTEGER arithmetic on the codes. At 100 TB this is the memory
+    // tier between brute float scan (n1) and bucketed pruning (n2/n3):
+    // the quantized corpus is 4× smaller (and 8-bit-SIMD-friendly), the
+    // bounds frame is 64 rows broadcast once, and scoring stays a
+    // streamed scan against a bounded broadcast query set. Integer
+    // distances also make the oracle exact — no float-sum rounding
+    // anywhere in the ranking.
+    GQuery("n6_ann_sq8",
+      (s, d) => {
+        val vecs = Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"))
+        val bounds = vecs
+          .select(posexplode(col("v")).as(Seq("i", "x")))
+          .groupBy("i").agg(min("x").as("lo"), max("x").as("hi"))
+          .agg(
+            transform(array_sort(collect_list(struct(col("i"), col("lo")))),
+              e => e.getField("lo")).as("los"),
+            transform(array_sort(collect_list(struct(col("i"), col("hi")))),
+              e => e.getField("hi")).as("his"))
+        val quant = vecs.crossJoin(broadcast(bounds))
+          .select(col("vec_id"), transform(col("v"), (x, i) => {
+            val lo = element_at(col("los"), i + 1)
+            val hi = element_at(col("his"), i + 1)
+            when(hi === lo, lit(0L))
+              .otherwise(floor((x - lo) * lit(255.0) / (hi - lo)))
+          }).as("q"))
+        val probes = quant.filter(col("vec_id") % 20 === 0)
+          .select(col("vec_id").as("qid"), col("q").as("qq"))
+        def sqDist(a: Column, b: Column): Column =
+          aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+            lit(0L), (acc, e) => acc + e)
+        val w = Window.partitionBy("qid").orderBy(col("qdist"), col("nbr"))
+        quant.select(col("vec_id").as("nbr"), col("q"))
+          .crossJoin(broadcast(probes))
+          .filter(col("nbr") =!= col("qid"))
+          .withColumn("qdist", sqDist(col("qq"), col("q")))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 5)
+          .select(col("qid"), col("rn").cast("long").as("rn"), col("nbr"),
+            col("qdist"))
+          .orderBy("qid", "rn")
+      },
+      Some(vCte +
+        """,
+          |idx AS (SELECT unnest(range(1, 65)) AS i),
+          |b AS (SELECT i, min(v[i]) AS lo, max(v[i]) AS hi
+          |      FROM v CROSS JOIN idx GROUP BY i),
+          |qv AS (SELECT vec_id, list(qx ORDER BY i) AS q FROM (
+          |    SELECT vec_id, i,
+          |      CASE WHEN hi = lo THEN 0
+          |           ELSE CAST(floor((v[i] - lo) * 255.0 / (hi - lo))
+          |                AS BIGINT) END AS qx
+          |    FROM v CROSS JOIN idx JOIN b USING (i))
+          |  GROUP BY vec_id),
+          |p AS (SELECT vec_id AS qid, q AS qq FROM qv
+          |      WHERE vec_id % 20 = 0),
+          |s AS (SELECT qid, qv.vec_id AS nbr,
+          |        list_sum(list_transform(list_zip(qq, qv.q),
+          |          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS qdist
+          |      FROM p JOIN qv ON qv.vec_id <> p.qid)
+          |SELECT qid, rn, nbr, qdist FROM (
+          |  SELECT qid, nbr, qdist,
+          |    CAST(row_number() OVER (PARTITION BY qid
+          |      ORDER BY qdist, nbr) AS BIGINT) AS rn
+          |  FROM s)
+          |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
     // Distributed embedding aggregation: per-label centroids in
     // quantized integer space. Quantizing (round(x*1000) as long) before
     // the sum makes the aggregation ORDER-INDEPENDENT — float sums are
