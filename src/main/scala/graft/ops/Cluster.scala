@@ -216,9 +216,12 @@ object Cluster extends QueryModule {
     // bounded (the coarser day-level cells produced ~20x more pairs for
     // the same component structure).
     // M11: distributed triangle counting with DEGREE ORIENTATION over
-    // the part-co-occurrence graph (parts are adjacent when some order
-    // contains both; per-order fan-out is bounded by order size, so
-    // edge generation is linear in lineitem). Orienting every edge
+    // the part-co-occurrence graph: parts are adjacent when ≥ 2 orders
+    // contain both (per-order fan-out is bounded by order size, so edge
+    // generation is linear in lineitem; the support threshold is the
+    // market-basket semantics AND the sparsifier — single co-occurrence
+    // is noise, and keeping it makes the wedge stage pay ~50M pairs at
+    // sf0.1 for triangles of no meaning). Orienting every edge
     // from its lower-(degree, id) endpoint makes the orientation
     // acyclic with out-degree O(sqrt(|E|)) — each triangle then has
     // EXACTLY one node with two out-edges to the others, so the
@@ -233,7 +236,8 @@ object Cluster extends QueryModule {
         val e = li.select(col("o"), col("p").as("pa"))
           .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
           .filter(col("pa") < col("pb"))
-          .select("pa", "pb").distinct()
+          .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2).select("pa", "pb")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val deg = e.select(col("pa").as("n"))
           .union(e.select(col("pb").as("n")))
@@ -263,8 +267,9 @@ object Cluster extends QueryModule {
       Some("""WITH li AS (
              |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
              |  FROM lineitem),
-             |e AS (SELECT DISTINCT a.p AS pa, b.p AS pb
-             |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p),
+             |e AS (SELECT a.p AS pa, b.p AS pb
+             |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
              |deg AS (SELECT n, count(*) AS dg FROM (
              |          SELECT pa AS n FROM e
              |          UNION ALL SELECT pb FROM e) GROUP BY 1),
