@@ -1071,6 +1071,54 @@ object Relational extends QueryModule {
              |     ORDER BY valid_from, o_orderkey) AS valid_to
              |FROM s ORDER BY o_custkey, valid_from, prio""".stripMargin)),
 
+    // J15: CDC snapshot diff — derive the change set (insert / delete /
+    // update) between two table versions with ONE full-outer join on
+    // the key: the derive-side dual of j12's MERGE apply. Versions are
+    // synthesized deterministically from orders (key-sliced membership,
+    // a payload bump on a third slice) so both engines see identical
+    // snapshots; real usage feeds two parquet snapshots. One keyed
+    // shuffle, classification is pure projection.
+    GQuery("j15_cdc_diff",
+      (s, d) => {
+        val o = Tables.orders(s, d)
+          .select(col("o_orderkey").as("k"),
+            round(col("o_totalprice"), 2).as("price"))
+        val v1 = o.filter(col("k") % 3 =!= 0)
+          .select(col("k"), col("price").as("p1"))
+        // the update bump is +10.0 (exactly representable), NOT a
+        // float multiply: round() after a product straddles half-cent
+        // boundaries differently across engines (Spark rounds the
+        // shortest decimal repr HALF_UP, DuckDB the binary value)
+        val v2 = o.filter(col("k") % 5 =!= 0)
+          .select(col("k"),
+            when(col("k") % 7 === 0, col("price") + 10.0)
+              .otherwise(col("price")).as("p2"))
+        v1.join(v2, Seq("k"), "full_outer")
+          .withColumn("op",
+            when(col("p1").isNull, "I")
+              .when(col("p2").isNull, "D")
+              .when(col("p1") =!= col("p2"), "U"))
+          .filter(col("op").isNotNull)
+          .select(col("k"), col("op"), col("p1"), col("p2"))
+          .orderBy("k")
+      },
+      Some("""WITH o AS (SELECT o_orderkey AS k,
+             |            round(o_totalprice, 2) AS price FROM orders),
+             |v1 AS (SELECT k, price AS p1 FROM o WHERE k % 3 <> 0),
+             |v2 AS (SELECT k,
+             |         CASE WHEN k % 7 = 0 THEN price + 10.0
+             |              ELSE price END AS p2
+             |       FROM o WHERE k % 5 <> 0)
+             |SELECT coalesce(v1.k, v2.k) AS k,
+             |  CASE WHEN p1 IS NULL THEN 'I'
+             |       WHEN p2 IS NULL THEN 'D'
+             |       WHEN p1 <> p2 THEN 'U' END AS op, p1, p2
+             |FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+             |WHERE CASE WHEN p1 IS NULL THEN 'I'
+             |           WHEN p2 IS NULL THEN 'D'
+             |           WHEN p1 <> p2 THEN 'U' END IS NOT NULL
+             |ORDER BY k""".stripMargin)),
+
     // F13: schema-full JSON parsing — from_json materializes the whole
     // document into a typed struct in ONE parse; f3's per-path
     // get_json_object re-parses the string per extracted field, which
