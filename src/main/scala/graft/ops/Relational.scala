@@ -1071,6 +1071,46 @@ object Relational extends QueryModule {
              |     ORDER BY valid_from, o_orderkey) AS valid_to
              |FROM s ORDER BY o_custkey, valid_from, prio""".stripMargin)),
 
+    // A21: equi-depth histogram — bucket boundaries are the exact
+    // quartiles, so bucket populations are balanced by construction
+    // (the histogram optimizers/data-profilers want; equi-WIDTH over
+    // skewed money columns puts everything in one bin). Prices are
+    // quantized to integer cents FIRST: quartile interpolation over
+    // integers at quarter fractions is exactly representable, so both
+    // engines compute bit-identical cuts and boundary rows can never
+    // flip buckets. One percentile aggregate (broadcast, 1 row) + one
+    // map-side projection + one 4-group count.
+    GQuery("a21_equidepth",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(round(col("l_extendedprice") * 100).cast("long").as("pc"))
+        val cuts = li.agg(
+          expr("percentile(pc, array(0.25D, 0.5D, 0.75D))").as("cs"))
+        li.crossJoin(broadcast(cuts))
+          .select(
+            when(col("pc") <= element_at(col("cs"), 1), 1)
+              .when(col("pc") <= element_at(col("cs"), 2), 2)
+              .when(col("pc") <= element_at(col("cs"), 3), 3)
+              .otherwise(4).as("bucket"), col("pc"))
+          .groupBy("bucket")
+          .agg(count(lit(1)).as("n"), min("pc").as("lo_cents"),
+            max("pc").as("hi_cents"))
+          .orderBy("bucket")
+      },
+      Some("""WITH li AS (SELECT CAST(round(l_extendedprice * 100)
+             |              AS BIGINT) AS pc FROM lineitem),
+             |c AS (SELECT quantile_cont(pc, [0.25, 0.5, 0.75]) AS cs
+             |      FROM li)
+             |SELECT bucket, count(*) AS n, min(pc) AS lo_cents,
+             |       max(pc) AS hi_cents FROM (
+             |  SELECT CASE WHEN pc <= cs[1] THEN 1
+             |              WHEN pc <= cs[2] THEN 2
+             |              WHEN pc <= cs[3] THEN 3 ELSE 4 END AS bucket,
+             |         pc
+             |  FROM li CROSS JOIN c)
+             |GROUP BY 1 ORDER BY bucket""".stripMargin)),
+
     // J15: CDC snapshot diff — derive the change set (insert / delete /
     // update) between two table versions with ONE full-outer join on
     // the key: the derive-side dual of j12's MERGE apply. Versions are
