@@ -1071,6 +1071,49 @@ object Relational extends QueryModule {
              |     ORDER BY valid_from, o_orderkey) AS valid_to
              |FROM s ORDER BY o_custkey, valid_from, prio""".stripMargin)),
 
+    // A22: robust outlier detection via median absolute deviation —
+    // the profiler stat that survives the heavy tails where mean/σ
+    // break. Same integer-cent exactness as a21: medians of longs
+    // interpolate to exact halves, deviations to exact quarters, so
+    // the 3·MAD comparison is bit-identical across engines. Three
+    // keyed aggregation passes over the fact with 3-row broadcast
+    // join-backs between them — nothing corpus-sized is ever held.
+    GQuery("a22_mad_outliers",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("l_returnflag").as("flag"),
+            round(col("l_extendedprice") * 100).cast("long").as("pc"))
+        val med = li.groupBy("flag")
+          .agg(expr("percentile(pc, 0.5D)").as("med"))
+        val dev = li.join(broadcast(med), Seq("flag"))
+          .withColumn("dev", abs(col("pc") - col("med")))
+        val mad = dev.groupBy("flag")
+          .agg(expr("percentile(dev, 0.5D)").as("mad"))
+        dev.join(broadcast(mad), Seq("flag"))
+          .groupBy("flag")
+          .agg(max("med").as("med_cents"), max("mad").as("mad_cents"),
+            sum(when(col("dev") > lit(3.0) * col("mad"), 1L)
+              .otherwise(0L)).as("n_outliers"),
+            count(lit(1)).as("n"))
+          .orderBy("flag")
+      },
+      Some("""WITH li AS (SELECT l_returnflag AS flag,
+             |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
+             |  FROM lineitem),
+             |m AS (SELECT flag, quantile_cont(pc, 0.5) AS med
+             |      FROM li GROUP BY 1),
+             |d AS (SELECT flag, pc, med, abs(pc - med) AS dev
+             |      FROM li JOIN m USING (flag)),
+             |md AS (SELECT flag, quantile_cont(dev, 0.5) AS mad
+             |       FROM d GROUP BY 1)
+             |SELECT flag, max(med) AS med_cents, max(mad) AS mad_cents,
+             |  sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)
+             |    AS n_outliers,
+             |  count(*) AS n
+             |FROM d JOIN md USING (flag)
+             |GROUP BY 1 ORDER BY flag""".stripMargin)),
+
     // A21: equi-depth histogram — bucket boundaries are the exact
     // quartiles, so bucket populations are balanced by construction
     // (the histogram optimizers/data-profilers want; equi-WIDTH over
