@@ -1071,6 +1071,30 @@ object Relational extends QueryModule {
              |     ORDER BY valid_from, o_orderkey) AS valid_to
              |FROM s ORDER BY o_custkey, valid_from, prio""".stripMargin)),
 
+    // A23: hopping-window aggregation in BATCH — Spark's window(col,
+    // win, slide) assigns each event to its win/slide overlapping
+    // windows in one Expand-style projection (no self-join, no spine
+    // table): the smoothed time series a17's tumbling gap-fill can't
+    // express. The oracle derives the same 4 epoch-aligned window
+    // starts per event arithmetically, pinning Spark's alignment
+    // semantics. Window starts exported as epoch micros.
+    GQuery("a23_hopping",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_type") === "click")
+        .select(timestamp_micros(expr("ts div 1000")).as("tt"))
+        .groupBy(window(col("tt"), "1 hour", "15 minutes"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_micros(col("window.start")).as("w_start"), col("n"))
+        .orderBy("w_start"),
+      Some("""WITH e AS (SELECT epoch_us(ts) AS t FROM events
+             |           WHERE event_type = 'click'),
+             |k AS (SELECT unnest([0, 1, 2, 3]) AS k),
+             |w AS (SELECT (t // 900000000) * 900000000
+             |             - k::BIGINT * 900000000 AS w_start
+             |      FROM e CROSS JOIN k)
+             |SELECT w_start, count(*) AS n FROM w
+             |GROUP BY 1 ORDER BY w_start""".stripMargin)),
+
     // A22: robust outlier detection via median absolute deviation —
     // the profiler stat that survives the heavy tails where mean/σ
     // break. Same integer-cent exactness as a21: medians of longs
