@@ -1104,10 +1104,14 @@ object Relational extends QueryModule {
     // join-backs between them — nothing corpus-sized is ever held.
     GQuery("a22_mad_outliers",
       (s, d) => {
+        // persisted: the (flag, pc) projection feeds all three passes
+        // (median, deviation+MAD, outlier count) — unpersisted, each
+        // pass re-scans and re-quantizes the fact
         val li = Tables.lineitem(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("l_returnflag").as("flag"),
             round(col("l_extendedprice") * 100).cast("long").as("pc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val med = li.groupBy("flag")
           .agg(expr("percentile(pc, 0.5D)").as("med"))
         val dev = li.join(broadcast(med), Seq("flag"))
