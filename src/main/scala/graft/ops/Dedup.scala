@@ -277,6 +277,52 @@ object Dedup extends QueryModule {
           |WHERE shared * 1.0 / (na.n + nb.n - shared) >= 0.5
           |ORDER BY da, db""".stripMargin)),
 
+    // Sub-document (segment-level) dedup, C4/RefinedWeb-style: chunk
+    // every document into 10-token segments and keep only the GLOBALLY
+    // first occurrence of each exact segment (order = (doc_id, pos)) —
+    // the boilerplate/quote scrubber that whole-document dedup (d1)
+    // and near-dup (d2/d3) can't express, because the duplication
+    // lives INSIDE otherwise-unique documents. Shape: one generator
+    // fan-out (≤ n/10 rows per doc), one window partitioned BY SEGMENT
+    // (groups are tiny — a segment's own occurrence list), one per-doc
+    // count — nothing quadratic anywhere.
+    GQuery("d8_segment_dedup",
+      (s, d) => {
+        val segs = Tables.documents(s, d)
+          .filter(length(trim(col("text"))) > 0)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .selectExpr("doc_id",
+            "posexplode(transform(sequence(0, (size(t) + 9) div 10 - 1), " +
+              "i -> array_join(slice(t, i * 10 + 1, 10), ' '))) " +
+              "AS (pos, seg)")
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("seg").orderBy("doc_id", "pos")
+        segs.withColumn("rn", row_number().over(w))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_segs"),
+            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+          .withColumn("kept_frac",
+            round(col("n_kept") * lit(1.0) / col("n_segs"), 4))
+          .orderBy("doc_id")
+      },
+      Some("""WITH toks AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents WHERE trim(text) <> ''),
+             |seg AS (SELECT doc_id, i AS pos,
+             |          array_to_string(t[(i*10+1):(i*10+10)], ' ') AS seg
+             |        FROM toks
+             |        CROSS JOIN (SELECT unnest(range(20)) AS i)
+             |        WHERE i * 10 < len(t)),
+             |r AS (SELECT doc_id, pos, seg,
+             |        row_number() OVER (PARTITION BY seg
+             |          ORDER BY doc_id, pos) AS rn
+             |      FROM seg)
+             |SELECT doc_id, count(*) AS n_segs,
+             |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+             |  round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0
+             |        / count(*), 4) AS kept_frac
+             |FROM r GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // Containment near-dup (ASYMMETRIC): c(A→B) = |A∩B| / |A| — the
     // subset-duplication detector Jaccard misses when one document
     // swallows a much smaller one (quoted articles, concatenated
