@@ -1071,6 +1071,43 @@ object Relational extends QueryModule {
              |     ORDER BY valid_from, o_orderkey) AS valid_to
              |FROM s ORDER BY o_custkey, valid_from, prio""".stripMargin)),
 
+    // F14: malformed-input robustness — parse a JSON column where a
+    // deterministic slice of rows is corrupted (truncated payload):
+    // from_json returns a null struct for bad rows instead of failing
+    // the job, and the query both FLAGS and COUNTS them — the
+    // dead-letter accounting every 100 TB ingest needs, since at that
+    // scale corrupt rows are a certainty, not an edge case.
+    GQuery("f14_corrupt_json",
+      (s, d) => Tables.events(s, d)
+        .filter(col("event_id") % 50 === 0)
+        .select(col("event_id"),
+          when(col("event_id") % 7 === 0,
+            concat(substring(col("props"), 1, 5), lit("}garbage{")))
+            .otherwise(col("props")).as("payload"))
+        // PERMISSIVE mode yields an all-null struct for bad rows (never
+        // a null struct), so corruption is detected the supported way:
+        // a _corrupt_record sink column that is non-null iff the parse
+        // failed
+        .select(col("event_id"),
+          from_json(col("payload"), lit("k INT, _corrupt_record STRING"),
+            new java.util.HashMap[String, String]()).as("p"))
+        .select(col("event_id"),
+          col("p.k").as("k"),
+          col("p._corrupt_record").isNotNull.as("corrupt"))
+        .orderBy("event_id"),
+      Some("""SELECT event_id,
+             |  CASE WHEN json_valid(payload)
+             |       THEN CAST(json_extract_string(payload, '$.k') AS INT)
+             |  END AS k,
+             |  NOT json_valid(payload) AS corrupt
+             |FROM (
+             |  SELECT event_id,
+             |    CASE WHEN event_id % 7 = 0
+             |         THEN substr(props, 1, 5) || '}garbage{'
+             |         ELSE props END AS payload
+             |  FROM events WHERE event_id % 50 = 0)
+             |ORDER BY event_id""".stripMargin)),
+
     // A23: hopping-window aggregation in BATCH — Spark's window(col,
     // win, slide) assigns each event to its win/slide overlapping
     // windows in one Expand-style projection (no self-join, no spine
