@@ -1267,6 +1267,60 @@ object Relational extends QueryModule {
              |           WHEN p1 <> p2 THEN 'U' END IS NOT NULL
              |ORDER BY k""".stripMargin)),
 
+    // J16: point-in-time (temporal) join — each fact row picks the
+    // SCD2 version active at its own date: the READ side of w7's
+    // versioning (j10's as-of join is the event-stream analog). The
+    // join is an equi-join on the entity key with a validity-range
+    // filter; fan-out per fact row is the customer's version count
+    // (small by construction), never the history length. Every order
+    // matches exactly one version — versions tile the timeline.
+    GQuery("j16_temporal_join",
+      (s, d) => {
+        val wAll = Window.partitionBy("o_custkey")
+          .orderBy("o_orderdate", "o_orderkey")
+        val wVer = Window.partitionBy("o_custkey")
+          .orderBy("valid_from", "o_orderkey")
+        val base = Tables.orders(s, d).filter(col("o_custkey") % 40 === 0)
+        val vers = base
+          .select(col("o_custkey"), col("o_orderdate"), col("o_orderkey"),
+            col("o_orderpriority").as("prio"))
+          .withColumn("prev", lag("prio", 1).over(wAll))
+          .filter(col("prev").isNull || col("prio") =!= col("prev"))
+          .withColumn("valid_from", col("o_orderdate"))
+          .select(col("o_custkey").as("ck"), col("prio"),
+            col("valid_from"),
+            lead("valid_from", 1).over(wVer).as("valid_to"))
+        base.select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"))
+          .join(vers, col("o_custkey") === col("ck") &&
+            col("valid_from") <= col("o_orderdate") &&
+            (col("valid_to").isNull ||
+              col("o_orderdate") < col("valid_to")))
+          .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+            col("prio"), col("valid_from"))
+          .orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (SELECT * FROM orders WHERE o_custkey % 40 = 0),
+             |v AS (
+             |  SELECT o_custkey, o_orderdate, o_orderkey,
+             |    o_orderpriority AS prio,
+             |    lag(o_orderpriority) OVER
+             |      (PARTITION BY o_custkey
+             |       ORDER BY o_orderdate, o_orderkey) AS prev
+             |  FROM o),
+             |s AS (SELECT o_custkey, prio, o_orderdate AS valid_from,
+             |        o_orderkey
+             |      FROM v WHERE prev IS NULL OR prio <> prev),
+             |ver AS (SELECT o_custkey AS ck, prio, valid_from,
+             |          lead(valid_from) OVER
+             |            (PARTITION BY o_custkey
+             |             ORDER BY valid_from, o_orderkey) AS valid_to
+             |        FROM s)
+             |SELECT o_orderkey, o_custkey, o_orderdate, prio, valid_from
+             |FROM o JOIN ver ON o_custkey = ck
+             |  AND valid_from <= o_orderdate
+             |  AND (valid_to IS NULL OR o_orderdate < valid_to)
+             |ORDER BY o_orderkey""".stripMargin)),
+
     // F13: schema-full JSON parsing — from_json materializes the whole
     // document into a typed struct in ONE parse; f3's per-path
     // get_json_object re-parses the string per extracted field, which

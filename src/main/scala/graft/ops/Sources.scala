@@ -157,6 +157,40 @@ object Sources extends QueryModule {
              |  min(y) AS ymin, max(y) AS ymax
              |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin)),
 
+    // S15: parquet schema evolution — two generations of files (the
+    // older written WITHOUT s_acctbal) read together with mergeSchema:
+    // the unified schema null-fills the legacy rows instead of
+    // failing, and the query accounts for them explicitly. Every
+    // long-lived 100 TB table hits this — columns get added and the
+    // lake keeps its history; the reader, not a rewrite of old files,
+    // absorbs the difference.
+    GQuery("s15_schema_evolution",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_evo_").toString
+        val sup = Tables.supplier(s, d)
+        sup.filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey"), col("s_nationkey"))
+          .write.mode("overwrite").parquet(s"$dir/gen=1")
+        sup.filter(col("s_suppkey") % 2 === 1)
+          .select(col("s_suppkey"), col("s_nationkey"), col("s_acctbal"))
+          .write.mode("overwrite").parquet(s"$dir/gen=2")
+        s.read.option("mergeSchema", "true")
+          .parquet(s"$dir/gen=1", s"$dir/gen=2")
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("s_acctbal").isNull, 1L).otherwise(0L))
+              .as("n_legacy"),
+            round(sum(coalesce(col("s_acctbal"), lit(0.0))), 2).as("bal"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n,
+             |  sum(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END)
+             |    AS n_legacy,
+             |  round(sum(CASE WHEN s_suppkey % 2 = 0 THEN 0.0
+             |            ELSE s_acctbal END), 2) AS bal
+             |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S13: SQL-text front end — temp views + spark.sql over the SAME
     // statement DuckDB runs as the oracle (modulo nothing: the text is
     // shared verbatim). Proves a reference user can bring raw ANSI SQL
