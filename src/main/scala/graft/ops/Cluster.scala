@@ -35,6 +35,39 @@ object Cluster extends QueryModule {
         e => e.getField("event_type")), "-").as("path"))
       .select((col("user_id") * 1000000 + col("day")).as("sid"), col("path"))
 
+  /** Per-node triangle participation counts over an undirected edge
+    * frame (columns pa < pb, distinct rows). Degree orientation —
+    * every edge points from its lower-(degree, id) endpoint — makes
+    * the orientation ACYCLIC with out-degree O(√E): each triangle has
+    * exactly one node with two out-edges to the other two, so the
+    * wedge self-join (the only quadratic step) is bounded by
+    * out-degree rather than a hub's full degree, and each triangle is
+    * counted exactly once. Output: (node, n_tri). */
+  private[graft] def triangleCounts(e: DataFrame): DataFrame = {
+    val deg = e.select(col("pa").as("n"))
+      .union(e.select(col("pb").as("n")))
+      .groupBy("n").agg(count(lit(1)).as("dg"))
+    val oriented = e
+      .join(deg.select(col("n").as("pa"), col("dg").as("da")), Seq("pa"))
+      .join(deg.select(col("n").as("pb"), col("dg").as("db")), Seq("pb"))
+      .select(
+        when(col("da") < col("db") ||
+          (col("da") === col("db") && col("pa") < col("pb")),
+          struct(col("pa").as("f"), col("pb").as("t")))
+          .otherwise(struct(col("pb").as("f"), col("pa").as("t")))
+          .as("oe"))
+      .select(col("oe.f").as("f"), col("oe.t").as("t"))
+    val wedges = oriented.select(col("f"), col("t").as("b"))
+      .join(oriented.select(col("f"), col("t").as("c")), Seq("f"))
+      .filter(col("b") < col("c"))
+    val tri = wedges
+      .select(col("f"), least(col("b"), col("c")).as("pa"),
+        greatest(col("b"), col("c")).as("pb"))
+      .join(e, Seq("pa", "pb"))
+    tri.select(explode(array(col("f"), col("pa"), col("pb"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_tri"))
+  }
+
   override def queries: Seq[GQuery] = Seq(
 
     // M2/J6: Spark ML seeded MinHashLSH approx similarity self-join over
@@ -215,7 +248,8 @@ object Cluster extends QueryModule {
     // Hour granularity keeps cells small, so the candidate-pair join is
     // bounded (the coarser day-level cells produced ~20x more pairs for
     // the same component structure).
-    // M11: distributed triangle counting with DEGREE ORIENTATION over
+    // M11 (see [[triangleCounts]] for the algorithm):
+    // distributed triangle counting with DEGREE ORIENTATION over
     // the part-co-occurrence graph: parts are adjacent when ≥ 2 orders
     // contain both (per-order fan-out is bounded by order size, so edge
     // generation is linear in lineitem; the support threshold is the
@@ -239,29 +273,7 @@ object Cluster extends QueryModule {
           .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
           .filter(col("w") >= 2).select("pa", "pb")
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val deg = e.select(col("pa").as("n"))
-          .union(e.select(col("pb").as("n")))
-          .groupBy("n").agg(count(lit(1)).as("dg"))
-        val oriented = e
-          .join(deg.select(col("n").as("pa"), col("dg").as("da")), Seq("pa"))
-          .join(deg.select(col("n").as("pb"), col("dg").as("db")), Seq("pb"))
-          .select(
-            when(col("da") < col("db") ||
-              (col("da") === col("db") && col("pa") < col("pb")),
-              struct(col("pa").as("f"), col("pb").as("t")))
-              .otherwise(struct(col("pb").as("f"), col("pa").as("t")))
-              .as("oe"))
-          .select(col("oe.f").as("f"), col("oe.t").as("t"))
-        val wedges = oriented.select(col("f"), col("t").as("b"))
-          .join(oriented.select(col("f"), col("t").as("c")), Seq("f"))
-          .filter(col("b") < col("c"))
-        val tri = wedges
-          .select(col("f"), least(col("b"), col("c")).as("pa"),
-            greatest(col("b"), col("c")).as("pb"))
-          .join(e, Seq("pa", "pb"))
-        tri.select(explode(array(col("f"), col("pa"), col("pb")))
-            .as("node"))
-          .groupBy("node").agg(count(lit(1)).as("n_tri"))
+        triangleCounts(e)
           .orderBy(col("n_tri").desc, col("node")).limit(15)
       },
       Some("""WITH li AS (
