@@ -151,6 +151,26 @@ class CurationSpec extends AnyFunSuite {
     assert(viaAgg == viaWin)
   }
 
+  test("approx_count_distinct (HLL++) within 5% of exact; KMV agrees") {
+    val toks = Tables.documents(spark, sfDir)
+      .select(explode(graft.functions.tokens(col("text"))).as("tok"))
+    val exact = toks.distinct().count()
+    val approx = toks.agg(approx_count_distinct(col("tok"), 0.02))
+      .head().getLong(0)
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"HLL $approx vs exact $exact")
+    // the KMV sketch (our own mergeable estimator) must land in the
+    // same envelope — two independent sketch families cross-checking
+    val kmvTotal = q("x10_kmv_distinct")
+      .agg(org.apache.spark.sql.functions.sum("est_distinct")).head()
+      .getDouble(0)
+    val exactPerSource = Tables.documents(spark, sfDir)
+      .select(col("source"), explode(graft.functions.tokens(col("text")))
+        .as("tok")).distinct().count()
+    assert(math.abs(kmvTotal - exactPerSource) / exactPerSource < 0.10,
+      s"KMV sum $kmvTotal vs exact per-source sum $exactPerSource")
+  }
+
   test("x14 count-min estimate is a one-sided, bounded overestimate") {
     val rows = q("x14_countmin")
       .select("tok", "exact_cnt", "cms_est").collect()
