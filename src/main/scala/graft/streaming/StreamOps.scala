@@ -144,6 +144,21 @@ object StreamOps extends Serializable {
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Streaming document curation head — the streaming face of the
+    * batch p0 pipeline's first stages: content-fingerprint exact dedup
+    * within the watermark (state = one md5 per distinct doc inside the
+    * window, evicted past it) followed by a cheap quality gate
+    * (token-count floor). Docs: (doc_id, ts, text); downstream stages
+    * (near-dup, packing) consume the survivors via foreachBatch. */
+  def curateDocs(docs: DataFrame, minToks: Int = 5,
+      watermark: String = "10 minutes"): DataFrame =
+    docs.withWatermark("ts", watermark)
+      .withColumn("fp", md5(col("text")))
+      .dropDuplicatesWithinWatermark("fp")
+      .withColumn("n_toks", size(graft.functions.tokens(col("text"))))
+      .filter(col("n_toks") >= minToks)
+      .select(col("doc_id"), col("ts"), col("text"), col("n_toks"))
+
   /** Stream-static enrichment join: the static dimension is broadcast
     * against each micro-batch — the streaming analog of J7. */
   def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =

@@ -229,6 +229,31 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("curateDocs: duplicate and low-quality docs are dropped in-stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.curateDocs(
+        mem.toDF().toDF("doc_id", "ts", "text"), minToks = 3)
+      .writeStream.format("memory").queryName("curated")
+      .outputMode(OutputMode.Append).start()
+    def t(sec: Long) = new Timestamp(sec * 1000L)
+    try {
+      mem.addData(
+        (1L, t(10), "alpha beta gamma delta"),
+        (2L, t(11), "alpha beta gamma delta"), // exact dup of 1 → drop
+        (3L, t(12), "too short"))              // 2 tokens → drop
+      q.processAllAvailable()
+      mem.addData(
+        (4L, t(20), "alpha beta gamma delta"), // dup across batches → drop
+        (5L, t(21), "epsilon zeta eta theta"))
+      q.processAllAvailable()
+      val kept = spark.sql("SELECT doc_id, n_toks FROM curated")
+        .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+      assert(kept == Set((1L, 4), (5L, 4)), s"got $kept")
+    } finally q.stop()
+  }
+
   test("countMin: streamed matrix equals the batch matrix cell-for-cell") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
