@@ -436,6 +436,51 @@ object Dedup extends QueryModule {
       },
       Some(Ann.neardupOracleSql)),
 
+    // Leakage-safe train/valid/test split: the split key is the
+    // near-dup GROUP id, not the doc id — near-duplicates always land
+    // on the SAME side, so eval can never score memorized
+    // almost-copies of training docs (the contamination mode a naive
+    // per-doc hash split invites). Buckets via the portable md5
+    // arithmetic: group-hash % 10 → 0-7 train, 8 valid, 9 test.
+    GQuery("d9_leakage_safe_split",
+      (s, d) => {
+        val pairs = lshPairs(s, d, 0.5)
+          .select(col("da").as("l1"), col("db").as("l2"))
+        val verts = Tables.documents(s, d).select(col("doc_id").as("v"))
+        graft.cluster.Dbscan.connectedComponents(s, verts, pairs)
+          .select(col("v").as("doc_id"), col("component").as("dup_group"))
+          .withColumn("b",
+            conv(substring(md5(col("dup_group").cast("string")), 1, 12),
+              16, 10).cast("long") % 10)
+          .select(col("doc_id"), col("dup_group"),
+            when(col("b") <= 7, "train").when(col("b") === 8, "valid")
+              .otherwise("test").as("split"))
+          .orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " + shingleSqlCte.stripPrefix("WITH ") +
+        """,
+          |p AS (SELECT a.doc_id AS da, b.doc_id AS db
+          |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          |            len(list_distinct(a.sh || b.sh)) >= 0.5),
+          |sym AS (SELECT da AS s0, db AS t0 FROM p
+          |        UNION SELECT db AS s0, da AS t0 FROM p),
+          |verts AS (SELECT doc_id AS vx FROM documents),
+          |reach AS (SELECT vx, vx AS u FROM verts
+          |          UNION
+          |          SELECT r.vx, sym.t0 AS u
+          |          FROM reach r JOIN sym ON r.u = sym.s0),
+          |g AS (SELECT vx AS doc_id, min(u) AS dup_group
+          |      FROM reach GROUP BY vx),
+          |bk AS (SELECT doc_id, dup_group,
+          |         ('0x' || substr(md5(CAST(dup_group AS VARCHAR)), 1,
+          |          12))::BIGINT % 10 AS b
+          |       FROM g)
+          |SELECT doc_id, dup_group,
+          |  CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'valid'
+          |       ELSE 'test' END AS split
+          |FROM bk ORDER BY doc_id""".stripMargin)),
+
     // Dedup end product: near-dup GROUPS — connected components over the
     // LSH pair graph, keeper = min doc id per group (the row a dedup'd
     // corpus would keep). Oracle replays the exact-Jaccard pair graph
