@@ -294,5 +294,34 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash64"),
       new ExpressionInfo(classOf[MinHash64].getName, "minhash64"),
       unary("minhash64", MinHash64(_))))
+    // composed functions ride the same registry, but the builder must
+    // hand the analyzer a RESOLVED Catalyst tree — a Column-DSL
+    // composition arrives as unresolved ColumnNodes that the
+    // function-builder path never analyzes (learned the hard way)
+    ext.injectFunction((
+      FunctionIdentifier("zorder"),
+      new ExpressionInfo("graft.functions", "zorder"),
+      binary("zorder", (a, b) => GraftExtensions.zorderExpr(a, b))))
+  }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{Add, BitwiseAnd, Cast,
+    Literal, ShiftLeft, ShiftRightUnsigned}
+  import org.apache.spark.sql.types.{IntegerType, LongType}
+
+  /** The zorderBits interleave as a direct Catalyst tree (same
+    * arithmetic as `graft.functions.zorderBits`): bit i of x → 2i,
+    * bit i of y → 2i+1, over the low 16 bits. */
+  private[graft] def zorderExpr(x: Expression, y: Expression)
+      : Expression = {
+    def lane(v: Expression, i: Int, off: Int): Expression =
+      ShiftLeft(
+        BitwiseAnd(
+          ShiftRightUnsigned(Cast(v, LongType), Literal(i, IntegerType)),
+          Literal(1L, LongType)),
+        Literal(2 * i + off, IntegerType))
+    (0 until 16).flatMap(i => Seq(lane(x, i, 0), lane(y, i, 1)))
+      .reduce[Expression]((l, r) => Add(l, r))
   }
 }

@@ -98,6 +98,14 @@ class ExpressionsSpec extends AnyFunSuite {
     val mh = spark.sql(
       "SELECT minhash64(array(7L, 11L)) AS m").head().getSeq[Long](0)
     assert(mh.length == 64)
+    // composed function as a direct Catalyst tree (no Expression class)
+    reg.registerFunction(
+      FunctionIdentifier("zorder"),
+      new ExpressionInfo("graft.functions", "zorder"),
+      (children) => graft.plans.GraftExtensions.zorderExpr(
+        children(0), children(1)))
+    val z = spark.sql("SELECT zorder(5L, 3L) AS z").head().getLong(0)
+    assert(z == 27L)
     // and the extension class itself wires without throwing
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
