@@ -105,6 +105,32 @@ object Ann extends QueryModule {
       .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
       .select(col("vec_id"), col("v"), sqrt(dotCol(col("v"), col("v"))).as("nrm"))
 
+  /** SQ8 scalar quantization: per-dimension corpus [lo, hi] bounds
+    * (a 64-row aggregate collected into one broadcast row) map every
+    * coordinate to an 8-bit code 0..255. Output: (vec_id, q) with q
+    * an array<long> of codes. Shared by n6 and its fidelity spec. */
+  def sq8Quantized(s: SparkSession, d: String): DataFrame = {
+    val vecs = Tables.embeddings(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+    val bounds = vecs
+      .select(posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy("i").agg(min("x").as("lo"), max("x").as("hi"))
+      .agg(
+        transform(array_sort(collect_list(struct(col("i"), col("lo")))),
+          e => e.getField("lo")).as("los"),
+        transform(array_sort(collect_list(struct(col("i"), col("hi")))),
+          e => e.getField("hi")).as("his"))
+    vecs.crossJoin(broadcast(bounds))
+      .select(col("vec_id"), transform(col("v"), (x, i) => {
+        val lo = element_at(col("los"), i + 1)
+        val hi = element_at(col("his"), i + 1)
+        when(hi === lo, lit(0L))
+          .otherwise(floor((x - lo) * lit(255.0) / (hi - lo)))
+      }).as("q"))
+  }
+
   /** Cosine from pre-computed norms — identical arithmetic to
     * `functions.cosineSim` (dot / (na*nb), 0 when a norm is 0). */
   def simFromNorms(va: Column, vb: Column, na: Column, nb: Column): Column =
@@ -299,25 +325,7 @@ object Ann extends QueryModule {
     // anywhere in the ranking.
     GQuery("n6_ann_sq8",
       (s, d) => {
-        val vecs = Tables.embeddings(s, d)
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("vec_id"),
-            transform(col("embedding"), _.cast("double")).as("v"))
-        val bounds = vecs
-          .select(posexplode(col("v")).as(Seq("i", "x")))
-          .groupBy("i").agg(min("x").as("lo"), max("x").as("hi"))
-          .agg(
-            transform(array_sort(collect_list(struct(col("i"), col("lo")))),
-              e => e.getField("lo")).as("los"),
-            transform(array_sort(collect_list(struct(col("i"), col("hi")))),
-              e => e.getField("hi")).as("his"))
-        val quant = vecs.crossJoin(broadcast(bounds))
-          .select(col("vec_id"), transform(col("v"), (x, i) => {
-            val lo = element_at(col("los"), i + 1)
-            val hi = element_at(col("his"), i + 1)
-            when(hi === lo, lit(0L))
-              .otherwise(floor((x - lo) * lit(255.0) / (hi - lo)))
-          }).as("q"))
+        val quant = sq8Quantized(s, d)
         // Σ(a−b)² = ‖a‖² + ‖b‖² − 2a·b with the norms precomputed once
         // per vector: each pair costs ONE native codegen'd dot instead
         // of an interpreted zip_with/aggregate fold (measured 2-3× on
