@@ -552,6 +552,60 @@ object TextAnalysis extends QueryModule {
              |GROUP BY t.doc_id, n.ln_total_micro
              |ORDER BY doc_id""".stripMargin)),
 
+    // Bigram-LM scoring — the context-sensitive upgrade of x12's
+    // unigram NLL (the direction CCNet's 5-gram KenLM filter takes):
+    // per-doc mean −ln p(w2 | w1) with p = c(w1 w2) / c(w1·). Both
+    // log terms are quantized to integer micro-nats AT THE VOCABULARY
+    // LEVEL and summed separately per doc, so every per-doc value is
+    // exact long arithmetic. The context count is derived FROM the
+    // bigram vocabulary (one vocab-level aggregation), not a second
+    // corpus pass; the corpus-sized work is one map-side-combined
+    // groupBy and one keyed join.
+    GQuery("x20_bigram_lm",
+      (s, d) => {
+        val bg = docsSpread(s, d)
+          .select(col("doc_id"), tokens(col("text")).as("t"))
+          .filter(size(col("t")) >= 2)
+          .select(col("doc_id"), explode(wordNgrams(col("t"), 2)).as("bg"))
+        val bgFreq = bg.groupBy("bg").agg(count(lit(1)).as("c_ab"))
+        val firstFreq = bgFreq
+          .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
+          .agg(sum("c_ab").as("c_a"))
+        val vocab = bgFreq
+          .withColumn("w1", substring_index(col("bg"), " ", 1))
+          .join(firstFreq, Seq("w1"))
+          .select(col("bg"),
+            round(log(col("c_ab").cast("double")) * 1e6).cast("long")
+              .as("lp_ab"),
+            round(log(col("c_a").cast("double")) * 1e6).cast("long")
+              .as("lp_a"))
+        bg.join(broadcast(vocab), Seq("bg"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum(col("lp_a") - col("lp_ab")).as("s_micro"))
+          .select(col("doc_id"), col("n_bigrams"),
+            round(col("s_micro") / (col("n_bigrams") * 1e6), 3).as("nll"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH t AS (SELECT doc_id, string_split(trim(text), ' ')
+             |             AS tk FROM documents),
+             |b AS (SELECT doc_id,
+             |        unnest([tk[i] || ' ' || tk[i+1]
+             |                for i in range(1, len(tk))]) AS bg
+             |      FROM t WHERE len(tk) >= 2),
+             |f AS (SELECT bg, count(*) AS c_ab FROM b GROUP BY 1),
+             |ff AS (SELECT string_split(bg, ' ')[1] AS w1,
+             |         sum(c_ab) AS c_a FROM f GROUP BY 1),
+             |v AS (SELECT bg,
+             |        CAST(round(ln(c_ab) * 1e6) AS BIGINT) AS lp_ab,
+             |        CAST(round(ln(c_a) * 1e6) AS BIGINT) AS lp_a
+             |      FROM f JOIN ff ON string_split(f.bg, ' ')[1] = ff.w1)
+             |SELECT doc_id, count(*) AS n_bigrams,
+             |  round(sum(lp_a - lp_ab) * 1.0 / (count(*) * 1e6), 3)
+             |    AS nll
+             |FROM b JOIN v USING (bg)
+             |GROUP BY 1 ORDER BY doc_id""".stripMargin)),
+
     // Character-entropy gibberish scoring: per-doc Shannon entropy
     // H = ln(n) − (Σ c·ln c)/n over the character distribution — the
     // Gopher/CCNet-family signal orthogonal to x2's ratios: random
