@@ -2,9 +2,9 @@ package graft.streaming
 
 import java.sql.Timestamp
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
 
 /** One event on the stream (ts is a real timestamp column so watermarks
   * apply; the batch tables carry long nanos — convert at the edge). */
@@ -286,6 +286,58 @@ object StreamOps extends Serializable {
       joinType)
       .select(col("c_user").as("user_id"), col("click_id"),
         col("purchase_id"), col("c_ts"), col("p_ts"))
+  }
+
+  /** One micro-batch's merge step for [[incrementalTypeCounts]]:
+    * union the batch's per-type delta into the latest snapshot
+    * STRICTLY OLDER than this batch id and write version `v=<id>`.
+    * The strict bound is the replay-idempotence invariant — after a
+    * failure between write and checkpoint commit, the replayed batch
+    * must merge against its ORIGINAL base, not against its own
+    * half-committed output (which would double-count). Public so the
+    * spec can drive a replay directly. */
+  def mergeTypeCounts(batch: DataFrame, id: Long, dir: String): Unit = {
+    val s = batch.sparkSession
+    val delta = batch.groupBy("event_type").agg(count(lit(1)).as("n"))
+    val merged = typeCountsAt(s, dir, before = Some(id))
+      .unionByName(delta)
+      .groupBy("event_type").agg(sum("n").as("n"))
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$dir/v=$id")
+  }
+
+  /** Incremental materialized view: per-type running counts maintained
+    * as versioned parquet snapshots — each micro-batch merges its
+    * delta into the previous snapshot (the streaming form of
+    * `MERGE INTO mv` when the store has no transactions;
+    * snapshot-per-batch-id is the portable MVCC). Readers take the
+    * max version via [[latestTypeCounts]]. State lives entirely in
+    * the store: the query itself is stateless and restart-safe. */
+  def incrementalTypeCounts(events: DataFrame, dir: String)
+      : StreamingQuery =
+    events.writeStream
+      .foreachBatch((b: DataFrame, id: Long) => mergeTypeCounts(b, id, dir))
+      .outputMode(OutputMode.Append)
+      .start()
+
+  /** The newest materialized snapshot (empty frame if none yet). */
+  def latestTypeCounts(s: SparkSession, dir: String): DataFrame =
+    typeCountsAt(s, dir, before = None)
+
+  private def typeCountsAt(s: SparkSession, dir: String,
+      before: Option[Long]): DataFrame = {
+    val vs = Option(new java.io.File(dir).listFiles())
+      .getOrElse(Array.empty[java.io.File])
+      .filter(f => f.isDirectory && f.getName.startsWith("v="))
+      .map(_.getName.stripPrefix("v=").toLong)
+      .filter(v => before.forall(v < _))
+    if (vs.isEmpty)
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("event_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("n",
+            org.apache.spark.sql.types.LongType))))
+    else s.read.parquet(s"$dir/v=${vs.max}")
   }
 
   /** foreachBatch parquet sink with EXACTLY-ONCE output under retries:

@@ -229,6 +229,33 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("incrementalTypeCounts: versioned MV accumulates; replay is idempotent") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mv_").toString
+    val mem = MemoryStream[StreamEvent]
+    val q = StreamOps.incrementalTypeCounts(mem.toDF(), dir)
+    def snapshot(): Map[String, Long] =
+      StreamOps.latestTypeCounts(spark, dir).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    try {
+      mem.addData(ev(1, 1, "click", 10), ev(2, 1, "click", 11),
+        ev(3, 2, "view", 12))
+      q.processAllAvailable()
+      assert(snapshot() == Map("click" -> 2L, "view" -> 1L))
+      mem.addData(ev(4, 3, "click", 20))
+      q.processAllAvailable()
+      assert(snapshot() == Map("click" -> 3L, "view" -> 1L))
+      // replay batch 1 (failure between write and checkpoint commit):
+      // the merge must rebase on the snapshot STRICTLY BEFORE id 1,
+      // not on its own half-committed output — totals stay identical
+      StreamOps.mergeTypeCounts(
+        Seq(ev(4, 3, "click", 20)).toDF(), 1L, dir)
+      assert(snapshot() == Map("click" -> 3L, "view" -> 1L),
+        "replaying a batch must not double-count")
+    } finally q.stop()
+  }
+
   test("curateDocs: duplicate and low-quality docs are dropped in-stream") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
