@@ -552,6 +552,48 @@ object TextAnalysis extends QueryModule {
              |GROUP BY t.doc_id, n.ln_total_micro
              |ORDER BY doc_id""".stripMargin)),
 
+    // Corpus-overlap estimation between SOURCES from MinHash sketches
+    // — the dataset-level question ("how much of source A is already
+    // in source B?") a team answers before paying for a merge +
+    // full dedup run. Each source folds to 64 lane-minima over doc
+    // fingerprints (map-side combined, 64·|sources| rows total);
+    // estimated Jaccard between two sources = fraction of agreeing
+    // lanes. Sketches, not documents, cross the final join — at
+    // 100 TB the comparison costs the scan, nothing pairwise.
+    GQuery("x21_corpus_overlap",
+      (s, d) => {
+        val lanes = 64
+        val laneMin = Tables.documents(s, d)
+          .select(col("source"), md5(col("text")).as("fp"))
+          .select(col("source"), explode(array((0 until lanes).map { i =>
+            struct(lit(i).as("lane"),
+              conv(substring(md5(concat_ws("#", lit(i.toString),
+                col("fp"))), 1, 12), 16, 10).cast("long").as("h"))
+          }: _*)).as("lh"))
+          .groupBy(col("source"), col("lh.lane").as("lane"))
+          .agg(min(col("lh.h")).as("mh"))
+        laneMin.select(col("source").as("sa"), col("lane"),
+            col("mh").as("ha"))
+          .join(laneMin.select(col("source").as("sb"), col("lane"),
+            col("mh").as("hb")), Seq("lane"))
+          .filter(col("sa") < col("sb"))
+          .groupBy("sa", "sb")
+          .agg(round(sum(when(col("ha") === col("hb"), 1).otherwise(0)) /
+            lit(64.0), 4).as("est_jac"))
+          .orderBy("sa", "sb")
+      },
+      Some("""WITH d AS (SELECT source, md5(text) AS fp FROM documents),
+             |l AS (SELECT unnest(range(64)) AS lane),
+             |h AS (SELECT source, lane,
+             |        min(('0x' || substr(md5(lane::VARCHAR || '#' || fp),
+             |          1, 12))::BIGINT) AS mh
+             |      FROM d CROSS JOIN l GROUP BY 1, 2)
+             |SELECT a.source AS sa, b.source AS sb,
+             |  round(sum(CASE WHEN a.mh = b.mh THEN 1 ELSE 0 END)
+             |        / 64.0, 4) AS est_jac
+             |FROM h a JOIN h b ON a.lane = b.lane AND a.source < b.source
+             |GROUP BY 1, 2 ORDER BY sa, sb""".stripMargin)),
+
     // Bigram-LM scoring — the context-sensitive upgrade of x12's
     // unigram NLL (the direction CCNet's 5-gram KenLM filter takes):
     // per-doc mean −ln p(w2 | w1) with p = c(w1 w2) / c(w1·). Both
