@@ -1108,6 +1108,24 @@ object Relational extends QueryModule {
              |  FROM events WHERE event_id % 50 = 0)
              |ORDER BY event_id""".stripMargin)),
 
+    // A24: multiple DISTINCT aggregates in one pass — Catalyst plans
+    // count(DISTINCT x), count(DISTINCT y) side by side via one
+    // Expand (one row per distinct-column group) instead of N
+    // separate scans + a join of the results, which is what a naive
+    // rewrite costs at 100 TB. The non-distinct count rides along
+    // free.
+    GQuery("a24_multi_distinct",
+      (s, d) => Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag"),
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             |  count(DISTINCT l_suppkey) AS n_supps,
+             |  count(*) AS n_rows
+             |FROM lineitem GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
+
     // A23: hopping-window aggregation in BATCH — Spark's window(col,
     // win, slide) assigns each event to its win/slide overlapping
     // windows in one Expand-style projection (no self-join, no spine
