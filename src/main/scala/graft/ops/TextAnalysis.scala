@@ -552,6 +552,48 @@ object TextAnalysis extends QueryModule {
              |GROUP BY t.doc_id, n.ln_total_micro
              |ORDER BY doc_id""".stripMargin)),
 
+    // Mixture weighting — the planning step BEFORE x6's stratified
+    // sampling: given per-source token masses and a uniform target
+    // share, compute each source's sampling rate (capped at 1 — you
+    // cannot sample more than exists) and the resulting expected
+    // token count. The static form of mixture rebalancing (DoReMi et
+    // al. learn the target; the pipeline mechanics are the same). One
+    // corpus pass + arithmetic on a |sources|-row frame.
+    GQuery("x22_mixture_weights",
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .select("source", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("source"), size(tokens(col("text"))).cast("long")
+            .as("n_toks"))
+          .groupBy("source").agg(sum("n_toks").as("toks"))
+        val tot = bySrc.agg(sum("toks").as("total"),
+          count(lit(1)).as("n_sources"))
+        bySrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("toks"),
+            round(col("toks") * 1.0 / col("total"), 4).as("share"),
+            round(least(lit(1.0),
+              (col("total") * 1.0 / col("n_sources")) / col("toks")), 4)
+              .as("rate"))
+          .withColumn("exp_toks",
+            round(col("toks") * col("rate")).cast("long"))
+          .orderBy("source")
+      },
+      Some("""WITH b AS (
+             |  SELECT source,
+             |    sum(len(string_split(trim(text), ' '))) AS toks
+             |  FROM documents GROUP BY 1),
+             |t AS (SELECT sum(toks) AS total, count(*) AS n_sources
+             |      FROM b)
+             |SELECT source, toks,
+             |  round(toks * 1.0 / total, 4) AS share,
+             |  round(least(1.0, (total * 1.0 / n_sources) / toks), 4)
+             |    AS rate,
+             |  CAST(round(toks * round(least(1.0,
+             |    (total * 1.0 / n_sources) / toks), 4)) AS BIGINT)
+             |    AS exp_toks
+             |FROM b CROSS JOIN t ORDER BY source""".stripMargin)),
+
     // Corpus-overlap estimation between SOURCES from MinHash sketches
     // — the dataset-level question ("how much of source A is already
     // in source B?") a team answers before paying for a merge +
