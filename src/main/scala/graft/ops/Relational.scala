@@ -682,6 +682,35 @@ object Relational extends QueryModule {
 
     // U4: relational EXCEPT / INTERSECT (set semantics, dedup'd) — the
     // two set operators u1/u2's unions don't cover. Suppliers' nations
+    // U5: unionByName with allowMissingColumns — combining frames
+    // whose schemas drifted (an old extract lacking a column): the
+    // missing side is null-filled BY NAME, not by position, so a
+    // column-order change can never silently cross wires. The
+    // in-memory face of s15's on-disk schema evolution.
+    GQuery("u5_union_evolve",
+      (s, d) => {
+        val v1 = Tables.supplier(s, d)
+          .filter(col("s_suppkey") % 2 === 0)
+          .select(col("s_suppkey"), col("s_nationkey"))
+        val v2 = Tables.supplier(s, d)
+          .filter(col("s_suppkey") % 2 === 1)
+          // deliberately different column ORDER + an extra column
+          .select(col("s_acctbal"), col("s_nationkey"), col("s_suppkey"))
+        v1.unionByName(v2, allowMissingColumns = true)
+          .groupBy("s_nationkey")
+          .agg(count(lit(1)).as("n"),
+            sum(when(col("s_acctbal").isNull, 1L).otherwise(0L))
+              .as("n_missing"),
+            round(sum(coalesce(col("s_acctbal"), lit(0.0))), 2).as("bal"))
+          .orderBy("s_nationkey")
+      },
+      Some("""SELECT s_nationkey, count(*) AS n,
+             |  sum(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END)
+             |    AS n_missing,
+             |  round(sum(CASE WHEN s_suppkey % 2 = 0 THEN 0.0
+             |            ELSE s_acctbal END), 2) AS bal
+             |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // vs customers' nations; both compile to aggregate-over-join shapes
     // Catalyst picks (no manual distinct needed).
     GQuery("u4_except_intersect",

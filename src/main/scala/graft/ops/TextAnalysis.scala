@@ -552,6 +552,54 @@ object TextAnalysis extends QueryModule {
              |GROUP BY t.doc_id, n.ln_total_micro
              |ORDER BY doc_id""".stripMargin)),
 
+    // Domain-level curation rollup — crawl pipelines filter by DOMAIN
+    // (spam domains, boilerplate farms), not by document: per-domain
+    // doc counts, mean quality, and short-doc fraction drive the
+    // allow/block decision. The synthetic domain derives from source
+    // (f12's URL scheme); the mean is computed over per-doc quality
+    // QUANTIZED to integer 1e-4 units, so the per-domain sums are
+    // exact long arithmetic (float means are partial-agg-order
+    // dependent and would never hash-match across engines).
+    GQuery("x23_domain_rollup",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        Tables.documents(s, d)
+          .select("doc_id", "source", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("source"),
+            size(toks).cast("long").as("n_toks"),
+            hits(toks, stopwords).as("n_stop"))
+          .select(col("source"), col("n_toks"),
+            round(least(col("n_toks") / 60.0, lit(1.0)) * 0.5 +
+              (lit(1.0) - col("n_stop") * 1.0 / col("n_toks")) * 0.5, 4)
+              .as("quality"))
+          .withColumn("domain", concat(col("source"), lit(".example.com")))
+          .withColumn("q_micro", round(col("quality") * 10000).cast("long"))
+          .groupBy("domain")
+          .agg(count(lit(1)).as("n_docs"),
+            round(sum(col("q_micro")) / (count(lit(1)) * 10000.0), 4)
+              .as("mean_quality"),
+            round(sum(when(col("n_toks") < 20, 1L).otherwise(0L)) * 1.0 /
+              count(lit(1)), 4).as("short_frac"))
+          .orderBy("domain")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, source,
+              |    len(string_split(trim(text), ' ')) AS n_toks,
+              |    round(least(len(string_split(trim(text), ' ')) / 60.0,
+              |          1.0) * 0.5 +
+              |      (1.0 - ${sqlHits(stopwords)} * 1.0 /
+              |       len(string_split(trim(text), ' '))) * 0.5, 4)
+              |      AS quality
+              |  FROM documents)
+              |SELECT source || '.example.com' AS domain,
+              |  count(*) AS n_docs,
+              |  round(sum(CAST(round(quality * 10000) AS BIGINT)) /
+              |        (count(*) * 10000.0), 4) AS mean_quality,
+              |  round(sum(CASE WHEN n_toks < 20 THEN 1 ELSE 0 END) * 1.0
+              |        / count(*), 4) AS short_frac
+              |FROM q GROUP BY 1 ORDER BY domain""".stripMargin)),
+
     // Mixture weighting — the planning step BEFORE x6's stratified
     // sampling: given per-source token masses and a uniform target
     // share, compute each source's sampling rate (capped at 1 — you
