@@ -1237,9 +1237,12 @@ object Relational extends QueryModule {
     // map-side projection + one 4-group count.
     GQuery("a21_equidepth",
       (s, d) => {
+        // persisted: the quantized projection feeds the cut pass AND
+        // the bucketing pass (same reasoning as a22)
         val li = Tables.lineitem(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .select(round(col("l_extendedprice") * 100).cast("long").as("pc"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val cuts = li.agg(
           expr("percentile(pc, array(0.25D, 0.5D, 0.75D))").as("cs"))
         li.crossJoin(broadcast(cuts))
