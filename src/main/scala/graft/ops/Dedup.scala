@@ -140,6 +140,31 @@ object Dedup extends QueryModule {
       .filter(col("jac") >= minSim)
       .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
 
+  /** Per-doc segment-dedup stats over a (doc_id, text) frame: chunk
+    * each doc into `segLen`-token segments, keep the globally FIRST
+    * occurrence of each exact segment (order = (doc_id, pos)), report
+    * (n_segs, n_kept, kept_frac) per doc. One generator fan-out + one
+    * per-segment window — nothing quadratic. */
+  private[graft] def segmentDedupStats(docs: DataFrame,
+      segLen: Int = 10): DataFrame = {
+    val segs = docs
+      .filter(length(trim(col("text"))) > 0)
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .selectExpr("doc_id",
+        s"posexplode(transform(sequence(0, (size(t) + ${segLen - 1}) " +
+          s"div $segLen - 1), " +
+          s"i -> array_join(slice(t, i * $segLen + 1, $segLen), ' '))) " +
+          "AS (pos, seg)")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("seg").orderBy("doc_id", "pos")
+    segs.withColumn("rn", row_number().over(w))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("kept_frac",
+        round(col("n_kept") * lit(1.0) / col("n_segs"), 4))
+  }
+
   /** Asymmetric containment pairs over a (doc_id, sh) shingle frame:
     * keeps pairs where either direction's |∩|/|side| clears `minCont`.
     * Same cap semantics as [[ngramJaccardPairsOf]]. */
@@ -287,24 +312,8 @@ object Dedup extends QueryModule {
     // (groups are tiny — a segment's own occurrence list), one per-doc
     // count — nothing quadratic anywhere.
     GQuery("d8_segment_dedup",
-      (s, d) => {
-        val segs = Tables.documents(s, d)
-          .filter(length(trim(col("text"))) > 0)
-          .select(col("doc_id"), tokens(col("text")).as("t"))
-          .selectExpr("doc_id",
-            "posexplode(transform(sequence(0, (size(t) + 9) div 10 - 1), " +
-              "i -> array_join(slice(t, i * 10 + 1, 10), ' '))) " +
-              "AS (pos, seg)")
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("seg").orderBy("doc_id", "pos")
-        segs.withColumn("rn", row_number().over(w))
-          .groupBy("doc_id")
-          .agg(count(lit(1)).as("n_segs"),
-            sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"))
-          .withColumn("kept_frac",
-            round(col("n_kept") * lit(1.0) / col("n_segs"), 4))
-          .orderBy("doc_id")
-      },
+      (s, d) => segmentDedupStats(
+        Tables.documents(s, d).select("doc_id", "text")).orderBy("doc_id"),
       Some("""WITH toks AS (
              |  SELECT doc_id, string_split(trim(text), ' ') AS t
              |  FROM documents WHERE trim(text) <> ''),

@@ -120,6 +120,31 @@ object TextAnalysis extends QueryModule {
   /** documents scan spread across cores — the harness file is one
     * unsplittable row group, and the per-token scoring below is
     * compute-bound (no-op at real scale where files split). */
+  /** Pairwise estimated Jaccard between SOURCES from per-source
+    * MinHash sketches over doc fingerprints. Input: (source, text);
+    * output: (sa, sb, est_jac) for sa < sb. Each source folds to
+    * `lanes` lane-minima (map-side combined); only sketch rows cross
+    * the comparison join. */
+  private[graft] def corpusOverlap(docs: org.apache.spark.sql.DataFrame,
+      lanes: Int = 64): org.apache.spark.sql.DataFrame = {
+    val laneMin = docs
+      .select(col("source"), md5(col("text")).as("fp"))
+      .select(col("source"), explode(array((0 until lanes).map { i =>
+        struct(lit(i).as("lane"),
+          conv(substring(md5(concat_ws("#", lit(i.toString),
+            col("fp"))), 1, 12), 16, 10).cast("long").as("h"))
+      }: _*)).as("lh"))
+      .groupBy(col("source"), col("lh.lane").as("lane"))
+      .agg(min(col("lh.h")).as("mh"))
+    laneMin.select(col("source").as("sa"), col("lane"), col("mh").as("ha"))
+      .join(laneMin.select(col("source").as("sb"), col("lane"),
+        col("mh").as("hb")), Seq("lane"))
+      .filter(col("sa") < col("sb"))
+      .groupBy("sa", "sb")
+      .agg(round(sum(when(col("ha") === col("hb"), 1).otherwise(0)) /
+        lit(lanes.toDouble), 4).as("est_jac"))
+  }
+
   private def docsSpread(s: org.apache.spark.sql.SparkSession, d: String) =
     graft.Tables.documents(s, d)
       // only (doc_id, text) ride the spread exchange — not lang/source/
@@ -651,27 +676,8 @@ object TextAnalysis extends QueryModule {
     // lanes. Sketches, not documents, cross the final join — at
     // 100 TB the comparison costs the scan, nothing pairwise.
     GQuery("x21_corpus_overlap",
-      (s, d) => {
-        val lanes = 64
-        val laneMin = Tables.documents(s, d)
-          .select(col("source"), md5(col("text")).as("fp"))
-          .select(col("source"), explode(array((0 until lanes).map { i =>
-            struct(lit(i).as("lane"),
-              conv(substring(md5(concat_ws("#", lit(i.toString),
-                col("fp"))), 1, 12), 16, 10).cast("long").as("h"))
-          }: _*)).as("lh"))
-          .groupBy(col("source"), col("lh.lane").as("lane"))
-          .agg(min(col("lh.h")).as("mh"))
-        laneMin.select(col("source").as("sa"), col("lane"),
-            col("mh").as("ha"))
-          .join(laneMin.select(col("source").as("sb"), col("lane"),
-            col("mh").as("hb")), Seq("lane"))
-          .filter(col("sa") < col("sb"))
-          .groupBy("sa", "sb")
-          .agg(round(sum(when(col("ha") === col("hb"), 1).otherwise(0)) /
-            lit(64.0), 4).as("est_jac"))
-          .orderBy("sa", "sb")
-      },
+      (s, d) => corpusOverlap(
+        Tables.documents(s, d).select("source", "text")).orderBy("sa", "sb"),
       Some("""WITH d AS (SELECT source, md5(text) AS fp FROM documents),
              |l AS (SELECT unnest(range(64)) AS lane),
              |h AS (SELECT source, lane,

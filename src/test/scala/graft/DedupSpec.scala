@@ -94,6 +94,46 @@ class DedupSpec extends AnyFunSuite {
       "disjoint doc must not pair")
   }
 
+  test("d8 segment dedup: a copied half survives only at first occurrence") {
+    // doc 2's first 10 tokens are VERBATIM doc 1's first segment; its
+    // second segment is unique — kept_frac must be exactly 0.5, while
+    // doc 1 (the first occurrence) keeps everything
+    val segA = "a1 a2 a3 a4 a5 a6 a7 a8 a9 a10"
+    val docs = docsDf(Seq(
+      (1L, s"$segA b1 b2 b3 b4 b5 b6 b7 b8 b9 b10"),
+      (2L, s"$segA c1 c2 c3 c4 c5 c6 c7 c8 c9 c10"),
+      (3L, "d1 d2 d3 d4 d5 d6 d7 d8 d9 d10")))
+    val r = Dedup.segmentDedupStats(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2),
+        r.getDouble(3))).toMap
+    assert(r(1L) == ((2L, 2L, 1.0)), s"doc 1 must keep all: ${r(1L)}")
+    assert(r(2L) == ((2L, 1L, 0.5)), s"doc 2 must lose the copy: ${r(2L)}")
+    assert(r(3L) == ((1L, 1L, 1.0)))
+  }
+
+  test("x21 corpus overlap: sketch estimate tracks planted true Jaccard") {
+    import org.apache.spark.sql.functions.lit
+    val spark2 = spark
+    import spark2.implicits._
+    // sources A and B share 30 of their 50 docs → true doc-level
+    // Jaccard = 30 / 70 ≈ 0.43; C is disjoint → 0. A 64-lane sketch
+    // has σ ≈ sqrt(J(1−J)/64) ≈ 0.06 — assert within 3σ.
+    val shared = (0 until 30).map(i => s"shared doc number $i with words")
+    val aOnly = (0 until 20).map(i => s"alpha only doc $i content here")
+    val bOnly = (0 until 20).map(i => s"beta only doc $i content here")
+    val cOnly = (0 until 20).map(i => s"gamma only doc $i content here")
+    val docs = (shared ++ aOnly).map(("srcA", _)) ++
+      (shared ++ bOnly).map(("srcB", _)) ++ cOnly.map(("srcC", _))
+    val df = docs.toDF("source", "text")
+    val est = graft.ops.TextAnalysis.corpusOverlap(df).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getDouble(2)).toMap
+    val jAB = 30.0 / 70.0
+    assert(math.abs(est(("srcA", "srcB")) - jAB) <= 0.18,
+      s"AB estimate ${est(("srcA", "srcB"))} vs true $jAB")
+    assert(est(("srcA", "srcC")) == 0.0 && est(("srcB", "srcC")) == 0.0,
+      s"disjoint sources must estimate 0: $est")
+  }
+
   test("chunk-bucket recall is exact vs all-pairs hamming <= 3") {
     // 40 docs: 10 base variants × small perturbations
     val rnd = new scala.util.Random(11)
