@@ -19,6 +19,46 @@ import org.apache.spark.sql.expressions.Window
   */
 object Relational extends QueryModule {
 
+  /** Generic CDC snapshot diff: the insert/delete/update change set
+    * between two versions of a keyed table, in ONE full-outer join on
+    * `keyCol`. Rows: (key, op ∈ I|D|U, p1, p2); unchanged rows are
+    * dropped. The derive-side dual of the MERGE apply (j12). */
+  private[graft] def cdcDiff(v1: DataFrame, v2: DataFrame,
+      keyCol: String, payloadCol: String): DataFrame = {
+    val a = v1.select(col(keyCol).as("k"), col(payloadCol).as("p1"))
+    val b = v2.select(col(keyCol).as("k"), col(payloadCol).as("p2"))
+    a.join(b, Seq("k"), "full_outer")
+      .withColumn("op",
+        when(col("p1").isNull, "I")
+          .when(col("p2").isNull, "D")
+          .when(col("p1") =!= col("p2"), "U"))
+      .filter(col("op").isNotNull)
+      .select(col("k"), col("op"), col("p1"), col("p2"))
+  }
+
+  /** One-pass data-quality expectation report over an orders-shaped
+    * fact and its customer dimension: row count, key uniqueness,
+    * price-range and status-domain violations, FK orphans (one left
+    * join). One aggregated row out, map-side combined. */
+  private[graft] def expectationsOf(orders: DataFrame,
+      customer: DataFrame): DataFrame =
+    orders
+      .join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - countDistinct(col("o_orderkey")))
+          .as("n_dup_keys"),
+        sum(when(col("o_totalprice") <= 0 ||
+          col("o_totalprice") > 1000000, 1L).otherwise(0L))
+          .as("n_price_range_viol"),
+        sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
+          .as("n_null_date"),
+        sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
+          .otherwise(0L)).as("n_bad_status"),
+        sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
+          .as("n_orphan_custkey"))
+
   override def queries: Seq[GQuery] = Seq(
 
     // ---- P: projections / filters -------------------------------------
@@ -1291,14 +1331,8 @@ object Relational extends QueryModule {
           .select(col("k"),
             when(col("k") % 7 === 0, col("price") + 10.0)
               .otherwise(col("price")).as("p2"))
-        v1.join(v2, Seq("k"), "full_outer")
-          .withColumn("op",
-            when(col("p1").isNull, "I")
-              .when(col("p2").isNull, "D")
-              .when(col("p1") =!= col("p2"), "U"))
-          .filter(col("op").isNotNull)
-          .select(col("k"), col("op"), col("p1"), col("p2"))
-          .orderBy("k")
+        cdcDiff(v1.withColumnRenamed("p1", "p"),
+          v2.withColumnRenamed("p2", "p"), "k", "p").orderBy("k")
       },
       Some("""WITH o AS (SELECT o_orderkey AS k,
              |            round(o_totalprice, 2) AS price FROM orders),

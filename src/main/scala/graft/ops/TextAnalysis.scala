@@ -842,22 +842,8 @@ object TextAnalysis extends QueryModule {
     // combined, one row out); the referential check is the only
     // shuffle and it is the join a validator cannot avoid.
     GQuery("x15_expectations",
-      (s, d) => Tables.orders(s, d)
-        .join(Tables.customer(s, d).select(col("c_custkey")),
-          col("o_custkey") === col("c_custkey"), "left")
-        .agg(
-          count(lit(1)).as("n_rows"),
-          (count(lit(1)) - countDistinct(col("o_orderkey")))
-            .as("n_dup_keys"),
-          sum(when(col("o_totalprice") <= 0 ||
-            col("o_totalprice") > 1000000, 1L).otherwise(0L))
-            .as("n_price_range_viol"),
-          sum(when(col("o_orderdate").isNull, 1L).otherwise(0L))
-            .as("n_null_date"),
-          sum(when(!col("o_orderstatus").isin("O", "F", "P"), 1L)
-            .otherwise(0L)).as("n_bad_status"),
-          sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
-            .as("n_orphan_custkey")),
+      (s, d) => graft.ops.Relational.expectationsOf(
+        Tables.orders(s, d), Tables.customer(s, d)),
       Some("""SELECT count(*) AS n_rows,
              |  count(*) - count(DISTINCT o_orderkey) AS n_dup_keys,
              |  sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000

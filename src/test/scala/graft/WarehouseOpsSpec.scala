@@ -1,0 +1,60 @@
+package graft
+
+import java.sql.Date
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Planted-fixture specs for the warehouse operators whose registered
+  * queries run on clean harness data (where every violation counter is
+  * legitimately zero): prove the detectors actually FIRE. */
+class WarehouseOpsSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  test("cdcDiff classifies planted inserts, deletes, and updates") {
+    import spark.implicits._
+    val v1 = Seq((1L, 10.0), (2L, 20.0), (3L, 30.0)).toDF("k", "p")
+    val v2 = Seq((2L, 20.0), (3L, 33.0), (4L, 40.0)).toDF("k", "p")
+    val got = graft.ops.Relational.cdcDiff(v1, v2, "k", "p").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 deleted, 2 unchanged (absent), 3 updated, 4 inserted
+    assert(got == Map(1L -> "D", 3L -> "U", 4L -> "I"), s"got $got")
+  }
+
+  test("expectationsOf counts every planted violation class") {
+    import spark.implicits._
+    val orders = Seq(
+      // (orderkey, custkey, totalprice, orderdate, status)
+      (1L, 100L, 50.0, Date.valueOf("2024-01-01"), "O"),   // clean
+      (1L, 100L, 60.0, Date.valueOf("2024-01-02"), "F"),   // dup key
+      (2L, 999L, 70.0, Date.valueOf("2024-01-03"), "P"),   // orphan cust
+      (3L, 101L, -5.0, Date.valueOf("2024-01-04"), "O"),   // bad price
+      (4L, 101L, 2000000.0, Date.valueOf("2024-01-05"), "O"), // bad price
+      (5L, 100L, 80.0, null.asInstanceOf[Date], "O"),      // null date
+      (6L, 101L, 90.0, Date.valueOf("2024-01-06"), "X"))   // bad status
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderstatus")
+    val customer = Seq(100L, 101L).toDF("c_custkey")
+    val r = graft.ops.Relational.expectationsOf(orders, customer).head()
+    assert(r.getLong(0) == 7, "n_rows")
+    assert(r.getLong(1) == 1, s"n_dup_keys = ${r.getLong(1)}")
+    assert(r.getLong(2) == 2, s"n_price_range_viol = ${r.getLong(2)}")
+    assert(r.getLong(3) == 1, s"n_null_date = ${r.getLong(3)}")
+    assert(r.getLong(4) == 1, s"n_bad_status = ${r.getLong(4)}")
+    assert(r.getLong(5) == 1, s"n_orphan_custkey = ${r.getLong(5)}")
+  }
+
+  test("SCD2 versions tile the timeline: j16 matches every order once") {
+    // registered-query-level invariant on harness data: the temporal
+    // join emits exactly one version row per (filtered) order
+    val sfDir = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("j16_temporal_join")(spark, sfDir)
+    val n = out.count()
+    val expected = Tables.orders(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("o_custkey") % 40 === 0)
+      .count()
+    assert(n == expected, s"temporal join emitted $n rows for $expected orders")
+    assert(out.select("o_orderkey").distinct().count() == expected,
+      "some order matched more than one version")
+  }
+}
