@@ -36,6 +36,29 @@ object Relational extends QueryModule {
       .select(col("k"), col("op"), col("p1"), col("p2"))
   }
 
+  /** Per-group MAD outlier stats over a (flag, pc) frame of integer
+    * values: group median, median absolute deviation, and the count
+    * of values past 3·MAD — the robust profiler stat that survives
+    * heavy tails. Integer inputs keep the median interpolation on
+    * exact halves/quarters, so the cut is engine-exact. The input
+    * projection is persisted across the three passes. */
+  private[graft] def madOutlierStats(input: DataFrame): DataFrame = {
+    val li = input
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val med = li.groupBy("flag")
+      .agg(expr("percentile(pc, 0.5D)").as("med"))
+    val dev = li.join(broadcast(med), Seq("flag"))
+      .withColumn("dev", abs(col("pc") - col("med")))
+    val mad = dev.groupBy("flag")
+      .agg(expr("percentile(dev, 0.5D)").as("mad"))
+    dev.join(broadcast(mad), Seq("flag"))
+      .groupBy("flag")
+      .agg(max("med").as("med_cents"), max("mad").as("mad_cents"),
+        sum(when(col("dev") > lit(3.0) * col("mad"), 1L)
+          .otherwise(0L)).as("n_outliers"),
+        count(lit(1)).as("n"))
+  }
+
   /** One-pass data-quality expectation report over an orders-shaped
     * fact and its customer dimension: row count, key uniqueness,
     * price-range and status-domain violations, FK orphans (one left
@@ -1227,29 +1250,12 @@ object Relational extends QueryModule {
     // keyed aggregation passes over the fact with 3-row broadcast
     // join-backs between them — nothing corpus-sized is ever held.
     GQuery("a22_mad_outliers",
-      (s, d) => {
-        // persisted: the (flag, pc) projection feeds all three passes
-        // (median, deviation+MAD, outlier count) — unpersisted, each
-        // pass re-scans and re-quantizes the fact
-        val li = Tables.lineitem(s, d)
+      (s, d) => madOutlierStats(
+        Tables.lineitem(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .select(col("l_returnflag").as("flag"),
-            round(col("l_extendedprice") * 100).cast("long").as("pc"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val med = li.groupBy("flag")
-          .agg(expr("percentile(pc, 0.5D)").as("med"))
-        val dev = li.join(broadcast(med), Seq("flag"))
-          .withColumn("dev", abs(col("pc") - col("med")))
-        val mad = dev.groupBy("flag")
-          .agg(expr("percentile(dev, 0.5D)").as("mad"))
-        dev.join(broadcast(mad), Seq("flag"))
-          .groupBy("flag")
-          .agg(max("med").as("med_cents"), max("mad").as("mad_cents"),
-            sum(when(col("dev") > lit(3.0) * col("mad"), 1L)
-              .otherwise(0L)).as("n_outliers"),
-            count(lit(1)).as("n"))
-          .orderBy("flag")
-      },
+            round(col("l_extendedprice") * 100).cast("long").as("pc")))
+        .orderBy("flag"),
       Some("""WITH li AS (SELECT l_returnflag AS flag,
              |    CAST(round(l_extendedprice * 100) AS BIGINT) AS pc
              |  FROM lineitem),

@@ -44,6 +44,24 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(r.getLong(5) == 1, s"n_orphan_custkey = ${r.getLong(5)}")
   }
 
+  test("madOutlierStats fires on a planted extreme value") {
+    import spark.implicits._
+    // 21 values tightly packed around 1000 plus one planted extreme
+    // (22 values → median interpolates to 1000.5, MAD to 5.5 — the
+    // exact-halves arithmetic the integer-input design guarantees);
+    // the extreme's deviation 99.5 > 3·5.5 → exactly one outlier.
+    // The harness data is tail-free, so a22's oracle only ever
+    // confirms n_outliers = 0 — this proves the detector detects.
+    val vals = ((-10 to 10).map(d => 1000L + d) :+ 1100L)
+      .map(("G", _))
+    val r = graft.ops.Relational
+      .madOutlierStats(vals.toDF("flag", "pc")).head()
+    assert(r.getDouble(1) == 1000.5, s"median ${r.getDouble(1)}")
+    assert(r.getDouble(2) == 5.5, s"MAD ${r.getDouble(2)}")
+    assert(r.getLong(3) == 1, s"n_outliers ${r.getLong(3)}")
+    assert(r.getLong(4) == 22)
+  }
+
   test("SCD2 versions tile the timeline: j16 matches every order once") {
     // registered-query-level invariant on harness data: the temporal
     // join emits exactly one version row per (filtered) order
