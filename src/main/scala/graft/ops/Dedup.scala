@@ -140,6 +140,38 @@ object Dedup extends QueryModule {
       .filter(col("jac") >= minSim)
       .select(col("da"), col("db"), round(col("jac"), 4).as("jac"))
 
+  /** Embedding cosine near-dup pairs over a (vec_id, v, nrm) frame:
+    * candidates are bucket-mates in ANY of the 8 random-hyperplane
+    * hash tables; exact cosine verifies candidates only. Bucket-mate
+    * pairs are generated over IDS ONLY — clustered data makes popular
+    * (t, sig) buckets quadratic, and carrying the 64-double vectors
+    * through that join + the dedup shuffle moved ~64× the bytes of
+    * the id stream (measured 33 s → 1.3 s; the vector join-back
+    * touches each distinct pair exactly once). */
+  private[graft] def embeddingNeardupPairs(normed: DataFrame,
+      minSim: Double): DataFrame = {
+    val vecs = normed
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val b = vecs
+      .withColumn("tbl", explode(Ann.tableSigArray(col("v"))))
+      .select(col("tbl.t").as("t"), col("tbl.sig").as("sig"),
+        col("vec_id"))
+    val pairs = b.select(col("t"), col("sig"), col("vec_id").as("ida"))
+      .join(b.select(col("t"), col("sig"), col("vec_id").as("idb")),
+        Seq("t", "sig"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    pairs
+      .join(vecs.select(col("vec_id").as("ida"), col("v").as("va"),
+        col("nrm").as("na")), Seq("ida"))
+      .join(vecs.select(col("vec_id").as("idb"), col("v").as("vb"),
+        col("nrm").as("nb")), Seq("idb"))
+      .withColumn("sim",
+        Ann.simFromNorms(col("va"), col("vb"), col("na"), col("nb")))
+      .filter(col("sim") >= minSim)
+      .select(col("ida"), col("idb"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Per-doc segment-dedup stats over a (doc_id, text) frame: chunk
     * each doc into `segLen`-token segments, keep the globally FIRST
     * occurrence of each exact segment (order = (doc_id, pos)), report
@@ -414,35 +446,8 @@ object Dedup extends QueryModule {
     // is the exact all-pairs filter — equal on this data because the
     // cosine distribution is far from the cut (max ≈ 0.5).
     GQuery("d5_embedding_neardup",
-      (s, d) => {
-        // bucket-mate pairs are generated over IDS ONLY: clustered data
-        // makes popular (t, sig) buckets quadratic, and carrying the
-        // 64-double vectors through that join + the dedup shuffle moved
-        // ~64x the bytes of the id stream (measured 33 s → the vector
-        // join-back touches each distinct pair exactly once)
-        val vecs = Ann.normedVecs(s, d)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val b = vecs
-          .withColumn("tbl", explode(Ann.tableSigArray(col("v"))))
-          .select(col("tbl.t").as("t"), col("tbl.sig").as("sig"),
-            col("vec_id"))
-        val pairs = b.select(col("t"), col("sig"), col("vec_id").as("ida"))
-          .join(b.select(col("t"), col("sig"), col("vec_id").as("idb")),
-            Seq("t", "sig"))
-          .filter(col("ida") < col("idb"))
-          .select("ida", "idb").distinct()
-        val out = pairs
-          .join(vecs.select(col("vec_id").as("ida"), col("v").as("va"),
-            col("nrm").as("na")), Seq("ida"))
-          .join(vecs.select(col("vec_id").as("idb"), col("v").as("vb"),
-            col("nrm").as("nb")), Seq("idb"))
-          .withColumn("sim",
-            Ann.simFromNorms(col("va"), col("vb"), col("na"), col("nb")))
-          .filter(col("sim") >= 0.95)
-          .select(col("ida"), col("idb"), round(col("sim"), 4).as("sim"))
-          .orderBy("ida", "idb")
-        out
-      },
+      (s, d) => embeddingNeardupPairs(Ann.normedVecs(s, d), 0.95)
+        .orderBy("ida", "idb"),
       Some(Ann.neardupOracleSql)),
 
     // Leakage-safe train/valid/test split: the split key is the

@@ -134,6 +134,40 @@ class DedupSpec extends AnyFunSuite {
       s"disjoint sources must estimate 0: $est")
   }
 
+  test("d5 embedding near-dup finds planted clusters among noise") {
+    // the harness embeddings are isotropic noise (max pair cosine
+    // ≈ 0.5), so d5's oracle legitimately returns ZERO rows — this
+    // planted fixture proves the detection path detects: 3 clusters
+    // of 2 near-identical unit vectors among 40 noise vectors.
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(64)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val noise = (0 until 40).map(i => (i.toLong, unit()))
+    val planted = (0 until 3).flatMap { c =>
+      val base = unit()
+      (0 until 2).map { j =>
+        val jit = base.map(_ + rnd.nextGaussian() * 0.01)
+        (100L + c * 10 + j, jit)
+      }
+    }
+    val df = (noise ++ planted).toDF("vec_id", "v")
+      .select(org.apache.spark.sql.functions.col("vec_id"),
+        org.apache.spark.sql.functions.col("v"),
+        org.apache.spark.sql.functions.sqrt(graft.ops.Ann.dotCol(
+          org.apache.spark.sql.functions.col("v"),
+          org.apache.spark.sql.functions.col("v"))).as("nrm"))
+    val got = Dedup.embeddingNeardupPairs(df, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (0 until 3).map(c => (100L + c * 10, 101L + c * 10)).toSet
+    assert(expected.subsetOf(got),
+      s"planted pairs missing: ${expected -- got}")
+    assert(got.forall { case (a, b) => a >= 100 && b >= 100 },
+      s"noise pair reported: ${got.filter(p => p._1 < 100 || p._2 < 100)}")
+  }
+
   test("chunk-bucket recall is exact vs all-pairs hamming <= 3") {
     // 40 docs: 10 base variants × small perturbations
     val rnd = new scala.util.Random(11)
