@@ -198,6 +198,62 @@ object Trace extends QueryModule {
              |       min(user_id) AS min_user
              |FROM sess GROUP BY path ORDER BY path""".stripMargin)),
 
+    // T15: event-type co-occurrence PMI over (user, day) sessions —
+    // association mining: which action types appear together MORE
+    // than their independent rates predict (pmi > 0) or avoid each
+    // other (pmi < 0). All four log terms are micro-nat-quantized per
+    // distinct count (the x12 trick), so the PMI values are exact
+    // integer arithmetic until the final display division. The pair
+    // space is |types|² (bounded); the corpus-sized work is one
+    // distinct projection and one session-keyed self-join whose
+    // per-session fan-out is at most |types|.
+    GQuery("t15_pmi",
+      (s, d) => {
+        val st = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("ts div 86400000000000").as("day"),
+            col("event_type").as("t"))
+          .distinct()
+        val tot = st.agg(
+          countDistinct(struct(col("user_id"), col("day"))).as("n_sess"))
+        val singles = st.groupBy("t").agg(count(lit(1)).as("n_t"))
+        def lnMicro(c: Column): Column =
+          round(log(c.cast("double")) * 1e6)
+        st.select(col("user_id"), col("day"), col("t").as("ta"))
+          .join(st.select(col("user_id"), col("day"), col("t").as("tb")),
+            Seq("user_id", "day"))
+          .filter(col("ta") < col("tb"))
+          .groupBy("ta", "tb").agg(count(lit(1)).as("n_ab"))
+          .join(broadcast(singles.select(col("t").as("ta"),
+            col("n_t").as("na"))), Seq("ta"))
+          .join(broadcast(singles.select(col("t").as("tb"),
+            col("n_t").as("nb"))), Seq("tb"))
+          .crossJoin(broadcast(tot))
+          .select(col("ta"), col("tb"), col("n_ab"),
+            round((lnMicro(col("n_ab")) + lnMicro(col("n_sess")) -
+              lnMicro(col("na")) - lnMicro(col("nb"))) / 1e6, 4)
+              .as("pmi"))
+          .orderBy("ta", "tb")
+      },
+      Some("""WITH st AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_ns(ts) // 86400000000000 AS day, event_type AS t
+             |  FROM events),
+             |n AS (SELECT count(*) AS n_sess FROM
+             |        (SELECT DISTINCT user_id, day FROM st)),
+             |s1 AS (SELECT t, count(*) AS n_t FROM st GROUP BY 1),
+             |p AS (SELECT a.t AS ta, b.t AS tb, count(*) AS n_ab
+             |      FROM st a JOIN st b ON a.user_id = b.user_id
+             |        AND a.day = b.day AND a.t < b.t
+             |      GROUP BY 1, 2)
+             |SELECT ta, tb, n_ab,
+             |  round((round(ln(n_ab) * 1e6) + round(ln(n_sess) * 1e6) -
+             |    round(ln(na.n_t) * 1e6) - round(ln(nb.n_t) * 1e6))
+             |    / 1e6, 4) AS pmi
+             |FROM p JOIN s1 na ON p.ta = na.t
+             |       JOIN s1 nb ON p.tb = nb.t CROSS JOIN n
+             |ORDER BY ta, tb""".stripMargin)),
+
     // Notebook transition counter (`bigdata (2).ipynb` cell 9): global
     // (prev → curr) transition histogram.
     GQuery("t9_transitions",
