@@ -59,6 +59,23 @@ object Relational extends QueryModule {
         count(lit(1)).as("n"))
   }
 
+  /** Every order row labeled with its FIRST failed expectation check
+    * ('ok' when clean) — row-level quarantine routing: bad rows go to
+    * a dead-letter sink with a machine-readable reason in the same
+    * pass that admits the rest. Checks mirror [[expectationsOf]]. */
+  private[graft] def quarantineLabeled(orders: DataFrame,
+      customer: DataFrame): DataFrame =
+    orders
+      .join(customer.select(col("c_custkey")),
+        col("o_custkey") === col("c_custkey"), "left")
+      .withColumn("reason",
+        when(col("o_totalprice") <= 0 ||
+          col("o_totalprice") > 1000000, "price_range")
+          .when(col("o_orderdate").isNull, "null_date")
+          .when(!col("o_orderstatus").isin("O", "F", "P"), "bad_status")
+          .when(col("c_custkey").isNull, "orphan_custkey")
+          .otherwise("ok"))
+
   /** One-pass data-quality expectation report over an orders-shaped
     * fact and its customer dimension: row count, key uniqueness,
     * price-range and status-domain violations, FK orphans (one left
@@ -1199,6 +1216,30 @@ object Relational extends QueryModule {
              |         ELSE props END AS payload
              |  FROM events WHERE event_id % 50 = 0)
              |ORDER BY event_id""".stripMargin)),
+
+    // F15: row-level quarantine routing — x15 COUNTS violations; this
+    // labels each row with its FIRST failed check ('ok' when clean) so
+    // the ingest can route bad rows to a quarantine sink with a
+    // machine-readable reason in the same pass that admits the rest.
+    // Pure projection + one FK left join; the reason histogram here is
+    // the checked output (row-level routing is `.filter(reason ==
+    // 'ok')` / its negation on the same frame).
+    GQuery("f15_quarantine",
+      (s, d) => {
+        quarantineLabeled(Tables.orders(s, d), Tables.customer(s, d))
+          .groupBy("reason").agg(count(lit(1)).as("n"))
+          .orderBy("reason")
+      },
+      Some("""SELECT CASE
+             |    WHEN o_totalprice <= 0 OR o_totalprice > 1000000
+             |      THEN 'price_range'
+             |    WHEN o_orderdate IS NULL THEN 'null_date'
+             |    WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+             |      THEN 'bad_status'
+             |    WHEN c_custkey IS NULL THEN 'orphan_custkey'
+             |    ELSE 'ok' END AS reason, count(*) AS n
+             |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+             |GROUP BY 1 ORDER BY reason""".stripMargin)),
 
     // A24: multiple DISTINCT aggregates in one pass — Catalyst plans
     // count(DISTINCT x), count(DISTINCT y) side by side via one

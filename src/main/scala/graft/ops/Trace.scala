@@ -198,6 +198,37 @@ object Trace extends QueryModule {
              |       min(user_id) AS min_user
              |FROM sess GROUP BY path ORDER BY path""".stripMargin)),
 
+    // T16: cohort retention — users grouped by first-activity week
+    // (the cohort), counted by how many weeks later they return: the
+    // (cohort, offset) matrix behind every retention curve. Two keyed
+    // aggregations (first week per user, distinct activity weeks per
+    // user) and one broadcast-joinable bounded output; no window over
+    // unbounded history anywhere.
+    GQuery("t16_retention",
+      (s, d) => {
+        val uw = Tables.events(s, d)
+          .select(col("user_id"),
+            expr("ts div 604800000000000").as("week"))
+          .distinct()
+        val cohort = uw.groupBy("user_id").agg(min("week").as("c_week"))
+        uw.join(cohort, Seq("user_id"))
+          .select(col("c_week"),
+            (col("week") - col("c_week")).as("offset_weeks"),
+            col("user_id"))
+          .groupBy("c_week", "offset_weeks")
+          .agg(countDistinct(col("user_id")).as("n_users"))
+          .orderBy("c_week", "offset_weeks")
+      },
+      Some("""WITH uw AS (
+             |  SELECT DISTINCT user_id,
+             |    epoch_ns(ts) // 604800000000000 AS week FROM events),
+             |c AS (SELECT user_id, min(week) AS c_week
+             |      FROM uw GROUP BY 1)
+             |SELECT c_week, week - c_week AS offset_weeks,
+             |  count(DISTINCT uw.user_id) AS n_users
+             |FROM uw JOIN c USING (user_id)
+             |GROUP BY 1, 2 ORDER BY c_week, offset_weeks""".stripMargin)),
+
     // T15: event-type co-occurrence PMI over (user, day) sessions —
     // association mining: which action types appear together MORE
     // than their independent rates predict (pmi > 0) or avoid each

@@ -44,6 +44,26 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(r.getLong(5) == 1, s"n_orphan_custkey = ${r.getLong(5)}")
   }
 
+  test("quarantineLabeled routes each dirty row to its first failed check") {
+    import spark.implicits._
+    val orders = Seq(
+      (1L, 100L, 50.0, Date.valueOf("2024-01-01"), "O"),   // ok
+      (2L, 999L, 70.0, Date.valueOf("2024-01-03"), "P"),   // orphan
+      (3L, 101L, -5.0, null.asInstanceOf[Date], "X"),      // price wins
+      (5L, 100L, 80.0, null.asInstanceOf[Date], "O"),      // null date
+      (6L, 101L, 90.0, Date.valueOf("2024-01-06"), "X"))   // bad status
+      .toDF("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate",
+        "o_orderstatus")
+    val customer = Seq(100L, 101L).toDF("c_custkey")
+    val got = graft.ops.Relational.quarantineLabeled(orders, customer)
+      .select("o_orderkey", "reason").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // row 3 violates three checks; the FIRST (price_range) must win
+    assert(got == Map(1L -> "ok", 2L -> "orphan_custkey",
+      3L -> "price_range", 5L -> "null_date", 6L -> "bad_status"),
+      s"got $got")
+  }
+
   test("madOutlierStats fires on a planted extreme value") {
     import spark.implicits._
     // 21 values tightly packed around 1000 plus one planted extreme
