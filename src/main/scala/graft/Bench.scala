@@ -27,6 +27,7 @@ object Bench {
       queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
+        Caches.drain()
       }
     }
     // Materialize every column via the noop sink — `.count()` lets Catalyst
@@ -37,7 +38,13 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release operator-persisted intermediates OUTSIDE the timed
+      // window: 130 queries × up to 3 passes would otherwise accumulate
+      // cached partitions and skew later-query timings via memory
+      // pressure (round-5 ADVICE)
+      Caches.drain()
+      name -> dt
     }
     val mainT0 = System.nanoTime()
     val pass1 = measure()

@@ -114,10 +114,9 @@ object Dbscan {
     val pts = points.toDF("id", "value").localCheckpoint(false)
 
     // 0. collapse duplicates: representative id + multiplicity per value
-    val reps = pts.groupBy("value")
+    val reps = graft.Caches.track(pts.groupBy("value")
       .agg(min(col("id")).as("rep"), count(lit(1)).as("w"))
-      .select(col("rep"), col("value"), col("w")).as[(Long, String, Long)]
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .select(col("rep"), col("value"), col("w")).as[(Long, String, Long)])
     // 1. deterministic pivot = value of the min-rep point; fetched in the
     //    SAME job as the distinct-value count (each Spark action on this
     //    tiny frame costs a full scheduling round trip)
@@ -193,8 +192,11 @@ object Dbscan {
       // join — no dedup needed, ownership already made pairs unique
       .repartition(col("rep"))
       // persisted: both the ball-weight aggregation and the label-spread
-      // join read this — unpersisted, the O(cell²) scan runs twice
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // join read this — unpersisted, the O(cell²) scan runs twice.
+      // Tracked (like every operator persist) so Caches.drain releases
+      // it on the past-cap path, where the eager unpersist below is
+      // never reached.
+      .transform(graft.Caches.track)
     // diagnosis only: force the scan so the timing marks isolate it
     // (extra action — never taken without the env flag)
     if (sys.env.contains("GRAFT_DBSCAN_TIMING")) {
@@ -215,7 +217,7 @@ object Dbscan {
       .join(ball, Seq("rep"), "left")
       .filter(col("w") + coalesce(col("nbrW"), lit(0L)) >= minPts)
       .select("rep")
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.track)
     // cores is a bounded label summary (≤ nDistinct ids, no payload) —
     // broadcast both uses so the 600k-row pair table keeps its `rep`
     // partitioning instead of sort-merge-exchanging twice more
@@ -223,7 +225,7 @@ object Dbscan {
       .unionByName(nbrPairs
         .select(col("rep").as("label"), col("nbr").as("pt"))
         .join(broadcast(cores.select(col("rep").as("label"))), Seq("label")))
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.track)
     // NB: no labels.isEmpty probe — the empty (no-core) case flows
     // through naturally (empty edges → empty components → every point
     // noise via the left joins below), which matches the DBSCAN
@@ -374,7 +376,9 @@ object Dbscan {
         val seen = scala.collection.mutable.HashSet.empty[(Long, Long)]
         it.filter(seen.add)
       }
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      // tracked: the GraphX (past-cap) path below returns with eDs
+      // still feeding the lazy result — only Caches.drain releases it
+      .transform(graft.Caches.track)
     val probe = collectUpTo(eDs, DriverCcMaxEdges)
     if (probe.isDefined) {
       eDs.unpersist(blocking = false)

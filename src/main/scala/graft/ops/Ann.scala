@@ -367,8 +367,8 @@ object Ann extends QueryModule {
           |p AS (SELECT vec_id AS qid, q AS qq FROM qv
           |      WHERE vec_id % 20 = 0),
           |s AS (SELECT qid, qv.vec_id AS nbr,
-          |        list_sum(list_transform(list_zip(qq, qv.q),
-          |          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS qdist
+          |        CAST(list_sum(list_transform(list_zip(qq, qv.q),
+          |          x -> (x[1] - x[2]) * (x[1] - x[2]))) AS BIGINT) AS qdist
           |      FROM p JOIN qv ON qv.vec_id <> p.qid)
           |SELECT qid, rn, nbr, qdist FROM (
           |  SELECT qid, nbr, qdist,
@@ -397,7 +397,8 @@ object Ann extends QueryModule {
       Some("""SELECT label, pos, qsum, n_vecs FROM (
              |  SELECT CAST(label AS BIGINT) AS label,
              |    CAST(pos AS BIGINT) AS pos,
-             |    sum(CAST(round(x::DOUBLE * 1000) AS BIGINT)) AS qsum,
+             |    CAST(sum(CAST(round(x::DOUBLE * 1000) AS BIGINT))
+             |         AS BIGINT) AS qsum,
              |    count(*) AS n_vecs
              |  FROM (SELECT label, unnest(embedding) AS x,
              |          unnest(range(len(embedding))) AS pos
@@ -449,7 +450,7 @@ object Ann extends QueryModule {
            |  SELECT vec_id, cid, v, row_number() OVER (PARTITION BY vec_id
            |    ORDER BY csim DESC, cid) AS rn FROM sc) WHERE rn = 1)
            |SELECT cid, CAST(pos AS BIGINT) AS pos,
-           |  sum(CAST(round(x * 1000) AS BIGINT)) AS qsum,
+           |  CAST(sum(CAST(round(x * 1000) AS BIGINT)) AS BIGINT) AS qsum,
            |  count(*) AS n_vecs
            |FROM (SELECT cid, unnest(v) AS x,
            |        unnest(range(len(v))) AS pos FROM asg)

@@ -272,7 +272,7 @@ object Cluster extends QueryModule {
           .filter(col("pa") < col("pb"))
           .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
           .filter(col("w") >= 2).select("pa", "pb")
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.Caches.track)
         triangleCounts(e)
           .orderBy(col("n_tri").desc, col("node")).limit(15)
       },
@@ -314,7 +314,7 @@ object Cluster extends QueryModule {
         val ue = Tables.events(s, d)
           .withColumn("hour", expr("ts div 3600000000000"))
           .select("user_id", "hour", "event_type").distinct()
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.Caches.track)
         val e = ue.select(col("hour"), col("event_type"), col("user_id").as("ua"))
           .join(ue.select(col("hour"), col("event_type"),
             col("user_id").as("ub")), Seq("hour", "event_type"))

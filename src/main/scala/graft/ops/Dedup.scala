@@ -20,11 +20,12 @@ import org.apache.spark.sql.functions._
   *
   * Cache lifecycle: operators persist bounded intermediates (shingle
   * sets, normalized vectors) that the returned LAZY plan still reads, so
-  * they cannot be unpersisted here. MEMORY_AND_DISK entries are evicted
-  * LRU under pressure; a long-lived session that wants deterministic
-  * release should call `spark.catalog.clearCache()` after materializing
-  * the result — the documented cleanup hook for this module and
-  * [[graft.similarity.Similarity.neighborClusters]].
+  * they cannot be unpersisted here. Every such persist is registered via
+  * [[graft.Caches.track]]; a long-lived session calls
+  * [[graft.Caches.drain]] after materializing the result (Bench does so
+  * between measured queries) — deterministic release without touching
+  * user-owned cache entries. Un-drained entries still evict LRU under
+  * pressure.
   */
 object Dedup extends QueryModule {
 
@@ -101,7 +102,7 @@ object Dedup extends QueryModule {
       .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(wordNgrams(col("toks"), 3)).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.track)
     cand
       .join(shCand.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
       .join(shCand.select(col("doc_id").as("db"), col("sh").as("shb")), Seq("db"))
@@ -151,7 +152,7 @@ object Dedup extends QueryModule {
   private[graft] def embeddingNeardupPairs(normed: DataFrame,
       minSim: Double): DataFrame = {
     val vecs = normed
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.track)
     val b = vecs
       .withColumn("tbl", explode(Ann.tableSigArray(col("v"))))
       .select(col("tbl.t").as("t"), col("tbl.sig").as("sig"),
@@ -224,7 +225,7 @@ object Dedup extends QueryModule {
     // shingle compute itself), and the self-join would evaluate all of
     // it once per side on top of that
     val ds = shingles
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.track)
     // join key is the 64-bit hash of the shingle, not the string —
     // narrower shuffle; collision odds at this cardinality ~1e-11
     val invAll = ds.select(col("doc_id"),
@@ -351,15 +352,16 @@ object Dedup extends QueryModule {
              |  FROM documents WHERE trim(text) <> ''),
              |seg AS (SELECT doc_id, i AS pos,
              |          array_to_string(t[(i*10+1):(i*10+10)], ' ') AS seg
-             |        FROM toks
-             |        CROSS JOIN (SELECT unnest(range(20)) AS i)
-             |        WHERE i * 10 < len(t)),
+             |        FROM (SELECT doc_id, t,
+             |                unnest(range((len(t) + 9) // 10)) AS i
+             |              FROM toks)),
              |r AS (SELECT doc_id, pos, seg,
              |        row_number() OVER (PARTITION BY seg
              |          ORDER BY doc_id, pos) AS rn
              |      FROM seg)
              |SELECT doc_id, count(*) AS n_segs,
-             |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS n_kept,
+             |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_kept,
              |  round(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) * 1.0
              |        / count(*), 4) AS kept_frac
              |FROM r GROUP BY 1 ORDER BY doc_id""".stripMargin)),

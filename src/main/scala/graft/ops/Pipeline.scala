@@ -62,8 +62,8 @@ object Pipeline extends QueryModule {
            |        WHERE q.quality >= 0.95)
            |SELECT doc_id, lang, n_toks, quality, cum_toks FROM (
            |  SELECT doc_id, lang, n_toks, quality,
-           |    sum(n_toks) OVER (PARTITION BY lang
-           |      ORDER BY quality DESC, doc_id) AS cum_toks
+           |    CAST(sum(n_toks) OVER (PARTITION BY lang
+           |      ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_toks
            |  FROM sel)
            |WHERE cum_toks <= 4000 ORDER BY doc_id""".stripMargin))
   )

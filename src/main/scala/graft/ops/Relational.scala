@@ -44,7 +44,7 @@ object Relational extends QueryModule {
     * projection is persisted across the three passes. */
   private[graft] def madOutlierStats(input: DataFrame): DataFrame = {
     val li = input
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.Caches.track)
     val med = li.groupBy("flag")
       .agg(expr("percentile(pc, 0.5D)").as("med"))
     val dev = li.join(broadcast(med), Seq("flag"))
@@ -98,6 +98,24 @@ object Relational extends QueryModule {
           .otherwise(0L)).as("n_bad_status"),
         sum(when(col("c_custkey").isNull, 1L).otherwise(0L))
           .as("n_orphan_custkey"))
+
+  /** Per-returnflag p50/p90/p99 of extended price via the mergeable
+    * GK sketch (`percentile_approx`). At `accuracy >= group row count`
+    * the sketch's rank error is below one rank, so the result is the
+    * exact order statistic at rank ceil(p·n); lower accuracies give the
+    * bounded-state 100 TB sketch path (spec-gated within 1% of exact).
+    */
+  private[graft] def approxQuantilesByFlag(lineitem: DataFrame,
+      accuracy: Int): DataFrame =
+    lineitem
+      .groupBy("l_returnflag")
+      .agg(percentile_approx(col("l_extendedprice"),
+        array(lit(0.5), lit(0.9), lit(0.99)), lit(accuracy)).as("ps"))
+      .select(col("l_returnflag"),
+        round(element_at(col("ps"), 1), 2).as("p50"),
+        round(element_at(col("ps"), 2), 2).as("p90"),
+        round(element_at(col("ps"), 3), 2).as("p99"))
+      .orderBy("l_returnflag")
 
   override def queries: Seq[GQuery] = Seq(
 
@@ -785,8 +803,8 @@ object Relational extends QueryModule {
           .orderBy("s_nationkey")
       },
       Some("""SELECT s_nationkey, count(*) AS n,
-             |  sum(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END)
-             |    AS n_missing,
+             |  CAST(sum(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_missing,
              |  round(sum(CASE WHEN s_suppkey % 2 = 0 THEN 0.0
              |            ELSE s_acctbal END), 2) AS bal
              |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
@@ -1017,20 +1035,30 @@ object Relational extends QueryModule {
     // A18: approximate percentiles — the MERGEABLE sketch path for
     // quantiles at 100 TB, where a14's exact per-group value buffer is
     // the cost center. percentile_approx's GK-style sketch carries a
-    // bounded state per group regardless of row count. No SQL oracle
-    // (the sketch is engine-specific); gated by FunctionsSpec's error
-    // envelope against the exact a14 values.
+    // bounded state per group regardless of row count. Registered with
+    // accuracy >= the sf0.01 group sizes, where the GK rank error
+    // (count/accuracy) drops below one rank and the sketch returns the
+    // EXACT order statistic at rank ceil(p·n) — which the DuckDB oracle
+    // reproduces with an explicit row_number() rank, independent of
+    // DuckDB's own quantile_disc rounding convention. The sketch-mode
+    // error envelope (accuracy 5000, within 1% of a14's exact values)
+    // stays spec-gated in FunctionsSpec via [[approxQuantilesByFlag]].
     GQuery("a18_approx_quantile",
-      (s, d) => Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(percentile_approx(col("l_extendedprice"),
-          array(lit(0.5), lit(0.9), lit(0.99)), lit(5000)).as("ps"))
-        .select(col("l_returnflag"),
-          round(element_at(col("ps"), 1), 2).as("p50"),
-          round(element_at(col("ps"), 2), 2).as("p90"),
-          round(element_at(col("ps"), 3), 2).as("p99"))
-        .orderBy("l_returnflag"),
-      None),
+      (s, d) => approxQuantilesByFlag(Tables.lineitem(s, d), 10_000_000),
+      Some("""WITH r AS (
+             |  SELECT l_returnflag AS flag, l_extendedprice AS v,
+             |    row_number() OVER (PARTITION BY l_returnflag
+             |      ORDER BY l_extendedprice) AS rn,
+             |    count(*) OVER (PARTITION BY l_returnflag) AS n
+             |  FROM lineitem)
+             |SELECT flag AS l_returnflag,
+             |  round(max(CASE WHEN rn = ceil(0.5 * n) THEN v END), 2)
+             |    AS p50,
+             |  round(max(CASE WHEN rn = ceil(0.9 * n) THEN v END), 2)
+             |    AS p90,
+             |  round(max(CASE WHEN rn = ceil(0.99 * n) THEN v END), 2)
+             |    AS p99
+             |FROM r GROUP BY 1 ORDER BY l_returnflag""".stripMargin)),
 
     // A19: UNPIVOT (melt) — wide-to-long reshape, the inverse of a16:
     // one row per (id, metric). Spark compiles it to a single Expand
@@ -1307,8 +1335,8 @@ object Relational extends QueryModule {
              |md AS (SELECT flag, quantile_cont(dev, 0.5) AS mad
              |       FROM d GROUP BY 1)
              |SELECT flag, max(med) AS med_cents, max(mad) AS mad_cents,
-             |  sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)
-             |    AS n_outliers,
+             |  CAST(sum(CASE WHEN dev > 3 * mad THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_outliers,
              |  count(*) AS n
              |FROM d JOIN md USING (flag)
              |GROUP BY 1 ORDER BY flag""".stripMargin)),
@@ -1329,7 +1357,7 @@ object Relational extends QueryModule {
         val li = Tables.lineitem(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .select(round(col("l_extendedprice") * 100).cast("long").as("pc"))
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          .transform(graft.Caches.track)
         val cuts = li.agg(
           expr("percentile(pc, array(0.25D, 0.5D, 0.75D))").as("cs"))
         li.crossJoin(broadcast(cuts))

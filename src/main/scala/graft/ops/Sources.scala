@@ -185,8 +185,8 @@ object Sources extends QueryModule {
           .orderBy("s_nationkey")
       },
       Some("""SELECT s_nationkey, count(*) AS n,
-             |  sum(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END)
-             |    AS n_legacy,
+             |  CAST(sum(CASE WHEN s_suppkey % 2 = 0 THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_legacy,
              |  round(sum(CASE WHEN s_suppkey % 2 = 0 THEN 0.0
              |            ELSE s_acctbal END), 2) AS bal
              |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),

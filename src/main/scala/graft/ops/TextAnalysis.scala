@@ -329,8 +329,8 @@ object TextAnalysis extends QueryModule {
       },
       Some(s"""SELECT doc_id, lang, n_toks, quality, cum_toks FROM (
               |  SELECT doc_id, lang, n_toks, quality,
-              |    sum(n_toks) OVER (PARTITION BY lang
-              |      ORDER BY quality DESC, doc_id) AS cum_toks
+              |    CAST(sum(n_toks) OVER (PARTITION BY lang
+              |      ORDER BY quality DESC, doc_id) AS BIGINT) AS cum_toks
               |  FROM (SELECT doc_id, lang, n_toks,
               |          round(least(n_toks / 60.0, 1.0) * 0.5 +
               |                (1.0 - n_stop * 1.0 / n_toks) * 0.5, 4) AS quality
@@ -346,7 +346,7 @@ object TextAnalysis extends QueryModule {
     // distributed-histogram scale posture.
     GQuery("x8_repetition",
       (s, d) => repetitionStats(docsSpread(s, d)).orderBy("doc_id"),
-      Some("""SELECT doc_id, sum(c) AS n_grams,
+      Some("""SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_grams,
              |  round(1.0 - count(*) * 1.0 / sum(c), 4) AS dup_frac,
              |  round(max(c) * 1.0 / sum(c), 4) AS top_frac,
              |  (round(1.0 - count(*) * 1.0 / sum(c), 4) > 0.2 OR
@@ -654,7 +654,8 @@ object TextAnalysis extends QueryModule {
       },
       Some("""WITH b AS (
              |  SELECT source,
-             |    sum(len(string_split(trim(text), ' '))) AS toks
+             |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+             |      AS toks
              |  FROM documents GROUP BY 1),
              |t AS (SELECT sum(toks) AS total, count(*) AS n_sources
              |      FROM b)
@@ -777,7 +778,7 @@ object TextAnalysis extends QueryModule {
              |q AS (SELECT doc_id, c,
              |        CAST(round(ln(c) * 1e6) AS BIGINT) AS lnc_micro
              |      FROM cc)
-             |SELECT doc_id, sum(c) AS n_chars,
+             |SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_chars,
              |  count(*) AS n_distinct_chars,
              |  round((round(ln(sum(c)) * 1e6) -
              |    sum(c * lnc_micro) * 1.0 / sum(c)) / 1e6, 4) AS entropy
@@ -846,14 +847,14 @@ object TextAnalysis extends QueryModule {
         Tables.orders(s, d), Tables.customer(s, d)),
       Some("""SELECT count(*) AS n_rows,
              |  count(*) - count(DISTINCT o_orderkey) AS n_dup_keys,
-             |  sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000
-             |           THEN 1 ELSE 0 END) AS n_price_range_viol,
-             |  sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
-             |    AS n_null_date,
-             |  sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
-             |           THEN 1 ELSE 0 END) AS n_bad_status,
-             |  sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
-             |    AS n_orphan_custkey
+             |  CAST(sum(CASE WHEN o_totalprice <= 0 OR o_totalprice > 1000000
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_price_range_viol,
+             |  CAST(sum(CASE WHEN o_orderdate IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_null_date,
+             |  CAST(sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P')
+             |           THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_status,
+             |  CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_orphan_custkey
              |FROM orders LEFT JOIN customer
              |  ON o_custkey = c_custkey""".stripMargin)),
 

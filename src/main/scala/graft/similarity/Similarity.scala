@@ -71,7 +71,7 @@ object Similarity {
     // and every downstream branch reads the tiny cached (ida, idb) rows.
     // (Round 3 persisted only `sym`, which still evaluated the LSH
     // subtree twice to build the union's two legs.)
-    val p = pairs.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val p = graft.Caches.track(pairs)
     val sym = p.select(col("ida").as("__id"), col("idb").as("__nbr"))
       .union(p.select(col("idb").as("__id"), col("ida").as("__nbr")))
     val clustered = sym.groupBy("__id")

@@ -12,4 +12,9 @@ object GraftColumnBridge {
     classic.ExpressionUtils.expression(c)
   def toColumn(e: Expression): Column =
     classic.ExpressionUtils.column(e)
+  /** `sharedState` is `private[sql]`; exposed for the cache-hygiene
+    * invariant (graft.Caches.isEmpty / CacheHygieneSpec). */
+  def cacheManagerIsEmpty(spark: SparkSession): Boolean =
+    spark.asInstanceOf[classic.SparkSession].sharedState
+      .cacheManager.isEmpty
 }

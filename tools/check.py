@@ -19,6 +19,16 @@ OUT = Path(sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# The driver's hasher is TYPED: a DuckDB HUGEINT (un-cast sum(BIGINT)) or
+# DECIMAL column hash-fails against Spark's BIGINT/DOUBLE even when every
+# value is identical. norm() below is blind to that (Python coerces to int),
+# so lint the oracle's result types explicitly.
+BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+def lint_types(duck):
+    return [(c, str(t)) for c, t in zip(duck.columns, duck.types)
+            if any(b in str(t).upper() for b in BAD_ORACLE_TYPES)]
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -74,9 +84,14 @@ def main():
         try:
             duck = con.sql(oracle[name])
             duck_cols = duck.columns
+            bad_types = lint_types(duck)
             duck_df = duck.fetchall()
         except Exception as e:
             print(f"FAIL {name}: oracle SQL error: {str(e)[:200]}")
+            n_fail += 1; continue
+        if bad_types:
+            print(f"FAIL {name}: oracle result type driver-hash-unsafe "
+                  f"{bad_types} — CAST the column (e.g. AS BIGINT)")
             n_fail += 1; continue
         if sorted(spark_cols) != sorted(duck_cols):
             print(f"FAIL {name}: schema spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
