@@ -137,6 +137,100 @@ object Ann extends QueryModule {
     when(na === 0d || nb === 0d, lit(0.0))
       .otherwise(dotCol(va, vb) / (na * nb))
 
+  /** Deterministic seed centroid frame (cid, cv, cn): the exactly-IvfK
+    * vectors with the smallest md5(vec_id) — a constant broadcast. */
+  def seedCentroids(vecs: DataFrame): DataFrame =
+    vecs.orderBy(md5(col("vec_id").cast("string"))).limit(IvfK)
+      .select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("nrm").as("cn"))
+
+  /** One distributed Lloyd iteration: assign every vector to its
+    * argmax-cosine centroid (constant broadcast, linear scan), then
+    * emit the NEXT centroid frame from quantized integer sufficient
+    * statistics — n5's trick: per-(cid, pos) sums of round(x·1000) as
+    * long commute exactly, so the derived centroid coordinates
+    * qsum/(1000·n) are order- and partitioning-independent doubles that
+    * DuckDB reproduces bit-for-bit. Clusters that capture no vectors
+    * drop out (deterministically, in both engines). The shuffle carries
+    * only 64·K partial-sum rows; centroids never touch the driver. */
+  def lloydStep(vecs: DataFrame, cents: DataFrame): DataFrame = {
+    val wAsg = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid"))
+    val asg = vecs.crossJoin(broadcast(cents))
+      .withColumn("csim", round(
+        simFromNorms(col("v"), col("cv"), col("nrm"), col("cn")), 6))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("v"))
+    asg.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg(sum(round(col("x") * 1000, 0).cast("long")).as("qsum"),
+        count(lit(1)).as("n"))
+      .groupBy("cid")
+      .agg(transform(array_sort(collect_list(struct(col("pos"),
+          (col("qsum") / (lit(1000.0) * col("n"))).as("m")))),
+        e => e.getField("m")).as("cv"))
+      .select(col("cid"), col("cv"),
+        sqrt(dotCol(col("cv"), col("cv"))).as("cn"))
+  }
+
+  /** IVF probe/rerank against an arbitrary centroid frame: every vector
+    * assigned to its nearest centroid cell, each probe (vec_id % 20 = 0)
+    * scans its 2 nearest cells, exact cosine reranks to top-3. The cell
+    * index is a CONSTANT broadcast however the centroids were obtained
+    * (md5 seed set for n3, Lloyd-trained for n7). */
+  private[graft] def ivfTopK(vecs: DataFrame, cents: DataFrame)
+      : DataFrame = {
+    val scoredC = vecs.crossJoin(broadcast(cents))
+      .withColumn("csim", round(
+        simFromNorms(col("v"), col("cv"), col("nrm"), col("cn")), 6))
+    val wAsg = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid"))
+    val asg = scoredC.withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
+    val probes = scoredC.filter(col("vec_id") % 20 === 0)
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id").as("qid"), col("cid"))
+    val cand = probes.join(asg, Seq("cid"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("nbr")).distinct()
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("nbr"))
+    cand
+      .join(vecs.select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn")), Seq("qid"))
+      .join(vecs.select(col("vec_id").as("nbr"), col("v").as("nv"),
+        col("nrm").as("nn")), Seq("nbr"))
+      .withColumn("sim", round(
+        simFromNorms(col("qv"), col("nv"), col("qn"), col("nn")), 4))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn").cast("long").as("rn"), col("nbr"),
+        col("sim"))
+      .orderBy("qid", "rn")
+  }
+
+  /** Oracle fragment: one Lloyd iteration `inCent` → `outCent` (the SQL
+    * mirror of [[lloydStep]], same quantized statistics). */
+  private def lloydSqlCtes(inCent: String, outCent: String, i: Int)
+      : String =
+    s"""sc$i AS (SELECT v.vec_id, c.cid, v.v,
+       |         round(${cosSql("v.v", "c.cv")}, 6) AS csim
+       |       FROM v, $inCent c),
+       |a$i AS (SELECT cid, v FROM (
+       |  SELECT vec_id, cid, v, row_number() OVER (PARTITION BY vec_id
+       |    ORDER BY csim DESC, cid) AS rn FROM sc$i) WHERE rn = 1),
+       |s$i AS (SELECT cid, pos,
+       |        sum(CAST(round(x * 1000) AS BIGINT)) AS qsum,
+       |        count(*) AS n
+       |      FROM (SELECT cid, unnest(v) AS x,
+       |              unnest(range(len(v))) AS pos FROM a$i)
+       |      GROUP BY 1, 2),
+       |$outCent AS (SELECT cid,
+       |        list(qsum / (1000.0 * n) ORDER BY pos) AS cv
+       |      FROM s$i GROUP BY cid)""".stripMargin
+
   private def cosSql(a: String, b: String): String =
     s"""CASE WHEN sqrt(list_sum(list_transform($a, x -> x*x))) = 0
        |       OR sqrt(list_sum(list_transform($b, x -> x*x))) = 0 THEN 0.0
@@ -253,37 +347,7 @@ object Ann extends QueryModule {
     GQuery("n3_ann_ivf",
       (s, d) => {
         val vecs = normedVecs(s, d)
-        val cents = vecs
-          .orderBy(md5(col("vec_id").cast("string"))).limit(IvfK)
-          .select(col("vec_id").as("cid"), col("v").as("cv"),
-            col("nrm").as("cn"))
-        val scoredC = vecs.crossJoin(broadcast(cents))
-          .withColumn("csim", round(
-            simFromNorms(col("v"), col("cv"), col("nrm"), col("cn")), 6))
-        val wAsg = Window.partitionBy("vec_id")
-          .orderBy(col("csim").desc, col("cid"))
-        val asg = scoredC.withColumn("rn", row_number().over(wAsg))
-          .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
-        val probes = scoredC.filter(col("vec_id") % 20 === 0)
-          .withColumn("rn", row_number().over(wAsg))
-          .filter(col("rn") <= 2)
-          .select(col("vec_id").as("qid"), col("cid"))
-        val cand = probes.join(asg, Seq("cid"))
-          .filter(col("vec_id") =!= col("qid"))
-          .select(col("qid"), col("vec_id").as("nbr")).distinct()
-        val wTop = Window.partitionBy("qid").orderBy(col("sim").desc, col("nbr"))
-        cand
-          .join(vecs.select(col("vec_id").as("qid"), col("v").as("qv"),
-            col("nrm").as("qn")), Seq("qid"))
-          .join(vecs.select(col("vec_id").as("nbr"), col("v").as("nv"),
-            col("nrm").as("nn")), Seq("nbr"))
-          .withColumn("sim", round(
-            simFromNorms(col("qv"), col("nv"), col("qn"), col("nn")), 4))
-          .withColumn("rn", row_number().over(wTop))
-          .filter(col("rn") <= 3)
-          .select(col("qid"), col("rn").cast("long").as("rn"), col("nbr"),
-            col("sim"))
-          .orderBy("qid", "rn")
+        ivfTopK(vecs, seedCentroids(vecs))
       },
       Some(vCte +
         s""",
@@ -292,6 +356,55 @@ object Ann extends QueryModule {
            |sc AS (SELECT v.vec_id, c.cid,
            |         round(${cosSql("v.v", "c.cv")}, 6) AS csim
            |       FROM v, c),
+           |asg AS (SELECT vec_id, cid FROM (
+           |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY csim DESC, cid) AS rn FROM sc) WHERE rn = 1),
+           |probes AS (SELECT vec_id AS qid, cid FROM (
+           |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+           |    ORDER BY csim DESC, cid) AS rn FROM sc
+           |  WHERE vec_id % 20 = 0) WHERE rn <= 2),
+           |cand AS (SELECT DISTINCT p.qid, a.vec_id AS nbr
+           |         FROM probes p JOIN asg a ON p.cid = a.cid
+           |         WHERE a.vec_id <> p.qid),
+           |s AS (SELECT cand.qid, cand.nbr,
+           |        round(${cosSql("qv.v", "nv.v")}, 4) AS sim
+           |      FROM cand
+           |      JOIN v qv ON qv.vec_id = cand.qid
+           |      JOIN v nv ON nv.vec_id = cand.nbr)
+           |SELECT qid, rn, nbr, sim FROM (
+           |  SELECT qid, nbr, sim,
+           |    CAST(row_number() OVER (PARTITION BY qid
+           |      ORDER BY sim DESC, nbr) AS BIGINT) AS rn
+           |  FROM s)
+           |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
+
+    // Trained-IVF ANN: n5's Lloyd step wired into n3's cell index — two
+    // distributed k-means iterations from the md5 seed set, and the
+    // RESULTING centroids become the IVF index the probes scan. This is
+    // the actual IVF-training capability a 100 TB embedding store needs:
+    // trained cells track the data's cluster structure, so a fixed
+    // probe budget recovers more true neighbors (AnnSpec proves
+    // recall(trained) > recall(seeded) on planted clusters). Every
+    // stage keeps the bounded shapes of its parents: constant-K
+    // broadcasts, linear assignment scans, 64·K-row statistics
+    // shuffles; centroids never touch the driver. The DuckDB oracle
+    // replays BOTH Lloyd iterations and the probe/rerank bit-for-bit
+    // (quantized integer statistics make the derived centroids exact).
+    GQuery("n7_ann_ivf_trained",
+      (s, d) => {
+        val vecs = graft.Caches.track(normedVecs(s, d))
+        val trained = lloydStep(vecs, lloydStep(vecs, seedCentroids(vecs)))
+        ivfTopK(vecs, trained)
+      },
+      Some(vCte +
+        s""",
+           |c0 AS (SELECT vec_id AS cid, v AS cv FROM v
+           |       ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfK),
+           |${lloydSqlCtes("c0", "c1", 1)},
+           |${lloydSqlCtes("c1", "c2", 2)},
+           |sc AS (SELECT v.vec_id, c.cid,
+           |         round(${cosSql("v.v", "c.cv")}, 6) AS csim
+           |       FROM v, c2 c),
            |asg AS (SELECT vec_id, cid FROM (
            |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
            |    ORDER BY csim DESC, cid) AS rn FROM sc) WHERE rn = 1),
@@ -421,10 +534,7 @@ object Ann extends QueryModule {
     GQuery("n5_kmeans_step",
       (s, d) => {
         val vecs = normedVecs(s, d)
-        val cents = vecs
-          .orderBy(md5(col("vec_id").cast("string"))).limit(IvfK)
-          .select(col("vec_id").as("cid"), col("v").as("cv"),
-            col("nrm").as("cn"))
+        val cents = seedCentroids(vecs)
         val wAsg = Window.partitionBy("vec_id")
           .orderBy(col("csim").desc, col("cid"))
         val asg = vecs.crossJoin(broadcast(cents))

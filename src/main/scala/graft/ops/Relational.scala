@@ -22,16 +22,22 @@ object Relational extends QueryModule {
   /** Generic CDC snapshot diff: the insert/delete/update change set
     * between two versions of a keyed table, in ONE full-outer join on
     * `keyCol`. Rows: (key, op ∈ I|D|U, p1, p2); unchanged rows are
-    * dropped. The derive-side dual of the MERGE apply (j12). */
+    * dropped. The derive-side dual of the MERGE apply (j12).
+    * Row presence is carried by an explicit per-side marker — NOT
+    * payload nullness — so a key whose payload is legitimately NULL
+    * classifies correctly (NULL payload in v1 only is still 'D', a
+    * NULL↔value change is 'U' via the null-safe inequality). */
   private[graft] def cdcDiff(v1: DataFrame, v2: DataFrame,
       keyCol: String, payloadCol: String): DataFrame = {
-    val a = v1.select(col(keyCol).as("k"), col(payloadCol).as("p1"))
-    val b = v2.select(col(keyCol).as("k"), col(payloadCol).as("p2"))
+    val a = v1.select(col(keyCol).as("k"), col(payloadCol).as("p1"),
+      lit(true).as("in1"))
+    val b = v2.select(col(keyCol).as("k"), col(payloadCol).as("p2"),
+      lit(true).as("in2"))
     a.join(b, Seq("k"), "full_outer")
       .withColumn("op",
-        when(col("p1").isNull, "I")
-          .when(col("p2").isNull, "D")
-          .when(col("p1") =!= col("p2"), "U"))
+        when(col("in1").isNull, "I")
+          .when(col("in2").isNull, "D")
+          .when(!(col("p1") <=> col("p2")), "U"))
       .filter(col("op").isNotNull)
       .select(col("k"), col("op"), col("p1"), col("p2"))
   }

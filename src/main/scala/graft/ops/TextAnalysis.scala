@@ -494,9 +494,13 @@ object TextAnalysis extends QueryModule {
           .filter(size(col("t")) >= 3)
           .select(col("doc_id"),
             explode(array_distinct(wordNgrams(col("t"), 3))).as("gram"))
-        val nDocs = Tables.documents(s, d).count()
+        // corpus size folded into the plan as a 1-row broadcast (a
+        // driver-side .count() here was a whole extra scan + action)
+        val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val hot = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-          .filter(col("df") > nDocs * 0.02)
+          .crossJoin(broadcast(nDocs))
+          .filter(col("df") > col("n_docs") * 0.02)
+          .select("gram", "df")
         grams.join(hot, Seq("gram"), "left")
           .groupBy("doc_id")
           .agg(count(lit(1)).as("n_grams"), count(col("df")).as("n_boiler"))
@@ -798,10 +802,13 @@ object TextAnalysis extends QueryModule {
         val tf = docsSpread(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
           .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-        val nDocs = Tables.documents(s, d).count()
+        // corpus size folded into the plan as a 1-row broadcast (a
+        // driver-side .count() here was a whole extra scan + action)
+        val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
         val idf = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(nDocs))
           .select(col("tok"),
-            round(log(lit(nDocs.toDouble) / col("df")) * 1e6)
+            round(log(col("n_docs").cast("double") / col("df")) * 1e6)
               .cast("long").as("idf_micro"))
         val w = org.apache.spark.sql.expressions.Window
           .partitionBy("doc_id")

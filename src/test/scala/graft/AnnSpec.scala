@@ -136,4 +136,57 @@ class AnnSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("trained IVF (n7) beats seeded IVF recall on planted clusters") {
+    // 240 noise vectors + 8 loose clusters of 8 (jitter wide enough
+    // that members split across seed cells): Lloyd-trained centroids
+    // converge to the cluster means, so the SAME 2-probe budget
+    // co-locates cluster mates that the md5 seed index scatters.
+    // Planted ids are multiples of 20, so every planted vector is a
+    // probe of ivfTopK; recall@3 = fraction of a probe's top-3 that
+    // are its 7 cluster mates.
+    import spark.implicits._
+    val rnd = new Random(7)
+    def unit(): Array[Double] = {
+      val v = Array.fill(graft.ops.Ann.Dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val noise = (0 until 240).map(i => (i * 20L + 1, unit()))
+    val clusterOf = scala.collection.mutable.Map.empty[Long, Int]
+    val planted = (0 until 8).flatMap { c =>
+      val base = unit()
+      (0 until 8).map { j =>
+        val jit = base.map(_ + rnd.nextGaussian() * 0.12)
+        val n = math.sqrt(jit.map(x => x * x).sum)
+        val id = 100000L + c * 200 + j * 20 // % 20 == 0 → probe
+        clusterOf(id) = c
+        (id, jit.map(_ / n))
+      }
+    }
+    val vecs = (noise ++ planted).toDF("vec_id", "v")
+      .select(col("vec_id"), col("v"),
+        sqrt(graft.ops.Ann.dotCol(col("v"), col("v"))).as("nrm"))
+    val seed = graft.ops.Ann.seedCentroids(vecs)
+    val trained = graft.ops.Ann.lloydStep(vecs,
+      graft.ops.Ann.lloydStep(vecs, seed))
+    def recallAt3(cents: org.apache.spark.sql.DataFrame): Double = {
+      val byQ = graft.ops.Ann.ivfTopK(vecs, cents)
+        .select("qid", "nbr").collect()
+        .map(r => r.getLong(0) -> r.getLong(1))
+        .filter(p => clusterOf.contains(p._1))
+        .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).toSet }
+      val scores = clusterOf.keys.toSeq.map { id =>
+        val mates = byQ.getOrElse(id, Set.empty)
+          .count(n => clusterOf.get(n).contains(clusterOf(id)))
+        mates / 3.0
+      }
+      scores.sum / scores.size
+    }
+    val (rSeed, rTrained) = (recallAt3(seed), recallAt3(trained))
+    info(f"recall@3 seeded=$rSeed%.3f trained=$rTrained%.3f")
+    assert(rTrained > rSeed,
+      f"training did not improve recall: seeded=$rSeed%.3f trained=$rTrained%.3f")
+    assert(rTrained >= 0.9,
+      f"trained recall $rTrained%.3f below 0.9 on planted clusters")
+  }
 }

@@ -21,6 +21,21 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "D", 3L -> "U", 4L -> "I"), s"got $got")
   }
 
+  test("cdcDiff distinguishes NULL payloads from missing rows") {
+    import spark.implicits._
+    val v1 = Seq((1L, Option.empty[Double]), (2L, Some(20.0)),
+      (3L, Option.empty[Double]), (5L, Some(50.0))).toDF("k", "p")
+    val v2 = Seq((2L, Option.empty[Double]), (3L, Option.empty[Double]),
+      (4L, Option.empty[Double]), (5L, Some(50.0))).toDF("k", "p")
+    val got = graft.ops.Relational.cdcDiff(v1, v2, "k", "p").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1: NULL payload present only in v1 → D (payload-nullness logic
+    //    called this I); 2: value→NULL → U (dropped before — the
+    //    inequality evaluated to NULL); 3: NULL→NULL unchanged;
+    //    4: NULL payload inserted → I; 5: unchanged value
+    assert(got == Map(1L -> "D", 2L -> "U", 4L -> "I"), s"got $got")
+  }
+
   test("expectationsOf counts every planted violation class") {
     import spark.implicits._
     val orders = Seq(
