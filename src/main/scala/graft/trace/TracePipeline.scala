@@ -208,6 +208,48 @@ object TracePipeline {
         p => concat(lit("'"), p, lit("'"))), ", ")).as("text"))
       .orderBy("text")
 
+  /** Part-1 observations report: the full human-readable dump the
+    * reference writes as `*_part1Observations.txt` — per group, each
+    * member process's cluster-space log rows rendered as Python dict
+    * literals (`Src/processes.py:262-303`; its three row/process/group
+    * UDFs become format_string/concat/array_join Columns). Byte-compatible
+    * with the reference modulo two arbitrary choices its own runs don't
+    * fix: group numbering and cluster letters (both RNG/collect-order
+    * dependent there). Within a process, rows order by (time, text);
+    * within a group, processes order by id string — deterministic where
+    * the reference relies on collect_list order. */
+  def part1ObservationsReport(clusterLogs: DataFrame, groups: DataFrame)
+      : DataFrame = {
+    val gmap = groups.select(col("group_processes_id"),
+      col("equal_processes"),
+      explode(col("equal_processes")).as("process_id"))
+    val rowText = format_string(
+      "      {'server_from': '%s', 'server_to': '%s', 'time': %d, " +
+        "'action': '%s', 'process_id': '%s'},\n",
+      col("cluster_from"), col("cluster_to"), col("time"), col("action"),
+      col("process_id"))
+    clusterLogs.join(gmap, Seq("process_id"))
+      .withColumn("rtxt", rowText)
+      .groupBy("process_id")
+      .agg(any_value(col("group_processes_id")).as("gid"),
+        any_value(col("equal_processes")).as("members"),
+        array_sort(collect_list(struct(col("time"), col("rtxt").as("t"))))
+          .as("st"))
+      .select(col("gid"), col("members"),
+        concat(format_string("%s: \n", col("process_id")),
+          array_join(transform(col("st"), e => e.getField("t")), ""))
+          .as("ptext"))
+      .groupBy("gid", "members")
+      .agg(array_join(array_sort(collect_list(col("ptext"))), "")
+        .as("gtext"))
+      .select(format_string("Group %d: [%s] \n %s",
+        col("gid"),
+        array_join(transform(col("members"),
+          p => concat(lit("'"), p, lit("'"))), ", "),
+        col("gtext")).as("text"))
+      .orderBy("text")
+  }
+
   /** Convenience: raw logs → (groups, dedup'd log). */
   def part1(spark: SparkSession, logs: DataFrame,
       threshold: Double = 0.05): (DataFrame, DataFrame) = {

@@ -264,4 +264,53 @@ class TracePipelineSpec extends AnyFunSuite {
     assert(report.length == 1 && report.head.endsWith("['p1', 'p2']"),
       s"got ${report.toSeq}")
   }
+
+  test("byte-golden: test.json part1Observations modulo group/letter bijection") {
+    // The reference's own report leaves two choices to the RNG/collect
+    // order (group numbers and cluster letters), so byte-compare after
+    // normalizing exactly those on BOTH sides: blocks sorted by member
+    // list, group ids renumbered by that order, letters renamed by first
+    // appearance. Everything else — the Python-dict row formatting,
+    // spacing, trailing spaces, newlines, row order — must match bytes.
+    val goldenTxt = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(
+        "/root/reference/Data/test.json_part1Observations.txt/" +
+          "part-00000-ff710508-753e-4d64-9855-5661bfda4088-c000.txt")))
+    val logs = TP.readLogJson(spark, "/root/reference/Data/test.json")
+    val procs = TP.depthFeatures(TP.processes(logs))
+    val dim = TP.serverClusterDim(spark,
+      TP.serverConnections(TP.logsWithDepth(logs, procs)), 0.05)
+    val cl = TP.clusterLogs(logs, dim)
+    val groups = TP.equalProcesses(cl)
+    val oursTxt = TP.part1ObservationsReport(cl, groups)
+      .collect().map(_.getString(0) + "\n").mkString // as the text sink writes
+
+    def normalize(txt: String): String = {
+      val blocks = txt.split("\n\n").toVector
+        .map(_.reverse.dropWhile(_ == '\n').reverse)
+        .filter(_.trim.nonEmpty)
+      val sorted = blocks.sortBy { b =>
+        b.substring(b.indexOf('['), b.indexOf(']') + 1)
+      }
+      val renum = sorted.zipWithIndex.map { case (b, i) =>
+        b.replaceFirst("^Group \\d+:", s"Group $i:")
+      }
+      val joined = renum.mkString("\n\n")
+      val letterRe = "'(server_from|server_to)': '([^']+)'".r
+      val canon = scala.collection.mutable.LinkedHashMap.empty[String, String]
+      letterRe.findAllMatchIn(joined).foreach { m =>
+        val v = m.group(2)
+        if (v != "user" && !canon.contains(v)) canon(v) = f"C${canon.size}%02d"
+      }
+      letterRe.replaceAllIn(joined,
+        m => s"'${m.group(1)}': '${canon.getOrElse(m.group(2), m.group(2))}'")
+    }
+    val (g, o) = (normalize(goldenTxt), normalize(oursTxt))
+    if (g != o) {
+      val i = g.zip(o).indexWhere { case (a, b) => a != b }
+      val at = if (i < 0) math.min(g.length, o.length) else i
+      fail(s"diverges at byte $at:\n  golden…${g.slice(at - 40, at + 40)}\n" +
+        s"  ours…${o.slice(at - 40, at + 40)}")
+    }
+  }
 }
