@@ -344,6 +344,79 @@ object Cluster extends QueryModule {
              |          SELECT r.v, sym.t AS u
              |          FROM reach r JOIN sym ON r.u = sym.s)
              |SELECT v, min(u) AS component FROM reach GROUP BY v
-             |ORDER BY v""".stripMargin))
+             |ORDER BY v""".stripMargin)),
+
+    // M13: PageRank — two power iterations over the customer↔supplier
+    // order graph (nodes disambiguated as 2·custkey / 2·suppkey+1,
+    // edges symmetrized), the crawl-frontier / domain-authority
+    // primitive of a web-scale ingest pipeline. Each iteration is the
+    // standard Pregel-as-join shape: contributions = rank ⋈ degree
+    // projected along edges, one keyed sum per destination — every
+    // shuffle is on the node key, nothing corpus-sized is broadcast,
+    // exactly the plan a 1000-executor graph run wants. Arithmetic is
+    // INTEGER-EXACT end to end so DuckDB replays it bit-for-bit:
+    // micro-ranks start at 1e6, per-edge contributions use integer
+    // division r div deg, and the damping step is 150000 + (17·s div 20)
+    // — the 0.85 factor as exact integer arithmetic, never a float
+    // product (whose rounding differs between engines). Convergence
+    // needs more iterations at depth; the loop shape (like n7's Lloyd
+    // chain) extends without changing any stage's cost.
+    GQuery("m13_pagerank",
+      (s, d) => pagerank(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b")), 2)
+        .orderBy(col("r").desc, col("node")).limit(25)
+        .select(col("node"), col("r").as("rank_micro")),
+      Some("""WITH e AS (
+             |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |sym AS (SELECT a AS src, b AS dst FROM e
+             |        UNION ALL SELECT b, a FROM e),
+             |deg AS (SELECT src, count(*) AS deg FROM sym GROUP BY 1),
+             |r0 AS (SELECT src AS node, CAST(1000000 AS BIGINT) AS r
+             |       FROM deg),
+             |c1 AS (SELECT sym.dst AS node,
+             |         CAST(sum(r0.r // deg.deg) AS BIGINT) AS s
+             |       FROM sym JOIN r0 ON sym.src = r0.node
+             |                JOIN deg ON sym.src = deg.src
+             |       GROUP BY 1),
+             |r1 AS (SELECT node,
+             |         CAST(150000 + (17 * s) // 20 AS BIGINT) AS r
+             |       FROM c1),
+             |c2 AS (SELECT sym.dst AS node,
+             |         CAST(sum(r1.r // deg.deg) AS BIGINT) AS s
+             |       FROM sym JOIN r1 ON sym.src = r1.node
+             |                JOIN deg ON sym.src = deg.src
+             |       GROUP BY 1)
+             |SELECT node, CAST(150000 + (17 * s) // 20 AS BIGINT)
+             |  AS rank_micro
+             |FROM c2 ORDER BY rank_micro DESC, node LIMIT 25""".stripMargin))
   )
+
+  /** Integer-exact PageRank over an undirected (a, b) edge frame:
+    * micro-ranks start at 1e6, contributions use integer division by
+    * degree, damping is 150000 + (17·s div 20) — 0.85 as exact integer
+    * arithmetic, reproducible across engines and partitionings. Returns
+    * (node, r) after `iters` Pregel-as-join power iterations. */
+  private[graft] def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct()
+      .transform(graft.Caches.track)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+    def step(r: DataFrame): DataFrame =
+      sym.join(r.join(deg, col("node") === col("src")).select(
+          col("node").as("src"), expr("r div deg").as("c")),
+        Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"),
+          (lit(150000L) + expr("(17 * s) div 20")).as("r"))
+    var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+    for (_ <- 1 to iters) r = step(r)
+    r
+  }
 }

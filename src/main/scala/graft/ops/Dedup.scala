@@ -527,6 +527,76 @@ object Dedup extends QueryModule {
           |          FROM reach r JOIN sym ON r.u = sym.s0)
           |SELECT vx AS doc_id, min(u) AS dup_group,
           |       (vx = min(u)) AS is_keeper
-          |FROM reach GROUP BY vx ORDER BY doc_id""".stripMargin))
+          |FROM reach GROUP BY vx ORDER BY doc_id""".stripMargin)),
+
+    // D10: winnowing (Schleimer/Wilkerson/Aiken local fingerprinting —
+    // the MOSS algorithm): per doc, hash every token 4-gram, keep the
+    // MINIMUM hash of each sliding window of 5 — a guaranteed-density
+    // fingerprint sample that two documents sharing any sufficiently
+    // long passage MUST overlap on, wherever the passage sits. This is
+    // the passage-level detector the whole-document measures miss when
+    // duplication is a long quote inside otherwise-unique text (d8's
+    // fixed 10-token segmentation breaks on any offset shift; winnowing
+    // is shift-invariant by construction). Hashes are the portable
+    // 48-bit md5 prefix, so DuckDB replays the identical fingerprint
+    // sets. Scale posture: the fingerprint density is ~2/(w+1) per
+    // token regardless of corpus size, candidates come only from the
+    // keyed fingerprint equi-join, and the per-pair evidence is the
+    // join count itself — no second pass over text.
+    GQuery("d10_winnowing",
+      (s, d) => winnowPairs(
+        Tables.documents(s, d).select(col("doc_id"), col("text"))
+          .repartition(s.sparkContext.defaultParallelism), 3)
+        .orderBy("da", "db"),
+      Some("""WITH tok AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents
+             |  WHERE trim(text) <> ''
+             |    AND len(string_split(trim(text), ' ')) >= 8),
+             |g AS (SELECT doc_id,
+             |        list_transform(range(1, len(t) - 2),
+             |          i -> array_to_string(t[i:i+3], ' ')) AS gs
+             |      FROM tok),
+             |h AS (SELECT doc_id,
+             |        list_transform(gs,
+             |          x -> ('0x' || substr(md5(x), 1, 12))::BIGINT) AS hs
+             |      FROM g),
+             |fp AS (SELECT doc_id, list_distinct(
+             |         list_transform(range(1, len(hs) - 3),
+             |           i -> list_min(hs[i:i+4]))) AS fps
+             |       FROM h),
+             |inv AS (SELECT doc_id, unnest(fps) AS f FROM fp)
+             |SELECT a.doc_id AS da, b.doc_id AS db,
+             |  CAST(count(*) AS BIGINT) AS n_shared
+             |FROM inv a JOIN inv b ON a.f = b.f AND a.doc_id < b.doc_id
+             |GROUP BY 1, 2 HAVING count(*) >= 3
+             |ORDER BY da, db""".stripMargin))
   )
+
+  /** Winnowing fingerprint sets: 48-bit portable hashes of token
+    * 4-grams, minimum per sliding window of 5, distinct per doc. */
+  private[graft] def winnowFingerprints(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= 8) // >= 1 window of 5 over 4-grams
+      .select(col("doc_id"), wordNgrams(col("t"), 4).as("gs"))
+      .select(col("doc_id"), transform(col("gs"),
+        x => conv(substring(md5(x), 1, 12), 16, 10).cast("long")).as("hs"))
+      .select(col("doc_id"), array_distinct(transform(
+        sequence(lit(1), size(col("hs")) - lit(4)),
+        i => array_min(slice(col("hs"), i, lit(5))))).as("fps"))
+
+  /** Passage-sharing candidate pairs: docs whose winnow-fingerprint
+    * sets intersect in >= `minShared` fingerprints, evidence = the
+    * intersection count (straight from the inverted-index join). */
+  private[graft] def winnowPairs(docs: DataFrame, minShared: Int)
+      : DataFrame = {
+    val inv = winnowFingerprints(docs)
+      .select(col("doc_id"), explode(col("fps")).as("f"))
+    inv.select(col("f"), col("doc_id").as("da"))
+      .join(inv.select(col("f"), col("doc_id").as("db")), Seq("f"))
+      .filter(col("da") < col("db"))
+      .groupBy("da", "db").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
 }

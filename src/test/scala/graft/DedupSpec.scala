@@ -111,6 +111,31 @@ class DedupSpec extends AnyFunSuite {
     assert(r(3L) == ((1L, 1L, 1.0)))
   }
 
+  test("d10 winnowing is shift-invariant: offset passage still detected") {
+    // A 12-token passage copied at OFFSET 3 into another document: d8's
+    // fixed 10-token segmentation sees no duplicate segment (the copy
+    // straddles two segments with different alignment), but winnowing's
+    // sliding-window fingerprints depend only on passage CONTENT, so
+    // the pair must surface with several shared fingerprints.
+    val passage = "p1 p2 p3 p4 p5 p6 p7 p8 p9 p10 p11 p12"
+    val docs = docsDf(Seq(
+      (1L, s"$passage x1 x2 x3 x4 x5 x6 x7 x8"),
+      (2L, s"y1 y2 y3 $passage z1 z2 z3 z4 z5"),
+      (3L, "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12 w13 w14 w15 w16")))
+    // winnowing fires on the shifted copy
+    val pairs = Dedup.winnowPairs(docs, 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs.keySet == Set((1L, 2L)),
+      s"winnowing should catch exactly the planted pair: $pairs")
+    assert(pairs((1L, 2L)) >= 3)
+    // the fixed-offset segmenter misses the same planted copy entirely
+    val segs = Dedup.segmentDedupStats(docs.select(col("doc_id"),
+        col("text"))).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(segs(2L) == 1.0,
+      s"fixed segmentation keeps everything (blind to the shifted copy): $segs")
+  }
+
   test("x21 corpus overlap: sketch estimate tracks planted true Jaccard") {
     import org.apache.spark.sql.functions.lit
     val spark2 = spark

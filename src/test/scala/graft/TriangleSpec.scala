@@ -46,4 +46,27 @@ class TriangleSpec extends AnyFunSuite {
     assert(c == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
       10L -> 1L, 11L -> 1L, 12L -> 1L), s"got $c")
   }
+
+  test("pagerank: star hub dominates, symmetric leaves tie exactly") {
+    import spark.implicits._
+    val star = (1L to 8L).map(i => (0L, i)).toDF("a", "b")
+    val r = graft.ops.Cluster.pagerank(star, 2).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val leaves = (1L to 8L).map(r)
+    assert(leaves.distinct.size == 1,
+      s"symmetric leaves must have identical integer ranks: $r")
+    assert(r(0L) > leaves.head * 2,
+      s"hub authority must dominate a leaf: hub=${r(0L)} leaf=${leaves.head}")
+  }
+
+  test("pagerank: regular graphs stay uniform through iterations") {
+    import spark.implicits._
+    // triangle = 2-regular: uniform rank is a fixed point of the
+    // integer-exact update (deg divides evenly), so every node holds
+    // exactly 1e6 micro-rank after any number of iterations
+    val tri = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("a", "b")
+    val r = graft.ops.Cluster.pagerank(tri, 3).collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.values.toSet == Set(1000000L), s"got $r")
+  }
 }
