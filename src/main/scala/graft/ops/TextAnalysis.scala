@@ -629,6 +629,53 @@ object TextAnalysis extends QueryModule {
               |        / count(*), 4) AS short_frac
               |FROM q GROUP BY 1 ORDER BY domain""".stripMargin)),
 
+    // X24: sequence packing — the physical layout step between curation
+    // and the trainer: concatenate each source's token stream in doc_id
+    // order and chunk it into fixed 512-token training sequences. Each
+    // doc gets its sequence id, its offset inside that sequence, and a
+    // boundary flag (docs that straddle a chunk cut — what attention
+    // masking / best-fit packers care about). Distinct from x7 (which
+    // SELECTS under a budget): this assigns every doc a physical slot.
+    // Pure integer window arithmetic (exclusive running sum, div, mod)
+    // — engine-exact. Scale posture: one window per SOURCE partition
+    // (the packing unit), never a global funnel; at 100 TB sources
+    // shard further by date/bucket and the window key gains that column.
+    GQuery("x24_seq_pack",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        Tables.documents(s, d)
+          .select("doc_id", "source", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("n_toks"))
+          .withColumn("cb", coalesce(sum(col("n_toks")).over(w), lit(0L)))
+          .select(col("doc_id"), col("source"), col("n_toks"),
+            expr("cb div 512").as("seq_id"),
+            (col("cb") % 512).as("seq_offset"),
+            (expr("(cb + n_toks - 1) div 512") > expr("cb div 512"))
+              .as("crosses"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+             |      AS n_toks
+             |  FROM documents),
+             |w AS (SELECT doc_id, source, n_toks,
+             |        CAST(coalesce(sum(n_toks) OVER (
+             |          PARTITION BY source ORDER BY doc_id
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |          0) AS BIGINT) AS cb
+             |      FROM d)
+             |SELECT doc_id, source, n_toks,
+             |  cb // 512 AS seq_id,
+             |  cb % 512 AS seq_offset,
+             |  ((cb + n_toks - 1) // 512 > cb // 512) AS crosses
+             |FROM w ORDER BY doc_id""".stripMargin)),
+
     // Mixture weighting — the planning step BEFORE x6's stratified
     // sampling: given per-source token masses and a uniform target
     // share, compute each source's sampling rate (capped at 1 — you

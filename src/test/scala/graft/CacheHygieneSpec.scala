@@ -14,7 +14,11 @@ class CacheHygieneSpec extends AnyFunSuite {
   private val sfDir = "/root/testdata/sf0.001"
 
   test("persisting operators drain to an empty cache manager") {
-    Caches.drain() // isolate from earlier suites in the shared session
+    // isolate from earlier suites in the shared session: drain tracked
+    // frames AND clear user-level caches other specs legitimately made
+    // (e.g. the S9 cache test)
+    Caches.drain()
+    spark.catalog.clearCache()
     assert(Caches.isEmpty(spark), "pre-condition: cache manager empty")
     // one representative per persist-tracking family: LSH pair output
     // (Similarity via m3), shingle frames (Dedup d2), quantized
@@ -33,6 +37,8 @@ class CacheHygieneSpec extends AnyFunSuite {
   }
 
   test("drained frames recompute transparently on re-use") {
+    Caches.drain()
+    spark.catalog.clearCache() // same isolation as above
     val df = graft.ops.Dedup.ngramJaccardPairs(spark, sfDir, 0.8)
     val n1 = df.count()
     Caches.drain()
