@@ -40,8 +40,11 @@ object Similarity {
     val tf = new HashingTF()
       .setInputCol(featCol).setOutputCol("__features")
       .setNumFeatures(numFeatures)
-    // MinHash needs >= 1 non-zero entry.
-    val featured = tf.transform(df.filter(size(col(featCol)) > 0))
+    // MinHash needs >= 1 non-zero entry. Persisted (tracked): the
+    // 1M-dim sparse featurization feeds the LSH fit AND both sides of
+    // the self-join — three scans of the most expensive projection.
+    val featured = graft.Caches.track(
+      tf.transform(df.filter(size(col(featCol)) > 0)))
     val mh = new MinHashLSH()
       .setInputCol("__features").setOutputCol("__hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
