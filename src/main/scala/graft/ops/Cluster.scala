@@ -393,8 +393,68 @@ object Cluster extends QueryModule {
              |       GROUP BY 1)
              |SELECT node, CAST(150000 + (17 * s) // 20 AS BIGINT)
              |  AS rank_micro
-             |FROM c2 ORDER BY rank_micro DESC, node LIMIT 25""".stripMargin))
+             |FROM c2 ORDER BY rank_micro DESC, node LIMIT 25""".stripMargin)),
+
+    // M14 (see [[labelPropagation]]): synchronous LPA community
+    // detection over the same customer↔supplier graph m13 ranks — the
+    // label frame is node-keyed, each iteration is one count shuffle +
+    // one per-node window, and determinism comes from the
+    // (count desc, min label) tie-break rather than hash-order mode().
+    GQuery("m14_label_prop",
+      (s, d) => labelPropagation(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b")), 2)
+        .orderBy("node"),
+      Some("""WITH e AS (
+             |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |sym AS (SELECT a AS src, b AS dst FROM e
+             |        UNION ALL SELECT b, a FROM e),
+             |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+             |c1 AS (SELECT sym.dst AS node, l0.lbl AS cand, count(*) AS n
+             |       FROM sym JOIN l0 ON sym.src = l0.node GROUP BY 1, 2),
+             |l1 AS (SELECT node, cand AS lbl FROM (
+             |  SELECT node, cand, row_number() OVER (PARTITION BY node
+             |    ORDER BY n DESC, cand) AS rn FROM c1) WHERE rn = 1),
+             |c2 AS (SELECT sym.dst AS node, l1.lbl AS cand, count(*) AS n
+             |       FROM sym JOIN l1 ON sym.src = l1.node GROUP BY 1, 2)
+             |SELECT node, cand AS lbl FROM (
+             |  SELECT node, cand, row_number() OVER (PARTITION BY node
+             |    ORDER BY n DESC, cand) AS rn FROM c2) WHERE rn = 1
+             |ORDER BY node""".stripMargin))
   )
+
+  /** Two synchronous label-propagation iterations over an undirected
+    * (a, b) edge frame — community detection (denser-than-random
+    * neighborhoods), where connected components (m8) only answer
+    * reachability. Fully deterministic: each node adopts the label
+    * with the highest neighbor frequency, ties broken by the SMALLEST
+    * label — one keyed count + one per-node window rank per iteration,
+    * no mode() nondeterminism, no floats anywhere, so the oracle
+    * replays both iterations exactly. Returns (node, lbl). */
+  private[graft] def labelPropagation(edges: DataFrame, iters: Int)
+      : DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct()
+      .transform(graft.Caches.track)
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
+      .orderBy(col("n").desc, col("cand"))
+    def step(l: DataFrame): DataFrame =
+      sym.join(l.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lbl").as("cand"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("cand").as("lbl"))
+    var l = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) l = step(l)
+    l
+  }
 
   /** Integer-exact PageRank over an undirected (a, b) edge frame:
     * micro-ranks start at 1e6, contributions use integer division by

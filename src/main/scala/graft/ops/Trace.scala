@@ -415,6 +415,42 @@ object Trace extends QueryModule {
              |       WHEN v1 IS NOT NULL THEN 2 ELSE 1 END AS stage
              |FROM c LEFT JOIN v ON c.user_id = v.user_id
              |       LEFT JOIN p ON c.user_id = p.user_id
-             |ORDER BY user_id""".stripMargin))
+             |ORDER BY user_id""".stripMargin)),
+
+    // T17: per-user event-rate burst detection — hours whose event
+    // count exceeds 2× the user's own median hourly rate (the
+    // self-relative anomaly gate an ops pipeline runs on activity
+    // streams; absolute thresholds misfire across heavy/light users).
+    // Integer-exact across engines: the median of integer counts is a
+    // multiple of 0.5, so med2 = 2·median is an exact long and the
+    // flag compare (c > med2 ⇔ c > 2·median) never touches a float.
+    // Shapes: one (user, hour) count (map-side combined), one per-user
+    // percentile whose buffer is bounded by the user's distinct hours,
+    // one user-keyed join back. No global funnel anywhere.
+    GQuery("t17_burst_detect",
+      (s, d) => burstHours(Tables.events(s, d)).orderBy("user_id", "hour"),
+      Some("""WITH hc AS (
+             |  SELECT user_id, epoch_ns(ts) // 3600000000000 AS hour,
+             |    count(*) AS c
+             |  FROM events GROUP BY 1, 2),
+             |m AS (SELECT user_id,
+             |        CAST(quantile_cont(c, 0.5) * 2 AS BIGINT) AS med2
+             |      FROM hc GROUP BY 1)
+             |SELECT user_id, hour, c, med2
+             |FROM hc JOIN m USING (user_id)
+             |WHERE c > med2 ORDER BY user_id, hour""".stripMargin))
   )
+
+  /** T17 core: hours where a user's event count exceeds 2× their own
+    * median hourly rate, over any (user_id, ts-nanos) frame. */
+  private[graft] def burstHours(events: DataFrame): DataFrame = {
+    val hc = events
+      .withColumn("hour", expr("ts div 3600000000000"))
+      .groupBy("user_id", "hour").agg(count(lit(1)).as("c"))
+    val m = hc.groupBy("user_id")
+      .agg((expr("percentile(c, 0.5D)") * 2).cast("long").as("med2"))
+    hc.join(m, Seq("user_id"))
+      .filter(col("c") > col("med2"))
+      .select(col("user_id"), col("hour"), col("c"), col("med2"))
+  }
 }

@@ -74,4 +74,42 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(exchangeAt < 0 || filterAt > exchangeAt,
       s"bloom filter not at the scan:\n$p")
   }
+
+  test("m13: PageRank joins stay keyed — no nested-loop anywhere") {
+    // every pagerank stage must be a hash/SMJ equi-join on the node
+    // key; a BroadcastNestedLoopJoin would mean a rank or degree frame
+    // (node-sized, NOT bounded) is being broadcast-crossed
+    val p = plan("m13_pagerank")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      s"pagerank planned a nested loop:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-25 should be TakeOrdered, not a global sort:\n$p")
+  }
+
+  test("d10: winnowing candidates come from an equi-join, md5 below the window exchange") {
+    val p = plan("d10_winnowing")
+    assert(!p.contains("BroadcastNestedLoopJoin") &&
+      !p.contains("CartesianProduct"),
+      s"winnowing pair generation must be the keyed fingerprint join:\n$p")
+    // the gram hash must be computed scan-side (below the per-doc
+    // window exchange), not re-derived after the shuffle
+    val md5At = p.lastIndexOf("md5")
+    val exchangeAt = p.indexOf("Exchange")
+    assert(md5At >= 0 && exchangeAt >= 0 && md5At > exchangeAt,
+      s"md5 not below the first exchange:\n$p")
+  }
+
+  test("n7: trained-IVF centroid frames broadcast; corpus never does") {
+    val p = plan("n7_ann_ivf_trained")
+    // three assignment stages (2 Lloyd + the index build) each
+    // broadcast a constant-K centroid frame; the plan TEXT repeats
+    // shared subtrees per consumer, so assert the floor, not equality
+    val n = "BroadcastNestedLoopJoin".r.findAllIn(p).length
+    assert(n >= 3, s"expected >= 3 centroid broadcasts, got $n:\n$p")
+    // and every one of them must broadcast the LIMIT'd (constant-K)
+    // side — the corpus side of an assignment never appears as a
+    // BroadcastExchange input (limit nodes mark the centroid seeds)
+    assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
+      s"constant-K centroid limit missing from plan:\n$p")
+  }
 }

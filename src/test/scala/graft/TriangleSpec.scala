@@ -59,6 +59,23 @@ class TriangleSpec extends AnyFunSuite {
       s"hub authority must dominate a leaf: hub=${r(0L)} leaf=${leaves.head}")
   }
 
+  test("label propagation: bridged cliques resolve to two communities") {
+    import spark.implicits._
+    // two K4 cliques joined by one bridge edge (4—11): after two
+    // deterministic iterations every node in a clique carries that
+    // clique's min id, and the bridge does NOT merge the communities
+    // (the property that separates LPA from connected components,
+    // which would return ONE component here)
+    def k4(base: Long) = for {
+      i <- 0 until 4; j <- (i + 1) until 4
+    } yield (base + i, base + j)
+    val edges = (k4(1L) ++ k4(11L) :+ (4L, 11L)).toDF("a", "b")
+    val got = graft.ops.Cluster.labelPropagation(edges, 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 4L).forall(got(_) == 1L), s"clique A labels: $got")
+    assert((11L to 14L).forall(got(_) == 11L), s"clique B labels: $got")
+  }
+
   test("pagerank: regular graphs stay uniform through iterations") {
     import spark.implicits._
     // triangle = 2-regular: uniform rank is a fixed point of the

@@ -36,6 +36,21 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(got == Map(1L -> "D", 2L -> "U", 4L -> "I"), s"got $got")
   }
 
+  test("burstHours fires on a planted spike and only there") {
+    import spark.implicits._
+    val h = 3600000000000L
+    // user 1: 5 quiet hours of 2 events + one hour of 9 (median 2,
+    // 9 > 4 → burst). user 2: flat 3/hour — never flagged.
+    val rows =
+      (0 until 5).flatMap(i => Seq.fill(2)((1L, i * h + 1))) ++
+        Seq.fill(9)((1L, 5 * h + 1)) ++
+        (0 until 6).flatMap(i => Seq.fill(3)((2L, i * h + 1)))
+    val got = graft.ops.Trace.burstHours(rows.toDF("user_id", "ts"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3)))
+    assert(got.toSeq == Seq((1L, 5L, 9L, 4L)), s"got ${got.toSeq}")
+  }
+
   test("expectationsOf counts every planted violation class") {
     import spark.implicits._
     val orders = Seq(
