@@ -438,9 +438,12 @@ object Cluster extends QueryModule {
   private[graft] def labelPropagation(edges: DataFrame, iters: Int)
       : DataFrame = {
     val e = edges.select(col("a"), col("b")).distinct()
-      .transform(graft.Caches.track)
+    // same one-exchange-then-persist shape as [[pagerank]]: all
+    // iteration joins read sym partitioned by src
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .transform(graft.Caches.track)
     val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
       .orderBy(col("n").desc, col("cand"))
     def step(l: DataFrame): DataFrame =
@@ -463,9 +466,14 @@ object Cluster extends QueryModule {
     * (node, r) after `iters` Pregel-as-join power iterations. */
   private[graft] def pagerank(edges: DataFrame, iters: Int): DataFrame = {
     val e = edges.select(col("a"), col("b")).distinct()
-      .transform(graft.Caches.track)
+    // ONE explicit exchange on src, persisted: the degree aggregate and
+    // every iteration's contribution join all read sym partitioned by
+    // src — without this each of the 1+iters consumers re-runs the
+    // edge distinct AND re-shuffles (the DBSCAN nbrPairs trick)
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .transform(graft.Caches.track)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     def step(r: DataFrame): DataFrame =
       sym.join(r.join(deg, col("node") === col("src")).select(
