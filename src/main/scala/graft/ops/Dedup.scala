@@ -604,10 +604,26 @@ object Dedup extends QueryModule {
 
   /** Passage-sharing candidate pairs: docs whose winnow-fingerprint
     * sets intersect in >= `minShared` fingerprints, evidence = the
-    * intersection count (straight from the inverted-index join). */
-  private[graft] def winnowPairs(docs: DataFrame, minShared: Int)
-      : DataFrame = {
-    val inv = winnowFingerprints(docs)
+    * intersection count (straight from the inverted-index join).
+    *
+    * @param maxDocsPerFp hot-fingerprint cap (d2's stop-shingle trick
+    *   for this index): fingerprints whose posting list exceeds the
+    *   cap are dropped BEFORE pair generation, bounding the quadratic
+    *   bucket blow-up when a boilerplate passage (header, license
+    *   block) appears in thousands of documents. Recall-biased-exact:
+    *   n_shared can only UNDERcount, so no false pairs appear. The
+    *   registered d10 query passes None (oracle-exact form); set the
+    *   cap at open-web scale. */
+  private[graft] def winnowPairs(docs: DataFrame, minShared: Int,
+      maxDocsPerFp: Option[Int] = None): DataFrame = {
+    val inv0 = winnowFingerprints(docs)
+    val inv = maxDocsPerFp match {
+      case Some(cap) =>
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("f")
+        inv0.withColumn("__pc", count(lit(1)).over(w))
+          .filter(col("__pc") <= cap).drop("__pc")
+      case None => inv0
+    }
     inv.select(col("f"), col("doc_id").as("da"))
       .join(inv.select(col("f"), col("doc_id").as("db")), Seq("f"))
       .filter(col("da") < col("db"))

@@ -136,6 +136,28 @@ class DedupSpec extends AnyFunSuite {
       s"fixed segmentation keeps everything (blind to the shifted copy): $segs")
   }
 
+  test("d10 hot-fingerprint cap: boilerplate dropped, planted pair survives") {
+    // a passage shared by MANY docs (boilerplate) vs one shared by two:
+    // with the cap at 3, the boilerplate fingerprints' posting lists
+    // (size 6) are dropped before pair generation, so the 6 boilerplate
+    // docs produce no pairs — while the rare two-doc passage's
+    // fingerprints (posting lists of 2) survive untouched
+    val boiler = "b1 b2 b3 b4 b5 b6 b7 b8 b9 b10 b11 b12"
+    val rare = "r1 r2 r3 r4 r5 r6 r7 r8 r9 r10 r11 r12"
+    val docs = docsDf(
+      (1L to 6L).map(i => i -> s"$boiler u${i}a u${i}b u${i}c u${i}d") ++
+        Seq(10L -> s"$rare v1 v2 v3 v4", 11L -> s"w1 w2 w3 $rare"))
+    val capped = Dedup.winnowPairs(docs, 2, Some(3)).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((10L, 11L)),
+      s"cap should keep only the rare pair: $capped")
+    // uncapped finds the boilerplate clique too
+    val full = Dedup.winnowPairs(docs, 2, None).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.contains((10L, 11L)) && full.exists(p => p._1 <= 6),
+      s"uncapped should also pair boilerplate docs: $full")
+  }
+
   test("x21 corpus overlap: sketch estimate tracks planted true Jaccard") {
     import org.apache.spark.sql.functions.lit
     val spark2 = spark
