@@ -67,23 +67,28 @@ object Dedup extends QueryModule {
     * self-join, so the corpus-wide featurization isn't evaluated twice;
     * the exact-Jaccard verification recomputes shingles only for the
     * candidate docs (semi-join before the projection). */
-  private[ops] def lshPairs(s: SparkSession, d: String, minSim: Double)
-      : DataFrame = {
-    val ds = docShingles(s, d)
-    // all 64 minhash lanes in ONE native codegen'd pass over the token
-    // hashes (graft.plans.MinHash64); `mh` is a non-cheap alias referenced
-    // by every band slice, so CollapseProject keeps it materialized and the
-    // signature computation runs once per doc, not once per band
-    val mh = ds
+  /** (doc_id, bid, sig) LSH band signatures of a shingle frame: all 64
+    * minhash lanes in ONE native codegen'd pass (graft.plans.MinHash64)
+    * sliced into 16 bands of 4 — `mh` is a non-cheap alias referenced
+    * by every band slice, so CollapseProject keeps it materialized and
+    * the signature computation runs once per doc, not once per band. */
+  private[ops] def bandSignatures(shingles: DataFrame): DataFrame = {
+    val mh = shingles
       .select(col("doc_id"), transform(col("sh"), t => xxhash64(t)).as("hs"))
       .select(col("doc_id"),
         graft.plans.NativeFunctions.minhash64(col("hs")).as("mh"))
-    val bands = mh.select(col("doc_id"),
+    mh.select(col("doc_id"),
       explode(transform(sequence(lit(0), lit(15)),
         b => struct(b.as("bid"), slice(col("mh"), b * 4 + 1, lit(4)).as("sig"))))
         .as("band"))
       .select(col("doc_id"), col("band.bid").as("bid"),
         col("band.sig").as("sig"))
+  }
+
+  private[ops] def lshPairs(s: SparkSession, d: String, minSim: Double)
+      : DataFrame = {
+    val ds = docShingles(s, d)
+    val bands = bandSignatures(ds)
     val buckets = bands.groupBy("bid", "sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
@@ -529,6 +534,46 @@ object Dedup extends QueryModule {
           |       (vx = min(u)) AS is_keeper
           |FROM reach GROUP BY vx ORDER BY doc_id""".stripMargin)),
 
+    // D11 (see [[incrementalDedup]]): batch-incremental dedup against
+    // an existing corpus — oracle replays the exact-Jaccard pair sets
+    // (valid by the same LSH-recall-1.0 equivalence d3/d6 prove) and
+    // the batch-only CC closure as a recursive CTE.
+    GQuery("d11_incremental_dedup",
+      (s, d) => incrementalDedup(s, d, 0.5).orderBy("doc_id"),
+      Some("WITH RECURSIVE " + shingleSqlCte.stripPrefix("WITH ") +
+        """,
+          |nw AS (SELECT doc_id, sh FROM s WHERE doc_id % 5 = 4),
+          |ex AS (SELECT doc_id, sh FROM s WHERE doc_id % 5 <> 4),
+          |pe AS (SELECT n.doc_id AS nid, min(e.doc_id) AS keeper
+          |       FROM nw n JOIN ex e
+          |       ON len(list_intersect(n.sh, e.sh)) * 1.0 /
+          |          len(list_distinct(n.sh || e.sh)) >= 0.5
+          |       GROUP BY 1),
+          |r AS (SELECT doc_id, sh FROM nw
+          |      WHERE doc_id NOT IN (SELECT nid FROM pe)),
+          |p AS (SELECT a.doc_id AS da, b.doc_id AS db
+          |      FROM r a JOIN r b ON a.doc_id < b.doc_id
+          |      AND len(list_intersect(a.sh, b.sh)) * 1.0 /
+          |          len(list_distinct(a.sh || b.sh)) >= 0.5),
+          |sym AS (SELECT da AS s0, db AS t0 FROM p
+          |        UNION SELECT db AS s0, da AS t0 FROM p),
+          |verts AS (SELECT doc_id AS vx FROM r),
+          |reach AS (SELECT vx, vx AS u FROM verts
+          |          UNION
+          |          SELECT rr.vx, sym.t0 AS u
+          |          FROM reach rr JOIN sym ON rr.u = sym.s0),
+          |g AS (SELECT vx AS doc_id, min(u) AS keeper
+          |      FROM reach GROUP BY vx)
+          |SELECT doc_id, status, keeper FROM (
+          |  SELECT nid AS doc_id, 'dup_existing' AS status, keeper
+          |  FROM pe
+          |  UNION ALL
+          |  SELECT doc_id,
+          |    CASE WHEN doc_id = keeper THEN 'kept'
+          |         ELSE 'dup_new' END AS status, keeper
+          |  FROM g)
+          |ORDER BY doc_id""".stripMargin)),
+
     // D10: winnowing (Schleimer/Wilkerson/Aiken local fingerprinting —
     // the MOSS algorithm): per doc, hash every token 4-gram, keep the
     // MINIMUM hash of each sliding window of 5 — a guaranteed-density
@@ -572,6 +617,67 @@ object Dedup extends QueryModule {
              |GROUP BY 1, 2 HAVING count(*) >= 3
              |ORDER BY da, db""".stripMargin))
   )
+
+  /** Incremental dedup — the production shape: a NEW batch arrives and
+    * is deduplicated against the EXISTING corpus without re-deduping
+    * the corpus itself. Per new doc: `dup_existing` (similar to >= 1
+    * existing doc; keeper = the min such doc), `dup_new` (similar only
+    * within the batch; keeper = its batch-CC min), or `kept`. Candidate
+    * pairs come from the SHARED band index with at least one NEW
+    * endpoint — the existing side is touched only through the keyed
+    * (bid, sig) join, so a daily batch costs O(batch + collisions),
+    * never O(corpus²). `isNew` partitions doc ids (here: doc_id % 5 = 4
+    * as the arriving batch). */
+  private[graft] def incrementalDedup(s: SparkSession, d: String,
+      minSim: Double): DataFrame = {
+    val isNewId: Column => Column = c => c % 5 === 4
+    val sh = docShingles(s, d)
+    val bands = bandSignatures(sh)
+    val nb = bands.filter(isNewId(col("doc_id")))
+      .select(col("bid"), col("sig"), col("doc_id").as("nid"))
+    val ab = bands.select(col("bid"), col("sig"), col("doc_id").as("oid"))
+    val cand = nb.join(ab, Seq("bid", "sig"))
+      .filter(col("oid") =!= col("nid"))
+      // new↔existing pairs in one orientation; new↔new oriented oid<nid
+      .filter(!isNewId(col("oid")) || col("oid") < col("nid"))
+      .select(col("nid"), col("oid")).distinct()
+    val candIds = cand
+      .select(explode(array(col("nid"), col("oid"))).as("doc_id")).distinct()
+    // same bounded candidate-verify skeleton as lshPairs
+    val shCand = Tables.documents(s, d)
+      .join(candIds, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        array_distinct(wordNgrams(col("toks"), 3)).as("sh"))
+      .transform(graft.Caches.track)
+    val verified = cand
+      .join(shCand.select(col("doc_id").as("nid"), col("sh").as("sha")),
+        Seq("nid"))
+      .join(shCand.select(col("doc_id").as("oid"), col("sh").as("shb")),
+        Seq("oid"))
+      .withColumn("jac", jaccardSim(col("sha"), col("shb")))
+      .filter(col("jac") >= minSim)
+      .select(col("nid"), col("oid"))
+    val dupEx = verified.filter(!isNewId(col("oid")))
+      .groupBy("nid").agg(min(col("oid")).as("keeper"))
+    val remaining = sh.filter(isNewId(col("doc_id"))).select(col("doc_id"))
+      .join(dupEx.select(col("nid").as("doc_id")), Seq("doc_id"),
+        "left_anti")
+    val nn = verified.filter(isNewId(col("oid")))
+      .join(remaining.select(col("doc_id").as("nid")), Seq("nid"),
+        "left_semi")
+      .join(remaining.select(col("doc_id").as("oid")), Seq("oid"),
+        "left_semi")
+      .select(col("oid").as("l1"), col("nid").as("l2"))
+    val cc = graft.cluster.Dbscan.connectedComponents(s,
+      remaining.select(col("doc_id").as("v")), nn)
+    dupEx.select(col("nid").as("doc_id"),
+        lit("dup_existing").as("status"), col("keeper"))
+      .unionByName(cc.select(col("v").as("doc_id"),
+        when(col("v") === col("component"), "kept").otherwise("dup_new")
+          .as("status"),
+        col("component").as("keeper")))
+  }
 
   /** Winnowing fingerprints as (doc_id, f) rows: 48-bit portable
     * hashes of token 4-grams, minimum per sliding window of 5,

@@ -158,6 +158,36 @@ class DedupSpec extends AnyFunSuite {
       s"uncapped should also pair boilerplate docs: $full")
   }
 
+  test("d11 incremental dedup: every status class on planted batch") {
+    import spark.implicits._
+    // existing corpus: docs 1-3 (doc_id % 5 != 4); arriving batch:
+    // 4 (verbatim copy of existing 1 → dup_existing keeper 1),
+    // 9 + 14 (near-identical to each other only → 9 kept, 14 dup_new),
+    // 19 (unique → kept)
+    val a = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b = "one two three four five six seven eight nine ten"
+    val dir = java.nio.file.Files.createTempDirectory("graft_d11_").toString
+    Seq(
+      1L -> a,
+      2L -> "red orange yellow green blue indigo violet white black grey",
+      3L -> "cat dog bird fish horse cow sheep goat pig duck",
+      4L -> a,
+      9L -> s"$b extra1",
+      14L -> s"$b extra2",
+      19L -> "unique solo text with no relative anywhere at all ok"
+    ).toDF("doc_id", "text")
+      .withColumn("source", lit("t")).withColumn("lang", lit("en"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = graft.ops.Dedup.incrementalDedup(spark, dir, 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2)))
+      .toMap
+    assert(got == Map(
+      4L -> ("dup_existing", 1L),
+      9L -> ("kept", 9L),
+      14L -> ("dup_new", 9L),
+      19L -> ("kept", 19L)), s"got $got")
+  }
+
   test("x21 corpus overlap: sketch estimate tracks planted true Jaccard") {
     import org.apache.spark.sql.functions.lit
     val spark2 = spark
