@@ -158,6 +158,35 @@ class DedupSpec extends AnyFunSuite {
       s"uncapped should also pair boilerplate docs: $full")
   }
 
+  test("winnowing guarantee: any shared 8+-token passage collides, 25 random trials") {
+    // The winnowing THEOREM (Schleimer et al. §3): two documents
+    // sharing a passage long enough to contain one full window of
+    // k-grams share at least one selected fingerprint — regardless of
+    // passage position or surrounding text. Randomized check with a
+    // fixed seed: random unique-token docs, a shared passage of
+    // random length (8..20) planted at random offsets in both.
+    import spark.implicits._
+    val rnd = new scala.util.Random(123)
+    val trials = (0 until 25).map { t =>
+      val passLen = 8 + rnd.nextInt(13)
+      val passage = (0 until passLen).map(i => s"p${t}_$i").mkString(" ")
+      def doc(tag: String): String = {
+        val pre = (0 until rnd.nextInt(12)).map(i => s"$tag-a$i")
+        val post = (0 until rnd.nextInt(12)).map(i => s"$tag-b$i")
+        (pre ++ Seq(passage) ++ post).mkString(" ")
+      }
+      (t, doc(s"x$t"), doc(s"y$t"))
+    }
+    val docs = trials.flatMap { case (t, da, db) =>
+      Seq((t * 2L, da), (t * 2L + 1, db)) }.toDF("doc_id", "text")
+    val pairs = Dedup.winnowPairs(docs, 1).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val missed = trials.map(_._1).filterNot(t =>
+      pairs.contains((t * 2L, t * 2L + 1)))
+    assert(missed.isEmpty,
+      s"trials with an undetected shared passage: $missed")
+  }
+
   test("d11 incremental dedup: every status class on planted batch") {
     import spark.implicits._
     // existing corpus: docs 1-3 (doc_id % 5 != 4); arriving batch:
