@@ -629,6 +629,92 @@ object TextAnalysis extends QueryModule {
               |        / count(*), 4) AS short_frac
               |FROM q GROUP BY 1 ORDER BY domain""".stripMargin)),
 
+    // X25: BPE merge training — the tokenizer-building kernel: start
+    // from the character-symbolized weighted vocabulary, and per
+    // iteration (a) count adjacent symbol pairs weighted by word
+    // frequency, (b) take the top pair (count desc, then lexicographic
+    // — fully deterministic), (c) merge it corpus-wide. Output: the
+    // ordered merge table, i.e. the first 3 rules of the tokenizer.
+    // Engine-exactness: `replace` is left-to-right non-overlapping in
+    // both engines, so merge application agrees even on self-adjacent
+    // pairs ('a a' in 'a a a' → 'aa a' in both). Scale posture: all
+    // iteration state is the VOCABULARY frame (Heaps-law bounded, here
+    // persisted once), the pair count is a map-side-combined keyed agg,
+    // and each winning pair is a 1-row TakeOrdered broadcast — the
+    // corpus itself is read once, at the initial word count.
+    GQuery("x25_bpe_merges",
+      (s, d) => {
+        val w0 = graft.Caches.track(docsSpread(s, d)
+          .select(explode(tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("tok").agg(count(lit(1)).as("c"))
+          .select(array_join(filter(split(col("tok"), ""),
+            x => length(x) > 0), " ").as("w"), col("c")))
+        def topPair(w: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+          val sy = split(col("w"), " ")
+          w.select(explode(zip_with(sy, slice(sy, lit(2), size(sy)),
+              (a, b) => struct(a.as("pa"), b.as("pb")))).as("z"), col("c"))
+            .filter(col("z.pb").isNotNull)
+            .groupBy(col("z.pa").as("pa"), col("z.pb").as("pb"))
+            .agg(sum(col("c")).as("n"))
+            .orderBy(col("n").desc, col("pa"), col("pb")).limit(1)
+        }
+        def merged(w: org.apache.spark.sql.DataFrame, top: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+          w.crossJoin(broadcast(top))
+            .select(expr("replace(w, pa || ' ' || pb, pa || pb)").as("w"),
+              col("c"))
+        val t1 = topPair(w0)
+        val w1 = merged(w0, t1)
+        val t2 = topPair(w1)
+        val t3 = topPair(merged(w1, t2))
+        t1.withColumn("step", lit(1L))
+          .unionByName(t2.withColumn("step", lit(2L)))
+          .unionByName(t3.withColumn("step", lit(3L)))
+          .select(col("step"),
+            concat(col("pa"), lit("+"), col("pb")).as("pair"), col("n"))
+          .orderBy("step")
+      },
+      Some("""WITH v AS (
+             |  SELECT tok, count(*) AS c FROM (
+             |    SELECT unnest(string_split(trim(text), ' ')) AS tok
+             |    FROM documents)
+             |  WHERE tok <> '' GROUP BY 1),
+             |w0 AS (SELECT array_to_string(list_filter(
+             |         string_split_regex(tok, ''), x -> len(x) > 0), ' ')
+             |         AS w, c FROM v),
+             |p1 AS (SELECT z[1] AS pa, z[2] AS pb,
+             |         CAST(sum(c) AS BIGINT) AS n
+             |       FROM (SELECT unnest(list_zip(string_split(w, ' '),
+             |               string_split(w, ' ')[2:])) AS z, c FROM w0)
+             |       WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+             |t1 AS (SELECT pa, pb, n FROM p1
+             |       ORDER BY n DESC, pa, pb LIMIT 1),
+             |w1 AS (SELECT replace(w, pa || ' ' || pb, pa || pb) AS w, c
+             |       FROM w0 CROSS JOIN t1),
+             |p2 AS (SELECT z[1] AS pa, z[2] AS pb,
+             |         CAST(sum(c) AS BIGINT) AS n
+             |       FROM (SELECT unnest(list_zip(string_split(w, ' '),
+             |               string_split(w, ' ')[2:])) AS z, c FROM w1)
+             |       WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+             |t2 AS (SELECT pa, pb, n FROM p2
+             |       ORDER BY n DESC, pa, pb LIMIT 1),
+             |w2 AS (SELECT replace(w, pa || ' ' || pb, pa || pb) AS w, c
+             |       FROM w1 CROSS JOIN t2),
+             |p3 AS (SELECT z[1] AS pa, z[2] AS pb,
+             |         CAST(sum(c) AS BIGINT) AS n
+             |       FROM (SELECT unnest(list_zip(string_split(w, ' '),
+             |               string_split(w, ' ')[2:])) AS z, c FROM w2)
+             |       WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+             |t3 AS (SELECT pa, pb, n FROM p3
+             |       ORDER BY n DESC, pa, pb LIMIT 1)
+             |SELECT step, pa || '+' || pb AS pair, n FROM (
+             |  SELECT CAST(1 AS BIGINT) AS step, pa, pb, n FROM t1
+             |  UNION ALL
+             |  SELECT CAST(2 AS BIGINT), pa, pb, n FROM t2
+             |  UNION ALL
+             |  SELECT CAST(3 AS BIGINT), pa, pb, n FROM t3)
+             |ORDER BY step""".stripMargin)),
+
     // X24: sequence packing — the physical layout step between curation
     // and the trainer: concatenate each source's token stream in doc_id
     // order and chunk it into fixed 512-token training sequences. Each
