@@ -33,6 +33,11 @@ final case class SessionOut(
 final case class LastClick(click_id: Long, click_ms: Long)
 
 /** KMV sketch state: the ≤ k smallest distinct hashes seen for a key. */
+final case class DocTok(doc_id: Long, source: String, n_toks: Long)
+
+final case class PackedDoc(doc_id: Long, source: String, n_toks: Long,
+    seq_id: Long, seq_offset: Long, crosses: Boolean)
+
 final case class KmvState(hashes: List[Long])
 
 /** Current cardinality estimate for one key. */
@@ -108,6 +113,36 @@ object StreamOps extends Serializable {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming sequence packing — the stateful twin of batch
+    * `x24_seq_pack`: docs arrive per source and are assigned their
+    * training-sequence slot (seq_id, in-sequence offset, boundary
+    * flag) INCREMENTALLY, with only one cumulative token counter per
+    * source held in state. Docs are packed in doc_id order within
+    * each micro-batch, so a stream delivered in id order per source
+    * produces EXACTLY the batch operator's assignment (spec-locked) —
+    * the property that lets a pipeline switch between backfill (batch)
+    * and live ingest without re-packing. */
+  def packDocs(docs: Dataset[DocTok], seqLen: Long): Dataset[PackedDoc] = {
+    import docs.sparkSession.implicits._
+
+    def fn(source: String, batch: Iterator[DocTok],
+        state: GroupState[Long]): Iterator[PackedDoc] = {
+      var cum = state.getOption.getOrElse(0L)
+      val out = batch.toSeq.sortBy(_.doc_id).map { d =>
+        val cb = cum
+        cum += d.n_toks
+        PackedDoc(d.doc_id, source, d.n_toks, cb / seqLen, cb % seqLen,
+          (cb + d.n_toks - 1) / seqLen > cb / seqLen)
+      }
+      state.update(cum)
+      out.iterator
+    }
+
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
   }
 
   private def closed(userId: Long, s: SessionState): SessionOut = {

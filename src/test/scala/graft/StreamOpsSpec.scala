@@ -229,6 +229,38 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("packDocs: streamed sequence packing equals the batch x24 assignment") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[graft.streaming.DocTok]
+    val q = StreamOps.packDocs(mem.toDS(), seqLen = 10L)
+      .writeStream.format("memory").queryName("pack")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // two sources, docs arriving in id order per source, split
+      // across micro-batches MID-SEQUENCE for source a
+      mem.addData(
+        graft.streaming.DocTok(1, "a", 4), graft.streaming.DocTok(2, "a", 7),
+        graft.streaming.DocTok(3, "b", 12))
+      q.processAllAvailable()
+      mem.addData(
+        graft.streaming.DocTok(4, "a", 9), graft.streaming.DocTok(5, "b", 5))
+      q.processAllAvailable()
+      val got = spark.sql(
+        "SELECT doc_id, seq_id, seq_offset, crosses FROM pack")
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+      // batch math (seqLen 10): source a cum 0,4,11; source b cum 0,12
+      val expect = Map(
+        1L -> (0L, 0L, false), // [0,4)
+        2L -> (0L, 4L, true),  // [4,11) straddles 10
+        4L -> (1L, 1L, false), // [11,20) inside seq 1 — state crossed batches
+        3L -> (0L, 0L, true),  // [0,12) straddles 10
+        5L -> (1L, 2L, false)) // [12,17)
+      assert(got == expect, s"got $got")
+    } finally q.stop()
+  }
+
   test("incrementalTypeCounts: versioned MV accumulates; replay is idempotent") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
