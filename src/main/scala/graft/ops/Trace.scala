@@ -438,8 +438,65 @@ object Trace extends QueryModule {
              |      FROM hc GROUP BY 1)
              |SELECT user_id, hour, c, med2
              |FROM hc JOIN m USING (user_id)
-             |WHERE c > med2 ORDER BY user_id, hour""".stripMargin))
+             |WHERE c > med2 ORDER BY user_id, hour""".stripMargin)),
+
+    // T18: event-volume trend detection — per event type, the exact
+    // least-squares slope of weekly counts, kept as an INTEGER
+    // num/den pair: slope = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²) with
+    // x = week index normalized to the type's first week and y = the
+    // weekly count. Every statistic is an exact long, so the
+    // rising/falling verdict (sign of the numerator) is engine- and
+    // partitioning-exact — no float regression anywhere. Shapes: one
+    // (type, week) count (map-side combined), one per-type window for
+    // the week normalization, one 5-sum aggregate. At 100 TB the
+    // state per type is five longs.
+    GQuery("t18_trend",
+      (s, d) => trendStats(Tables.events(s, d)).orderBy("event_type"),
+      Some("""WITH wk AS (
+             |  SELECT event_type,
+             |    epoch_ns(ts) // 604800000000000 AS week, count(*) AS y
+             |  FROM events GROUP BY 1, 2),
+             |nx AS (SELECT event_type,
+             |         week - min(week) OVER (PARTITION BY event_type)
+             |           AS x, y
+             |       FROM wk),
+             |a AS (SELECT event_type,
+             |        CAST(count(*) AS BIGINT) AS n_weeks,
+             |        CAST(sum(x) AS BIGINT) AS sx,
+             |        CAST(sum(y) AS BIGINT) AS sy,
+             |        CAST(sum(x * y) AS BIGINT) AS sxy,
+             |        CAST(sum(x * x) AS BIGINT) AS sxx
+             |      FROM nx GROUP BY 1)
+             |SELECT event_type, n_weeks,
+             |  n_weeks * sxy - sx * sy AS slope_num,
+             |  n_weeks * sxx - sx * sx AS slope_den,
+             |  (n_weeks * sxy - sx * sy > 0) AS rising
+             |FROM a ORDER BY event_type""".stripMargin))
   )
+
+  /** T18 core: per event type, the exact least-squares slope of weekly
+    * counts as an integer num/den pair, over any (event_type, ts-nanos)
+    * frame. */
+  private[graft] def trendStats(events: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type")
+    events
+      .select(col("event_type"),
+        expr("ts div 604800000000000").as("week"))
+      .groupBy("event_type", "week").agg(count(lit(1)).as("y"))
+      .withColumn("x", col("week") - min(col("week")).over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_weeks"), sum(col("x")).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(col("x") * col("x")).as("sxx"))
+      .select(col("event_type"), col("n_weeks"),
+        (col("n_weeks") * col("sxy") - col("sx") * col("sy"))
+          .as("slope_num"),
+        (col("n_weeks") * col("sxx") - col("sx") * col("sx"))
+          .as("slope_den"))
+      .withColumn("rising", col("slope_num") > 0)
+  }
 
   /** T17 core: hours where a user's event count exceeds 2× their own
     * median hourly rate, over any (user_id, ts-nanos) frame. */

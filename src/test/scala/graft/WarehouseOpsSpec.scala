@@ -51,6 +51,25 @@ class WarehouseOpsSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((1L, 5L, 9L, 4L)), s"got ${got.toSeq}")
   }
 
+  test("trendStats signs match planted rising/flat/falling series") {
+    import spark.implicits._
+    val wk = 604800000000000L
+    // weekly counts: up = 1,2,3,4; flat = 3,3,3,3; down = 4,3,2,1
+    def series(tp: String, counts: Seq[Int]) =
+      counts.zipWithIndex.flatMap { case (c, i) =>
+        Seq.fill(c)((tp, i * wk + 1)) }
+    val events = (series("up", Seq(1, 2, 3, 4)) ++
+      series("flat", Seq(3, 3, 3, 3)) ++
+      series("down", Seq(4, 3, 2, 1))).toDF("event_type", "ts")
+    val got = graft.ops.Trace.trendStats(events).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    // n=4, x=0..3: sxx-part den = 4*14 - 36 = 20 for all three
+    assert(got("up") == ((20L, 20L, true)), s"up: $got")   // slope +1
+    assert(got("flat") == ((0L, 20L, false)), s"flat: $got")
+    assert(got("down") == ((-20L, 20L, false)), s"down: $got")
+  }
+
   test("expectationsOf counts every planted violation class") {
     import spark.implicits._
     val orders = Seq(
