@@ -27,7 +27,7 @@ object Bench {
       queries.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
-        Caches.drain()
+        Caches.drain(spark, blocking = true)
       }
     }
     // Materialize every column via the noop sink — `.count()` lets Catalyst
@@ -42,8 +42,11 @@ object Bench {
       // release operator-persisted intermediates OUTSIDE the timed
       // window: 130 queries × up to 3 passes would otherwise accumulate
       // cached partitions and skew later-query timings via memory
-      // pressure (round-5 ADVICE)
-      Caches.drain()
+      // pressure (round-5 ADVICE). BLOCKING: non-blocking unpersist
+      // (round 6) left block removal racing the next query's execution
+      // — the suspected driver of the round-6 contiguous m-block
+      // inflation (m2/m3 at 17 s vs ~3 s standalone).
+      Caches.drain(spark, blocking = true)
       name -> dt
     }
     val mainT0 = System.nanoTime()
@@ -70,6 +73,22 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     val sfName = new java.io.File(sfDir).getName
     System.err.println(results.map { case (k, v) => f"$k=$v%.4f" }.mkString("[bench-detail] ", " ", ""))
+    // Full per-query detail as a committed artifact: the stdout JSON
+    // line keeps only the slowest queries once 139 of them overflow
+    // the driver's 2000-char tail buffer, which made regressions in
+    // fast queries invisible round-over-round (round-6 VERDICT nit).
+    try {
+      val detail = results.map { case (k, v) =>
+        "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+      val passes = if (results eq pass1) 1 else 2
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")),
+        s"""{"total":${"%.2f".format(total)},"sf":"$sfName","passes":$passes,"queries":$detail}
+           |""".stripMargin.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] detail write failed: ${e.getMessage}")
+    }
     // Emit at 2-decimal precision, dropping to 1 decimal if the line
     // would crowd the driver's 2000-char tail buffer (which must also
     // hold sbt's ~75-char "[success]" trailer). At 100 registered

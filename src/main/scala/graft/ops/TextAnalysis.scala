@@ -16,6 +16,29 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis extends QueryModule {
 
+  /** Boundary-aware BPE merge: apply merge rule (pa, pb) to a space-
+    * separated symbol string `w`, merging only WHOLE-symbol-adjacent
+    * occurrences (round-6 ADVICE: plain replace(w, pa||' '||pb, …)
+    * matches across symbol boundaries once multi-char symbols exist —
+    * applying ('h','e') to "th e" must NOT yield "the"). Every
+    * separator expands to TWO spaces and the pattern ' pa  pb '
+    * pins both edges to symbol boundaries; the double-space expansion
+    * (vs a single-space sentinel pad) keeps ADJACENT occurrences
+    * correct too — neighbouring matches never share a boundary space,
+    * so "pa pb pa pb" merges both pairs exactly like reference BPE's
+    * left-to-right non-overlapping scan. replace() is left-to-right
+    * non-overlapping in both Spark and DuckDB, so the x25 oracle
+    * replays this expression verbatim. */
+  private[graft] def bpeMerge(w: Column, pa: Column, pb: Column): Column = {
+    def rep(s: Column, find: Column, to: Column): Column =
+      call_function("replace", s, find, to)
+    val expanded = concat(lit(" "), rep(w, lit(" "), lit("  ")), lit(" "))
+    val merged = rep(expanded,
+      concat(lit(" "), pa, lit("  "), pb, lit(" ")),
+      concat(lit(" "), pa, pb, lit(" ")))
+    trim(rep(merged, lit("  "), lit(" ")))
+  }
+
   /** Gopher-style repetition stats per document: duplicate-bigram and
     * top-bigram fractions. The per-doc gram histogram is computed
     * DISTRIBUTED (explode → two-level groupBy keyed on (doc_id, gram)),
@@ -659,9 +682,10 @@ object TextAnalysis extends QueryModule {
             .agg(sum(col("c")).as("n"))
             .orderBy(col("n").desc, col("pa"), col("pb")).limit(1)
         }
+        // boundary-aware whole-symbol merge — see [[bpeMerge]]
         def merged(w: org.apache.spark.sql.DataFrame, top: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
           w.crossJoin(broadcast(top))
-            .select(expr("replace(w, pa || ' ' || pb, pa || pb)").as("w"),
+            .select(bpeMerge(col("w"), col("pa"), col("pb")).as("w"),
               col("c"))
         val t1 = topPair(w0)
         val w1 = merged(w0, t1)
@@ -689,7 +713,10 @@ object TextAnalysis extends QueryModule {
              |       WHERE z[2] IS NOT NULL GROUP BY 1, 2),
              |t1 AS (SELECT pa, pb, n FROM p1
              |       ORDER BY n DESC, pa, pb LIMIT 1),
-             |w1 AS (SELECT replace(w, pa || ' ' || pb, pa || pb) AS w, c
+             |w1 AS (SELECT trim(replace(replace(
+             |         ' ' || replace(w, ' ', '  ') || ' ',
+             |         ' ' || pa || '  ' || pb || ' ',
+             |         ' ' || pa || pb || ' '), '  ', ' ')) AS w, c
              |       FROM w0 CROSS JOIN t1),
              |p2 AS (SELECT z[1] AS pa, z[2] AS pb,
              |         CAST(sum(c) AS BIGINT) AS n
@@ -698,7 +725,10 @@ object TextAnalysis extends QueryModule {
              |       WHERE z[2] IS NOT NULL GROUP BY 1, 2),
              |t2 AS (SELECT pa, pb, n FROM p2
              |       ORDER BY n DESC, pa, pb LIMIT 1),
-             |w2 AS (SELECT replace(w, pa || ' ' || pb, pa || pb) AS w, c
+             |w2 AS (SELECT trim(replace(replace(
+             |         ' ' || replace(w, ' ', '  ') || ' ',
+             |         ' ' || pa || '  ' || pb || ' ',
+             |         ' ' || pa || pb || ' '), '  ', ' ')) AS w, c
              |       FROM w1 CROSS JOIN t2),
              |p3 AS (SELECT z[1] AS pa, z[2] AS pb,
              |         CAST(sum(c) AS BIGINT) AS n
@@ -747,8 +777,9 @@ object TextAnalysis extends QueryModule {
       },
       Some("""WITH d AS (
              |  SELECT doc_id, source,
-             |    CAST(len(string_split(trim(text), ' ')) AS BIGINT)
-             |      AS n_toks
+             |    CASE WHEN trim(text) = '' THEN 0
+             |         ELSE CAST(len(string_split(trim(text), ' ')) AS BIGINT)
+             |    END AS n_toks
              |  FROM documents),
              |w AS (SELECT doc_id, source, n_toks,
              |        CAST(coalesce(sum(n_toks) OVER (

@@ -26,8 +26,21 @@ object Similarity {
 
   /** M1+M2+J6: HashingTF over a token-array column, seeded MinHashLSH,
     * approximate similarity self-join. Returns (ida, idb, dist) with
-    * exact Jaccard distance over the hashed feature vectors, one row per
+    * exact Jaccard distance over the raw token sets, one row per
     * unordered pair (ida < idb), dist <= threshold.
+    *
+    * Candidate generation keeps the Spark ML surface (HashingTF +
+    * seeded MinHashLSH signatures) and the exact bucket structure
+    * `approxSimilarityJoin` uses internally — explode the hash tables,
+    * collide on (table, hashValue) — but pairs are generated INSIDE
+    * each bucket with higher-order functions (the d3 lshPairs shape)
+    * and verified with codegen'd exact Jaccard over the raw token
+    * arrays, instead of ML's interpreted per-pair `keyDistance` over
+    * 2^20-dim sparse vectors. Same candidate set and recall, exact
+    * distances (immune to feature-hash collisions, which previously
+    * could perturb the hashed-vector Jaccard), measured ~8x cheaper —
+    * `approxSimilarityJoin`'s UDF pair-verify was the single most
+    * expensive line in the round-6 bench.
     */
   def minhashJoin(
       df: DataFrame,
@@ -41,18 +54,35 @@ object Similarity {
       .setInputCol(featCol).setOutputCol("__features")
       .setNumFeatures(numFeatures)
     // MinHash needs >= 1 non-zero entry. Persisted (tracked): the
-    // 1M-dim sparse featurization feeds the LSH fit AND both sides of
-    // the self-join — three scans of the most expensive projection.
+    // featurization feeds the LSH fit, the signature transform, and
+    // both exact-verify legs (which read only the small raw arrays).
     val featured = graft.Caches.track(
-      tf.transform(df.filter(size(col(featCol)) > 0)))
+      tf.transform(df.filter(size(col(featCol)) > 0))
+        .select(col(idCol), col(featCol), col("__features")))
     val mh = new MinHashLSH()
       .setInputCol("__features").setOutputCol("__hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
     val model = mh.fit(featured)
-    model.approxSimilarityJoin(featured, featured, threshold, "dist")
-      .select(col(s"datasetA.$idCol").as("ida"),
-        col(s"datasetB.$idCol").as("idb"), col("dist"))
-      .filter(col("ida") < col("idb"))
+    val cand = model.transform(featured)
+      .select(col(idCol).as("__id"), posexplode(col("__hashes")))
+      .select(col("__id"), col("pos"),
+        org.apache.spark.ml.functions.vector_to_array(col("col"))
+          .getItem(0).as("__h"))
+      .groupBy(col("pos"), col("__h"))
+      .agg(sort_array(collect_set(col("__id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"),
+        x => transform(filter(col("ds"), y => y > x),
+          y => struct(x.as("ida"), y.as("idb")))))).as("p"))
+      .select(col("p.ida").as("ida"), col("p.idb").as("idb")).distinct()
+    cand
+      .join(featured.select(col(idCol).as("ida"), col(featCol).as("__fa")),
+        Seq("ida"))
+      .join(featured.select(col(idCol).as("idb"), col(featCol).as("__fb")),
+        Seq("idb"))
+      .withColumn("dist", graft.functions.jaccardDist(col("__fa"), col("__fb")))
+      .filter(col("dist") <= threshold)
+      .select(col("ida"), col("idb"), col("dist"))
   }
 
   /** M3: neighbor-list clustering. Each item's cluster is the sorted set

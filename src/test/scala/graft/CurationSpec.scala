@@ -190,4 +190,47 @@ class CurationSpec extends AnyFunSuite {
         s"$tok overestimate ${est - exact} exceeds bound $bound")
     }
   }
+
+  test("x25 bpeMerge is whole-symbol-boundary-aware (round-6 ADVICE)") {
+    import spark.implicits._
+    // (word, pa, pb, expected) — the cross-boundary trap: once merge 1
+    // has produced symbol 'th', applying ('h','e') to "th e" must NOT
+    // merge (the left symbol is 'th', not 'h'); plus adjacent-repeat
+    // runs, which a single-space sentinel pad would under-merge.
+    val cases = Seq(
+      ("t h e", "h", "e", "t he"),       // genuine pair merges
+      ("th e", "h", "e", "th e"),        // cross-boundary must NOT merge
+      ("e h e h e", "h", "e", "e he he"),
+      ("pa pb pa pb", "pa", "pb", "papb papb"), // both adjacent pairs
+      ("a a a", "a", "a", "aa a"),       // left-to-right non-overlapping
+      ("a a a a", "a", "a", "aa aa"),
+      ("x pa pb y", "pa", "pb", "x papb y"),
+      ("pa pb", "pa", "pb", "papb"))
+    val got = cases.toDF("w", "pa", "pb", "want")
+      .select(ops.TextAnalysis.bpeMerge(col("w"), col("pa"), col("pb"))
+        .as("got"), col("want"))
+      .collect()
+    got.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"bpeMerge: got '${r.getString(0)}', want '${r.getString(1)}'"))
+  }
+
+  test("x25 merge table deviates from naive replace on planted corpus") {
+    import spark.implicits._
+    // A corpus where iteration-2's naive string replace would merge
+    // across the boundary of iteration-1's new symbol: words "the"
+    // (→ 't h e' → 'th e' after merge ('t','h')) plus planted "he"
+    // pairs. Naive replace(w, 'h e', 'he') would corrupt 'th e'.
+    val w0 = Seq.fill(5)("t h e").map((_, 3L)) ++
+      (Seq.fill(4)("x h e") ++ Seq.fill(4)("h e y")).map((_, 2L))
+    val vocab = w0.toDF("w", "c")
+    val p1 = vocab.select(ops.TextAnalysis
+      .bpeMerge(col("w"), lit("t"), lit("h")).as("w"), col("c"))
+    // after ('t','h'): "th e" must keep its 'h e' UN-mergeable
+    val merged2 = p1.select(ops.TextAnalysis
+      .bpeMerge(col("w"), lit("h"), lit("e")).as("w")).as[String].collect()
+    assert(merged2.count(_ == "th e") == 5,
+      s"'th e' corrupted by cross-boundary merge: ${merged2.toSeq}")
+    assert(merged2.count(_ == "x he") == 4)
+    assert(merged2.count(_ == "he y") == 4)
+  }
 }
