@@ -74,7 +74,8 @@ object Dedup extends QueryModule {
     * the signature computation runs once per doc, not once per band. */
   private[ops] def bandSignatures(shingles: DataFrame): DataFrame = {
     val mh = shingles
-      .select(col("doc_id"), transform(col("sh"), t => xxhash64(t)).as("hs"))
+      .select(col("doc_id"),
+        graft.plans.NativeFunctions.arrayXxhash64(col("sh")).as("hs"))
       .select(col("doc_id"),
         graft.plans.NativeFunctions.minhash64(col("hs")).as("mh"))
     mh.select(col("doc_id"),

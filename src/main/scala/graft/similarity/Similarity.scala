@@ -47,18 +47,43 @@ object Similarity {
       idCol: String,
       featCol: String,
       threshold: Double,
-      numHashTables: Int = 5,
+      numHashTables: Int = 8,
       seed: Long = 42L,
       numFeatures: Int = 1 << 20): DataFrame = {
     val tf = new HashingTF()
-      .setInputCol(featCol).setOutputCol("__features")
+      .setInputCol("__sk").setOutputCol("__features")
       .setNumFeatures(numFeatures)
-    // MinHash needs >= 1 non-zero entry. Persisted (tracked): the
-    // featurization feeds the LSH fit, the signature transform, and
-    // both exact-verify legs (which read only the small raw arrays).
-    val featured = graft.Caches.track(
-      tf.transform(df.filter(size(col(featCol)) > 0))
-        .select(col(idCol), col(featCol), col("__features")))
+    // HashingTF consumes the doc's 64-lane native MinHash sketch
+    // (graft.plans.MinHash64, codegen'd — lane-tagged so values never
+    // collide across lanes), NOT the raw token set: the TF transform is
+    // a per-term Scala UDF, and at ~1000 raw tokens per document it was
+    // the single most expensive stage of the round-6 bench (4.4 s of
+    // m2's 5.9 s at sf0.1). A MinHash sketch is a set-determined
+    // signature, so Jaccard structure survives: two docs at raw Jaccard
+    // J agree on ~64·J lanes, giving sketch-set Jaccard J' = s/(128−s).
+    // J' < J, so `numHashTables` defaults higher (8) than the raw-set
+    // form needed (5) to keep bucket recall — candidates are still
+    // verified EXACTLY against the raw arrays, so precision is always
+    // 1 and recall is the only statistical quantity (SimilaritySpec
+    // asserts ≥ 0.9 on adversarial fixtures; the similarity gap in the
+    // harness corpora keeps it at 1.0 there).
+    // Persisted (tracked): the sketch projection feeds the LSH fit,
+    // the signature transform, and both exact-verify legs. The
+    // empty-set guard (MinHash needs >= 1 non-zero entry) filters ON
+    // TOP of the cache, NOT on the input: a filter below the
+    // projection gets rewritten through it by PushDownPredicates,
+    // inlining the caller's (expensive) featCol-defining expression
+    // into the Filter and re-evaluating it per row — measured 3.2 s of
+    // pure filter cost at sf0.1 when df is the shingle frame. The
+    // InMemoryRelation is a pushdown barrier, so the guard costs one
+    // cached-column size() probe instead.
+    val base = graft.Caches.track(
+      df.select(col(idCol), col(featCol),
+        transform(
+          graft.plans.NativeFunctions.minhash64(
+            graft.plans.NativeFunctions.arrayXxhash64(col(featCol))),
+          (v, i) => concat_ws(":", i, v)).as("__sk")))
+    val featured = tf.transform(base.filter(size(col(featCol)) > 0))
     val mh = new MinHashLSH()
       .setInputCol("__features").setOutputCol("__hashes")
       .setNumHashTables(numHashTables).setSeed(seed)
@@ -76,9 +101,9 @@ object Similarity {
           y => struct(x.as("ida"), y.as("idb")))))).as("p"))
       .select(col("p.ida").as("ida"), col("p.idb").as("idb")).distinct()
     cand
-      .join(featured.select(col(idCol).as("ida"), col(featCol).as("__fa")),
+      .join(base.select(col(idCol).as("ida"), col(featCol).as("__fa")),
         Seq("ida"))
-      .join(featured.select(col(idCol).as("idb"), col(featCol).as("__fb")),
+      .join(base.select(col(idCol).as("idb"), col(featCol).as("__fb")),
         Seq("idb"))
       .withColumn("dist", graft.functions.jaccardDist(col("__fa"), col("__fb")))
       .filter(col("dist") <= threshold)
