@@ -459,6 +459,91 @@ object Cluster extends QueryModule {
     l
   }
 
+  /** Iterate-until-converged PageRank (SURVEY §7.4 risk 3 — iterative
+    * lineage): the same integer-exact step as [[pagerank]], looped
+    * until the max per-node micro-rank delta is <= `tolMicro` (exact
+    * long arithmetic — no float epsilon) or `maxIters`. Each
+    * iteration's rank frame is `localCheckpoint`ed EAGERLY, so (a)
+    * lineage is cut every round — plan depth stays O(1) no matter how
+    * many iterations run, the thing a 20-iteration PageRank at scale
+    * needs — and (b) the convergence probe (one tiny max-delta agg per
+    * round, the unavoidable driver action of any until-converged loop)
+    * re-reads the materialized node frame, never the lineage. State is
+    * node-keyed rows only (bounded by |V|); `sym` takes the one
+    * explicit exchange and persists exactly as in [[pagerank]].
+    * Returns (result with (node, r), iterations run). */
+  private[graft] def pagerankConverged(edges: DataFrame, tolMicro: Long,
+      maxIters: Int = 30): (DataFrame, Int) = {
+    val e = edges.select(col("a"), col("b")).distinct()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .transform(graft.Caches.track)
+    val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
+      .transform(graft.Caches.track)
+    def step(r: DataFrame): DataFrame =
+      sym.join(r.join(deg, col("node") === col("src")).select(
+          col("node").as("src"), expr("r div deg").as("c")),
+        Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("c")).as("s"))
+        .select(col("node"),
+          (lit(150000L) + expr("(17 * s) div 20")).as("r"))
+    var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
+      .localCheckpoint()
+    var it = 0
+    var delta = Long.MaxValue
+    while (delta > tolMicro && it < maxIters) {
+      val next = step(r).localCheckpoint()
+      // undirected sym ⇒ every node has an in-edge ⇒ the node set is
+      // stable round-over-round and an inner join covers all nodes
+      delta = next.join(r.select(col("node"), col("r").as("r0")), Seq("node"))
+        .agg(max(abs(col("r") - col("r0")))).head().getLong(0)
+      r = next
+      it += 1
+    }
+    (r, it)
+  }
+
+  /** Iterate-until-converged synchronous LPA: the same deterministic
+    * (count desc, min label) step as [[labelPropagation]], looped until
+    * NO node changes label (exact integer equality) or `maxIters` —
+    * with the same eager localCheckpoint lineage cut per round as
+    * [[pagerankConverged]]. Returns (result with (node, lbl),
+    * iterations run). maxIters also bounds the synchronous-LPA
+    * oscillation pathology on bipartite structures. */
+  private[graft] def labelPropagationConverged(edges: DataFrame,
+      maxIters: Int = 30): (DataFrame, Int) = {
+    val e = edges.select(col("a"), col("b")).distinct()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .transform(graft.Caches.track)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
+      .orderBy(col("n").desc, col("cand"))
+    def step(l: DataFrame): DataFrame =
+      sym.join(l.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"), col("lbl").as("cand"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("cand").as("lbl"))
+    var l = sym.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("lbl"))
+      .localCheckpoint()
+    var it = 0
+    var changed = Long.MaxValue
+    while (changed > 0 && it < maxIters) {
+      val next = step(l).localCheckpoint()
+      changed = next.join(l.select(col("node"), col("lbl").as("l0")),
+          Seq("node"))
+        .filter(col("lbl") =!= col("l0")).count()
+      l = next
+      it += 1
+    }
+    (l, it)
+  }
+
   /** Integer-exact PageRank over an undirected (a, b) edge frame:
     * micro-ranks start at 1e6, contributions use integer division by
     * degree, damping is 150000 + (17·s div 20) — 0.85 as exact integer

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Iterate-until-converged graph loops (SURVEY §7.4 risk 3): fixed-depth
+  * m13/m14 keep their exact oracles; these specs gate the UNBOUNDED
+  * variants — tolerance-based stopping in exact integer arithmetic and
+  * localCheckpoint lineage cuts that keep plan depth O(1) across 10+
+  * iterations (the shape a 20-iteration PageRank on a 1000-executor
+  * cluster needs: without the cuts, iteration k replans and may
+  * re-execute a depth-k lineage; with them, each round reads the
+  * previous round's materialized node frame only). */
+class ConvergenceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  /** K4 clique (1-4) with a pendant path 4-5-6-7-8-9: min-label flows
+    * one hop per synchronous round, so 2 iterations CANNOT converge but
+    * ~path-length rounds do, with no bipartite oscillation (the clique
+    * anchors the minimum). */
+  private def barbell() = {
+    import spark.implicits._
+    (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L)) ++
+      Seq((4L, 5L), (5L, 6L), (6L, 7L), (7L, 8L), (8L, 9L)))
+      .toDF("a", "b")
+  }
+
+  test("labelPropagationConverged: needs >2 rounds, reaches a fixpoint") {
+    val (res, iters) = ops.Cluster.labelPropagationConverged(barbell())
+    assert(iters > 2, s"fixture too easy: converged in $iters")
+    assert(iters < 30, s"did not converge: $iters")
+    val labels = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.size == 9)
+    assert(labels.values.toSet == Set(1L),
+      s"min label must flood the whole graph: $labels")
+    // fixpoint: one more synchronous step changes nothing
+    val (res2, it2) = ops.Cluster.labelPropagationConverged(barbell(), 50)
+    assert(it2 == iters, "stopping point must be deterministic")
+    assert(res2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      == labels)
+  }
+
+  test("pagerankConverged: tolerance stop beyond 2 iterations, exact ints") {
+    val (res, iters) =
+      ops.Cluster.pagerankConverged(barbell(), tolMicro = 2000L)
+    assert(iters > 2, s"fixture too easy: converged in $iters")
+    assert(iters < 30, s"did not converge in 30: $iters")
+    val r = res.collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.size == 9)
+    // exact integer micro-ranks: symmetric clique members 2 and 3 play
+    // identical roles (both connect to {1,2,3,4}\self only) — their
+    // ranks must be EQUAL, not approximately equal
+    assert(r(2L) == r(3L), s"symmetric nodes diverged: ${r(2L)} ${r(3L)}")
+    // the pendant tail end has the lowest stationary mass
+    assert(r(9L) == r.values.min, s"tail end not minimal: $r")
+  }
+
+  test("localCheckpoint keeps lineage O(1) across 10+ iterations") {
+    val (res, iters) =
+      ops.Cluster.pagerankConverged(barbell(), tolMicro = 1L, maxIters = 12)
+    assert(iters == 12, s"tol=1 must exhaust maxIters, got $iters")
+    // the result plan must be a checkpoint scan, not a 12-deep join
+    // tower: count logical nodes (a non-checkpointed 12-iteration plan
+    // has hundreds — each round adds joins, an aggregate and a window)
+    val nNodes = res.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nNodes <= 10,
+      s"lineage not cut: $nNodes logical nodes\n${res.queryExecution.optimizedPlan}")
+    Caches.drain()
+  }
+}
