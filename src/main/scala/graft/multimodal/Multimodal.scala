@@ -14,7 +14,8 @@ final case class MediaRow(
     sample_rate: Int,
     duration_ms: Long)
 
-/** Extracted feature vector for one asset. */
+/** Extracted feature vector for one asset. `n_bytes` is the DECODED
+  * payload size — pixels for images, raw bytes for audio/video. */
 final case class MediaFeatures(
     media_id: Long,
     kind: String,
@@ -31,27 +32,71 @@ final case class FrameRow(
   * video as opaque `binary` columns with typed metadata, plus
   * decode / feature-extract / resize / frame-sample operators.
   *
-  * The actual codec calls are STUBBED (no image/audio libraries in this
-  * container) behind [[decodeStub]] — a deterministic fake with the same
-  * shape a real decoder would have. Everything around it — schema,
-  * Dataset typing, per-partition batching, partition sizing, explode
-  * shape — is real and tested (MultimodalSpec).
+  * The IMAGE path is REAL (round-6 VERDICT item 5): synthetic image
+  * payloads are genuine 8-bit grayscale PNGs (encoded with the JDK's
+  * `javax.imageio` — no external codec dependency), decode runs
+  * `ImageIO.read` per asset inside `mapPartitions`, features are
+  * histograms over the DECODED pixels, and resize decodes, scales
+  * (deterministic nearest-neighbor integer arithmetic) and re-encodes.
+  * Audio/video feature extraction remains a documented synthetic
+  * stand-in (no audio/video codec ships with the JDK): a byte
+  * histogram with the same shape a real decoder+featurizer would emit.
+  *
+  * Oracle portability: image PIXELS derive from md5 digests (the d4
+  * trick) and PNG is lossless, so decode returns exactly the generated
+  * pixel stream and DuckDB replays the pixel histogram from `md5()` —
+  * the oracle never needs to parse a PNG.
   *
   * Scale posture: media bytes never pass through a shuffle wider than
-  * needed — feature extraction is mapPartitions (narrow), frame sampling
-  * is a flatMap (narrow), and downstream joins happen on the small
-  * feature/frame tables, not the blob table. On a real cluster the blob
-  * column stays in parquet with `spark.sql.files.maxPartitionBytes`
-  * sized so one task holds a bounded number of assets.
+  * needed — feature extraction and resize are mapPartitions/map
+  * (narrow), frame sampling is a flatMap (narrow), and downstream
+  * joins happen on the small feature/frame tables, not the blob table.
+  * On a real cluster the blob column stays in parquet with
+  * `spark.sql.files.maxPartitionBytes` sized so one task holds a
+  * bounded number of assets.
   */
 object Multimodal {
 
+  // ImageIO must not touch a display; set before any awt class loads
+  System.setProperty("java.awt.headless", "true")
+
+  /** PNG-encode an 8-bit grayscale pixel array (row-major, w×h). */
+  private[graft] def encodeGray(px: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    img.getRaster.setDataElements(0, 0, w, h, px)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Decode a PNG to (pixels row-major 8-bit gray, width, height). */
+  private[graft] def decodeGray(bytes: Array[Byte]): (Array[Byte], Int, Int) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val w = img.getWidth
+    val h = img.getHeight
+    val gray =
+      if (img.getType == java.awt.image.BufferedImage.TYPE_BYTE_GRAY) img
+      else {
+        val g = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        g.getGraphics.drawImage(img, 0, 0, null)
+        g
+      }
+    val px = gray.getRaster.getDataBuffer
+      .asInstanceOf[java.awt.image.DataBufferByte].getData
+    (px, w, h)
+  }
+
   /** Deterministic synthetic media table — stands in for a parquet blob
     * store. Every value derives from md5 (metadata from
-    * `md5("meta_<id>")` hex slices, payload bytes from the raw digests
-    * of `md5("payload_<id>_<block>")`) — PORTABLE arithmetic that the
-    * DuckDB oracle replays bit-for-bit (the d4 SimHash trick), unlike
-    * the Java-PRNG stream this replaces. */
+    * `md5("meta_<id>")` hex slices, payload content from the raw
+    * digests of `md5("payload_<id>_<block>")`) — PORTABLE arithmetic
+    * that the DuckDB oracle replays bit-for-bit (the d4 SimHash trick).
+    * Image assets are REAL PNGs: dimensions 8–31 px per side (≤ 961
+    * pixels, inside the oracle's range(1024) replay window), pixel
+    * luminance = the md5 byte stream, then `javax.imageio` encoding —
+    * so `decodeGray(bytes)` returns exactly the md5 stream again. */
   def syntheticMedia(spark: SparkSession, n: Int): Dataset[MediaRow] = {
     import spark.implicits._
     spark.range(n.toLong).as[Long].map { id =>
@@ -63,65 +108,90 @@ object Multimodal {
       val b = java.lang.Long.parseLong(mh.substring(8, 16), 16)
       val c = java.lang.Long.parseLong(mh.substring(16, 24), 16)
       val kind = Seq("image", "audio", "video")((id % 3).toInt)
-      val len = (256 + a % 768).toInt
-      val bytes = new Array[Byte](len)
-      var pos = 0
-      var k = 0
-      while (pos < len) {
-        val dg = md.digest(s"payload_${id}_$k".getBytes("UTF-8"))
-        val m = math.min(16, len - pos)
-        System.arraycopy(dg, 0, bytes, pos, m)
-        pos += m; k += 1
+      def payload(len: Int): Array[Byte] = {
+        val bytes = new Array[Byte](len)
+        var pos = 0
+        var k = 0
+        while (pos < len) {
+          val dg = md.digest(s"payload_${id}_$k".getBytes("UTF-8"))
+          val m = math.min(16, len - pos)
+          System.arraycopy(dg, 0, bytes, pos, m)
+          pos += m; k += 1
+        }
+        bytes
       }
       kind match {
-        case "image" => MediaRow(id, kind, bytes, (64 + b % 512).toInt,
-          (64 + c % 512).toInt, 0, 0L)
-        case "audio" => MediaRow(id, kind, bytes, 0, 0,
-          Seq(8000, 16000, 44100)((b % 3).toInt), 1000L + c % 9000)
-        case _ => MediaRow(id, kind, bytes, 320, 240, 0, 1000L + c % 9000)
+        case "image" =>
+          val w = (8 + b % 24).toInt
+          val h = (8 + c % 24).toInt
+          MediaRow(id, kind, encodeGray(payload(w * h), w, h), w, h, 0, 0L)
+        case "audio" =>
+          MediaRow(id, kind, payload((256 + a % 768).toInt), 0, 0,
+            Seq(8000, 16000, 44100)((b % 3).toInt), 1000L + c % 9000)
+        case _ =>
+          MediaRow(id, kind, payload((256 + a % 768).toInt), 320, 240, 0,
+            1000L + c % 9000)
       }
     }
   }
 
-  /** STUB decode + feature extraction. A real implementation would
-    * decode `bytes` with an image/audio codec here and run a feature
-    * model; this deterministic fake emits a 16-bin normalized byte
-    * histogram so the downstream plumbing (schema, batching, joins) is
-    * exercised with realistic shapes. Runs as mapPartitions so a real
-    * decoder could amortize per-batch model setup exactly here. */
-  def decodeStub(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+  /** Decode + feature extraction. Images: REAL `ImageIO` decode of the
+    * PNG payload, 16-bin normalized histogram over the decoded pixel
+    * luminance, n_bytes = pixel count (the decoded payload size).
+    * Audio/video: a 16-bin byte histogram as a documented synthetic
+    * stand-in for codec decode + featurization (no audio/video codec
+    * in the JDK), n_bytes = raw payload length. Runs as mapPartitions
+    * so a real codec/model could amortize per-batch setup exactly
+    * here. */
+  def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // real impl: val decoder = Codec.open() once per partition
+      // a real audio/video impl would open its codec context here
       it.map { m =>
+        val payload: Array[Byte] =
+          if (m.kind == "image") decodeGray(m.bytes)._1 else m.bytes
         val hist = new Array[Float](16)
         var i = 0
-        while (i < m.bytes.length) {
-          hist((m.bytes(i) & 0xff) / 16) += 1f
+        while (i < payload.length) {
+          hist((payload(i) & 0xff) / 16) += 1f
           i += 1
         }
-        val total = math.max(1, m.bytes.length).toFloat
+        val total = math.max(1, payload.length).toFloat
         var j = 0
         while (j < 16) { hist(j) /= total; j += 1 }
-        MediaFeatures(m.media_id, m.kind, m.bytes.length.toLong, hist)
+        MediaFeatures(m.media_id, m.kind, payload.length.toLong, hist)
       }
     }
   }
 
-  /** STUB resize: metadata transform with byte passthrough shape — a
-    * real implementation would re-encode; the fake scales dimensions
-    * and truncates bytes proportionally (deterministic). Images only;
-    * other kinds pass through unchanged. */
-  def resizeStub(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
+  /** Real image resize: decode the PNG, scale with deterministic
+    * nearest-neighbor integer index arithmetic (src = dst·orig/new,
+    * floor — no float filtering, so every engine/JVM produces the
+    * identical pixel grid), re-encode, update metadata. Non-image
+    * kinds and images already within `maxSide` pass through
+    * unchanged. Narrow map; no shuffle. */
+  def resizeImages(media: Dataset[MediaRow], maxSide: Int): Dataset[MediaRow] = {
     import media.sparkSession.implicits._
     media.map { m =>
       if (m.kind != "image" || math.max(m.width, m.height) <= maxSide) m
       else {
-        val scale = maxSide.toDouble / math.max(m.width, m.height)
-        val nw = math.max(1, (m.width * scale).toInt)
-        val nh = math.max(1, (m.height * scale).toInt)
-        val nBytes = math.max(1, (m.bytes.length * scale * scale).toInt)
-        m.copy(bytes = m.bytes.take(nBytes), width = nw, height = nh)
+        val (px, w, h) = decodeGray(m.bytes)
+        val (nw, nh) =
+          if (w >= h) (maxSide, math.max(1, h * maxSide / w))
+          else (math.max(1, w * maxSide / h), maxSide)
+        val out = new Array[Byte](nw * nh)
+        var y = 0
+        while (y < nh) {
+          val sy = y * h / nh
+          var x = 0
+          while (x < nw) {
+            out(y * nw + x) = px(sy * w + x * w / nw)
+            x += 1
+          }
+          y += 1
+        }
+        MediaRow(m.media_id, m.kind, encodeGray(out, nw, nh), nw, nh,
+          m.sample_rate, m.duration_ms)
       }
     }
   }
@@ -139,10 +209,13 @@ object Multimodal {
   }
 
   /** End-to-end demo frame: features joined with frame counts —
-    * the registered rows-only query. */
+    * the registered m10 query. The resize stage is live in the plan
+    * (and REAL for images) but a no-op at these dimensions (≤ 31 px),
+    * which keeps the oracle replay free of resampling arithmetic;
+    * MultimodalSpec exercises an actual downscale separately. */
   def pipeline(spark: SparkSession, n: Int): DataFrame = {
     val media = syntheticMedia(spark, n)
-    val feats = decodeStub(resizeStub(media, 256))
+    val feats = extractFeatures(resizeImages(media, 256))
     val frames = sampleFrames(media, 500L)
       .groupBy("media_id").agg(count(lit(1)).as("n_frames"))
     feats.toDF()
@@ -156,11 +229,13 @@ object Multimodal {
       .orderBy("media_id")
   }
 
-  /** DuckDB oracle for [[pipeline]]: replays the md5-derived generator,
-    * the image resize truncation, the 16-bin byte histogram's bin 0 (a
-    * FLOAT division, cast to double then rounded — matching the Spark
-    * side exactly), and the frame-count math, from nothing but `md5()`
-    * and `range()` — no parquet input needed. */
+  /** DuckDB oracle for [[pipeline]]: replays the md5-derived generator
+    * — image pixel streams (PNG is lossless, so decoded pixels ARE the
+    * md5 stream; n_bytes = w·h pixels), audio/video byte streams, the
+    * 16-bin histogram's bin 0 (a FLOAT division, cast to double then
+    * rounded — matching the Spark side exactly), and the frame-count
+    * math — from nothing but `md5()` and `range()`; it never parses a
+    * PNG. */
   def pipelineOracleSql(n: Int): String =
     s"""WITH ids AS (SELECT range AS id FROM range($n)),
        |meta AS (SELECT id,
@@ -172,14 +247,11 @@ object Multimodal {
        |    CASE CAST(id % 3 AS INT) WHEN 0 THEN 'image'
        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        |    256 + (a % 768) AS len,
-       |    64 + (b % 512) AS w, 64 + (c % 512) AS h,
+       |    8 + (b % 24) AS w, 8 + (c % 24) AS h,
        |    1000 + (c % 9000) AS dur
        |  FROM meta),
        |eff AS (SELECT id, kind, dur,
-       |    CASE WHEN kind = 'image' AND greatest(w, h) > 256
-       |         THEN greatest(1, CAST(floor(len * (256.0 / greatest(w, h))
-       |                               * (256.0 / greatest(w, h))) AS BIGINT))
-       |         ELSE len END AS n
+       |    CASE WHEN kind = 'image' THEN w * h ELSE len END AS n
        |  FROM m2),
        |bytes AS (SELECT e.id,
        |    ('0x'||substr(md5('payload_'||e.id||'_'||(r.range // 16)),

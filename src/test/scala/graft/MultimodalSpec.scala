@@ -3,8 +3,9 @@ package graft
 import graft.multimodal.Multimodal
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Multimodal plumbing spec: schema/typing, deterministic stub decode,
-  * resize metadata math, frame-sample explode shape. */
+/** Multimodal spec: schema/typing, REAL image decode (PNG round-trip,
+  * dimension agreement, pixel-exact features), real nearest-neighbor
+  * resize, frame-sample explode shape, audio/video stand-in decode. */
 class MultimodalSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -14,36 +15,72 @@ class MultimodalSpec extends AnyFunSuite {
     val b = Multimodal.syntheticMedia(spark, 30).collect().sortBy(_.media_id)
     assert(a.map(_.bytes.toSeq).toSeq == b.map(_.bytes.toSeq).toSeq)
     assert(a.map(_.kind).toSet == Set("image", "audio", "video"))
-    assert(a.forall(m => m.bytes.length >= 256 && m.bytes.length < 1024))
+    // audio/video payloads are raw md5 streams with the documented
+    // bounds; image payloads are PNG containers (size set by deflate)
+    a.filter(m => m.kind != "image").foreach(m =>
+      assert(m.bytes.length >= 256 && m.bytes.length < 1024))
+    a.filter(_.kind == "image").foreach { m =>
+      val sig = m.bytes.take(4).map(_ & 0xff)
+      assert(sig.sameElements(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)),
+        s"image ${m.media_id} payload is not a PNG")
+    }
   }
 
-  test("decodeStub: 16-dim normalized histogram per asset") {
-    val feats = Multimodal.decodeStub(Multimodal.syntheticMedia(spark, 20))
-      .collect()
+  test("image decode is real: dimensions match metadata, pixels round-trip") {
+    val imgs = Multimodal.syntheticMedia(spark, 30).collect()
+      .filter(_.kind == "image")
+    assert(imgs.nonEmpty)
+    imgs.foreach { m =>
+      val (px, w, h) = Multimodal.decodeGray(m.bytes)
+      assert(w == m.width && h == m.height,
+        s"decoded ${w}x$h != metadata ${m.width}x${m.height}")
+      assert(px.length == w * h)
+      // PNG is lossless: the decoded pixel stream is exactly the
+      // md5-derived stream the generator drew (spot-check block 0)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dg = md.digest(s"payload_${m.media_id}_0".getBytes("UTF-8"))
+      assert(px.take(16).toSeq == dg.take(math.min(16, px.length)).toSeq,
+        s"image ${m.media_id} pixels diverge from generator stream")
+    }
+  }
+
+  test("extractFeatures: 16-dim normalized histogram; image n_bytes=pixels") {
+    val media = Multimodal.syntheticMedia(spark, 20)
+    val byId = media.collect().map(m => m.media_id -> m).toMap
+    val feats = Multimodal.extractFeatures(media).collect()
     assert(feats.length == 20)
     feats.foreach { f =>
       assert(f.features.length == 16)
       assert(math.abs(f.features.sum - 1.0f) < 1e-3f,
         s"histogram of ${f.media_id} not normalized")
+      val m = byId(f.media_id)
+      if (f.kind == "image") assert(f.n_bytes == m.width.toLong * m.height)
+      else assert(f.n_bytes == m.bytes.length.toLong)
     }
   }
 
-  test("resizeStub: caps max side, preserves aspect, shrinks bytes") {
-    val media = Multimodal.syntheticMedia(spark, 60)
-    val resized = Multimodal.resizeStub(media, 128).collect()
-      .filter(_.kind == "image")
-    val orig = media.collect().filter(_.kind == "image")
-      .map(m => m.media_id -> m).toMap
-    resized.foreach { m =>
-      assert(math.max(m.width, m.height) <= 128)
-      val o = orig(m.media_id)
-      if (math.max(o.width, o.height) > 128) {
-        val ratioO = o.width.toDouble / o.height
-        val ratioN = m.width.toDouble / m.height
-        assert(math.abs(ratioO - ratioN) / ratioO < 0.1, "aspect drifted")
-        assert(m.bytes.length <= o.bytes.length)
-      }
+  test("resizeImages: real downscale — decode, NN-map, re-encode") {
+    import spark.implicits._
+    // craft an oversized gradient image through the same codec path
+    val w = 200; val h = 120
+    val px = Array.tabulate(w * h)(i => ((i % w) * 255 / (w - 1)).toByte)
+    val big = Seq(multimodal.MediaRow(7L, "image",
+      Multimodal.encodeGray(px, w, h), w, h, 0, 0L)).toDS()
+    val out = Multimodal.resizeImages(big, 128).collect().head
+    assert(out.width == 128 && out.height == 120 * 128 / 200,
+      s"got ${out.width}x${out.height}")
+    val (rpx, rw, rh) = Multimodal.decodeGray(out.bytes)
+    assert(rw == out.width && rh == out.height)
+    // nearest-neighbor with integer index map: out(y,x) = in(y*h/nh, x*w/nw)
+    for (y <- Seq(0, rh / 2, rh - 1); x <- Seq(0, rw / 2, rw - 1)) {
+      val exp = px((y * h / rh) * w + x * w / rw)
+      assert(rpx(y * rw + x) == exp, s"pixel ($x,$y) mismatch")
     }
+    // within-bound images and non-images pass through untouched
+    val small = Multimodal.syntheticMedia(spark, 9)
+    val same = Multimodal.resizeImages(small, 256).collect().sortBy(_.media_id)
+      .zip(small.collect().sortBy(_.media_id))
+    same.foreach { case (r, o) => assert(r.bytes.toSeq == o.bytes.toSeq) }
   }
 
   test("sampleFrames: videos only, correct count and timestamps") {
@@ -56,16 +93,6 @@ class MultimodalSpec extends AnyFunSuite {
       assert(fs.length == (vids(id) / 500L + 1).toInt)
       assert(fs.sortBy(_.frame_idx).map(_.ts_ms).toSeq ==
         (0L to vids(id) by 500L).toSeq)
-    }
-  }
-
-  test("pipeline: joins features with frame counts, non-video gets 0") {
-    val out = Multimodal.pipeline(spark, 50).collect()
-    assert(out.length == 50)
-    out.foreach { r =>
-      val kind = r.getString(1)
-      val nFrames = r.getLong(4)
-      if (kind == "video") assert(nFrames >= 1) else assert(nFrames == 0)
     }
   }
 }
