@@ -76,4 +76,50 @@ class StressSpec extends AnyFunSuite {
     if (sys.env.contains("GRAFT_STRESS_TIME_BOUND"))
       assert(secs < 300, f"stress run too slow: $secs%.1f s")
   }
+
+  test("part1 + stage-1 part2 on a GENERATED 100k-process corpus") {
+    val t0 = System.nanoTime()
+    // seeded Scala port of the reference generator (Src/data.py:67-175
+    // semantics) — 100 distinct shapes instantiated 100,000 times,
+    // ~7x the homogeneity.json event volume, generated distributed
+    val logs = graft.trace.TraceGen.logs(spark,
+      distinctProcess = 100, numProcess = 100000,
+      numMaxChild = 2, maxDepth = 3, nTasks = 100, nServers = 60,
+      seed = 7L)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nEvents = logs.count()
+    assert(nEvents > 1000000L, s"generator too small: $nEvents events")
+
+    val (groups, dedup) = TP.part1(spark, logs)
+    val g = groups.select(col("group_processes_id"),
+      size(col("equal_processes")).as("n")).collect()
+    val nMembers = g.map(_.getInt(1).toLong).sum
+    assert(nMembers == 100000L, s"member total $nMembers")
+    // 100 templates over a SHARED 60-server space: instantiations of
+    // one template are byte-identical traces, so groups ≈ templates
+    // (exact count depends on server-cluster merging), and every group
+    // is large — the grouping must actually deduplicate
+    val nGroups = g.length
+    assert(nGroups >= 2 && nGroups <= 1000,
+      s"degenerate grouping: $nGroups groups")
+    assert(dedup.select("process_id").distinct().count() == nGroups.toLong,
+      "dedup must keep exactly one representative process per group")
+
+    // stage-1 part 2 on the same run
+    val dim = TP.serverClusterDim(spark, TP.serverConnections(
+      TP.logsWithDepth(logs, TP.depthFeatures(TP.processes(logs)))))
+    val clogs = TP.clusterLogs(logs, dim)
+    val stage1 = TP.elementClusters(spark, TP.processElements(clogs))
+    val comps = stage1.agg(
+      count(lit(1)), sum(when(col("component") >= 0, 1).otherwise(0))).head()
+    assert(comps.getLong(0) == 100000L)
+    assert(comps.getLong(1) > 0L, "stage-1 DBSCAN found no clusters")
+    logs.unpersist()
+    Caches.drain()
+
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"generated-100k stress: $nEvents events, ${g.length} groups, $secs%.1f s")
+    if (sys.env.contains("GRAFT_STRESS_TIME_BOUND"))
+      assert(secs < 300, f"stress run too slow: $secs%.1f s")
+  }
 }
