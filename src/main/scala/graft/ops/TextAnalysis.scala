@@ -570,19 +570,29 @@ object TextAnalysis extends QueryModule {
       (s, d) => {
         val toks = docsSpread(s, d)
           .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        val freq = toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-          .select(col("tok"), col("cnt"),
-            round(log(col("cnt").cast("double")) * 1e6).cast("long")
-              .as("lp_micro"))
-        val totalToks = freq.agg(sum(col("cnt"))).head().getLong(0)
-        val lnTotalMicro = math.round(math.log(totalToks.toDouble) * 1e6)
+        // persisted (vocab-bounded): freq feeds the per-doc join AND
+        // the corpus total; and the total rides the plan as a 1-row
+        // broadcast (the x22 pattern) instead of a driver head() —
+        // the head() form ran the corpus explode a THIRD time at
+        // plan-build, outside any cache (measured 2.1 s vs 1.3 s).
+        // log() in-plan is java.lang.Math.log — the same value the
+        // driver-side math.log produced, so the oracle is unchanged.
+        val freq = graft.Caches.track(
+          toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+            .select(col("tok"), col("cnt"),
+              round(log(col("cnt").cast("double")) * 1e6).cast("long")
+                .as("lp_micro")))
+        val total = freq.agg(
+          round(log(sum(col("cnt")).cast("double")) * 1e6).cast("long")
+            .as("ln_total_micro"))
         toks.join(broadcast(freq), Seq("tok"))
-          .groupBy("doc_id")
+          .crossJoin(broadcast(total))
+          .groupBy("doc_id", "ln_total_micro")
           .agg(count(lit(1)).as("n_toks"),
             sum(col("lp_micro")).as("s_micro"),
             sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("n_rare"))
           .select(col("doc_id"), col("n_toks"),
-            round((lit(lnTotalMicro) * col("n_toks") - col("s_micro")) /
+            round((col("ln_total_micro") * col("n_toks") - col("s_micro")) /
               (col("n_toks") * 1e6), 3).as("nll"),
             round(col("n_rare") * 1.0 / col("n_toks"), 4).as("rare_frac"))
           .orderBy("doc_id")
@@ -874,7 +884,11 @@ object TextAnalysis extends QueryModule {
           .select(col("doc_id"), tokens(col("text")).as("t"))
           .filter(size(col("t")) >= 2)
           .select(col("doc_id"), explode(wordNgrams(col("t"), 2)).as("bg"))
-        val bgFreq = bg.groupBy("bg").agg(count(lit(1)).as("c_ab"))
+        // persisted (bigram-vocab-bounded): bgFreq feeds firstFreq AND
+        // the vocab join — unpersisted, each consumer re-ran the
+        // corpus bigram explode (3 evaluations total)
+        val bgFreq = graft.Caches.track(
+          bg.groupBy("bg").agg(count(lit(1)).as("c_ab")))
         val firstFreq = bgFreq
           .groupBy(substring_index(col("bg"), " ", 1).as("w1"))
           .agg(sum("c_ab").as("c_a"))
