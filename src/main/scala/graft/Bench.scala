@@ -67,13 +67,18 @@ object Bench {
     // (worst-case wall ≈ warm + 2x180 + sbt ≈ 8-9 min), while a
     // pathological host (>2.5x local) still falls back.
     val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_BUDGET", "180").toDouble
-    val results =
+    val pass2Opt =
       if (elapsed <= budget) {
         val pass2 = measure()
         System.err.println(pass2.map { case (k, v) => f"$k=$v%.4f" }
           .mkString("[bench-pass2] ", " ", ""))
-        pass1.zip(pass2).map { case ((k, a), (_, b)) => k -> math.min(a, b) }
-      } else pass1
+        Some(pass2)
+      } else None
+    val results = pass2Opt match {
+      case Some(p2) =>
+        pass1.zip(p2).map { case ((k, a), (_, b)) => k -> math.min(a, b) }
+      case None => pass1
+    }
     // The driver captures only the last 2000 chars of stdout; the round-2
     // full-precision line (~2400 chars) was truncated and never parsed.
     // Keep the JSON line compact (2-decimal secs, basename sf) so it plus
@@ -87,14 +92,19 @@ object Bench {
     // the driver's 2000-char tail buffer, which made regressions in
     // fast queries invisible round-over-round (round-6 VERDICT nit).
     try {
-      val detail = results.map { case (k, v) =>
+      def m(rs: Seq[(String, Double)]): String = rs.map { case (k, v) =>
         "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
-      val passes = if (results eq pass1) 1 else 2
+      val passes = if (pass2Opt.isDefined) 2 else 1
+      // both raw passes ride along: pass-to-pass variance is the main
+      // confound when reading per-query regressions (±30% swings
+      // measured on this host), and the min() alone hides it
+      val p2 = pass2Opt.map(p => s""","pass2":${m(p)}""").getOrElse("")
       java.nio.file.Files.write(
         java.nio.file.Paths.get(sys.env.getOrElse(
           "SPARK_GRAFT_BENCH_DETAIL", "BENCH_DETAIL.json")),
-        s"""{"total":${"%.2f".format(total)},"sf":"$sfName","passes":$passes,"queries":$detail}
-           |""".stripMargin.getBytes("UTF-8"))
+        (s"""{"total":${"%.2f".format(total)},"sf":"$sfName",""" +
+          s""""passes":$passes,"queries":${m(results)},""" +
+          s""""pass1":${m(pass1)}$p2}""" + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] detail write failed: ${e.getMessage}")
     }

@@ -36,6 +36,32 @@ class CacheHygieneSpec extends AnyFunSuite {
     }
   }
 
+  test("registry is scoped per SparkSession (round-6 ADVICE)") {
+    Caches.drain()
+    spark.catalog.clearCache()
+    val other = spark.newSession()
+    // track one frame in each session — DIFFERENT plans, because the
+    // shared CacheManager dedupes identical canonicalized plans across
+    // sessions (two sessions caching the same plan share one entry,
+    // and per-session drain scoping cannot — and should not — split it)
+    val a = graft.ops.Dedup.ngramJaccardPairs(spark, sfDir, 0.8)
+    a.count()
+    val b = graft.similarity.Similarity.minhashJoin(
+      graft.ops.Dedup.docShingles(other, sfDir), "doc_id", "sh", 0.5)
+    b.count()
+    // newSession() SHARES the cache manager (SharedState), so isEmpty
+    // sees both sessions' persists — the scoping property under test
+    // is that draining ONE session leaves the OTHER's intermediates
+    // cached (round-6 ADVICE: a JVM-global drain() unpersisted frames
+    // a concurrent query in another session still needed)
+    assert(!Caches.isEmpty(spark))
+    Caches.drain(spark, blocking = true)
+    assert(!Caches.isEmpty(spark),
+      "drain(spark) reached across into the other session's registry")
+    Caches.drain(other, blocking = true)
+    assert(Caches.isEmpty(spark), "full drain should empty shared state")
+  }
+
   test("drained frames recompute transparently on re-use") {
     Caches.drain()
     spark.catalog.clearCache() // same isolation as above
