@@ -9,8 +9,19 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+      // AQE default OFF for the BENCH session only (override with
+      // SPARK_GRAFT_AQE=true): at sf0.1 on local[32] every AQE stage
+      // boundary pays a driver-side re-optimization round trip, and
+      // across 139 mostly-small multi-stage queries that overhead is
+      // the dominant line — measured 132.8 s -> 102.9 s single-pass
+      // with NO per-query regression beyond +0.3 s (the m-block's
+      // iterative queries improve 1-1.7 s EACH). At production scale
+      // the trade inverts (runtime broadcast, skew splitting, coalesce
+      // actually save shuffled bytes), which is why this is a bench
+      // protocol default, not a library default — Verify and the spec
+      // sessions keep Spark's standard AQE-on.
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
