@@ -80,7 +80,7 @@ object Ann extends QueryModule {
         s"THEN ${1 << j} ELSE 0 END)"
     }.mkString(" + ")
 
-  private val vCte =
+  private[ops] val vCte =
     """WITH v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
       |             AS v FROM embeddings)""".stripMargin
 
@@ -231,7 +231,7 @@ object Ann extends QueryModule {
        |        list(qsum / (1000.0 * n) ORDER BY pos) AS cv
        |      FROM s$i GROUP BY cid)""".stripMargin
 
-  private def cosSql(a: String, b: String): String =
+  private[ops] def cosSql(a: String, b: String): String =
     s"""CASE WHEN sqrt(list_sum(list_transform($a, x -> x*x))) = 0
        |       OR sqrt(list_sum(list_transform($b, x -> x*x))) = 0 THEN 0.0
        |     ELSE list_sum(list_transform(list_zip($a, $b), x -> x[1]*x[2]))

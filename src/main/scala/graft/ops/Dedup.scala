@@ -4,6 +4,7 @@ import graft.{GQuery, QueryModule, Tables}
 import graft.functions.{jaccardSim, tokens, wordNgrams, cosineSim}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Document deduplication for large-scale training-data pipelines: exact
   * (hash groupBy), n-gram Jaccard via inverted-index join, MinHash+LSH
@@ -28,6 +29,15 @@ import org.apache.spark.sql.functions._
   * pressure.
   */
 object Dedup extends QueryModule {
+
+  /** d12 semantic-dedup cosine threshold (SemDeDup's ε-ball). Production
+    * corpora use ~0.95; the harness embeddings top out at ~0.6 pairwise
+    * cosine (no planted semantic dups), so the demo threshold sits where
+    * the drop logic actually fires (17 drops at sf0.01, 147 at sf0.1 —
+    * verified non-trivial at both gate scales). */
+  val SemTau = 0.4
+  /** d13 duplicated-span window length in tokens. */
+  val SpanW = 16
 
   /** doc_id + distinct word-trigram shingle sets; drops docs with < 3
     * tokens. Tokenization is a SEPARATE projection from the n-gram
@@ -616,8 +626,155 @@ object Dedup extends QueryModule {
              |  CAST(count(*) AS BIGINT) AS n_shared
              |FROM inv a JOIN inv b ON a.f = b.f AND a.doc_id < b.doc_id
              |GROUP BY 1, 2 HAVING count(*) >= 3
-             |ORDER BY da, db""".stripMargin))
+             |ORDER BY da, db""".stripMargin)),
+
+    // Semantic dedup over EMBEDDINGS (SemDeDup, Abbas et al. 2023): near-
+    // duplicate MEANING survives every lexical dedup above (a paraphrase
+    // shares no shingles), so production pipelines run one more pass in
+    // embedding space: k-means-cluster the corpus, compare pairs only
+    // WITHIN a cluster, and inside each ≥-Tau similarity neighborhood
+    // keep the member LEAST similar to its centroid (the paper's
+    // diversity-preserving choice; vec_id breaks ties). Scale posture:
+    // the candidate set is cluster-bounded — the pair join is an
+    // equi-join on cid, never all-pairs; K grows with the corpus to keep
+    // cluster populations bounded, the centroid frame stays a constant
+    // broadcast (the n3/n7 IVF shape), and the drop set is a keyed
+    // semi-structure, so 100 TB costs Σ|cluster|², not |corpus|².
+    GQuery("d12_semdedup",
+      (s, d) => {
+        val vecs = graft.Caches.track(Ann.normedVecs(s, d))
+        semdedup(vecs, Ann.seedCentroids(vecs), SemTau).orderBy("vec_id")
+      },
+      Some(Ann.vCte +
+        s""",
+           |c AS (SELECT vec_id AS cid, v AS cv FROM v
+           |      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT ${Ann.IvfK}),
+           |sc AS (SELECT v.vec_id, c.cid,
+           |         round(${Ann.cosSql("v.v", "c.cv")}, 6) AS csim
+           |       FROM v, c),
+           |asg AS (SELECT vec_id, cid, csim FROM (
+           |  SELECT vec_id, cid, csim, row_number() OVER (
+           |    PARTITION BY vec_id ORDER BY csim DESC, cid) AS rn
+           |  FROM sc) WHERE rn = 1),
+           |dr AS (SELECT DISTINCT b.vec_id
+           |       FROM asg a JOIN asg b ON a.cid = b.cid
+           |         AND (a.csim < b.csim
+           |              OR (a.csim = b.csim AND a.vec_id < b.vec_id))
+           |       JOIN v va ON va.vec_id = a.vec_id
+           |       JOIN v vb ON vb.vec_id = b.vec_id
+           |       WHERE round(${Ann.cosSql("va.v", "vb.v")}, 6)
+           |             >= $SemTau)
+           |SELECT asg.vec_id, asg.cid, asg.csim,
+           |  (dr.vec_id IS NULL) AS keep
+           |FROM asg LEFT JOIN dr ON asg.vec_id = dr.vec_id
+           |ORDER BY asg.vec_id""".stripMargin)),
+
+    // Exact duplicated-SPAN detection (Lee et al. 2022, "Deduplicating
+    // Training Data Makes Language Models Better"): document-level dedup
+    // misses the boilerplate PASSAGE pasted into thousands of otherwise-
+    // distinct pages, and LMs memorize exactly those. Every 16-token
+    // window is fingerprinted (md5 — portable to the oracle); a span
+    // whose fingerprint occurs more than once corpus-wide is duplicated,
+    // and each doc reports its duplicated-span fraction — the signal a
+    // curation pass thresholds to cut or rewrite docs. Scale posture:
+    // the span table is O(total tokens) — the same mass a token explode
+    // already costs — grouped by fingerprint with map-side partial
+    // aggregation; the count frame joined back is (fingerprint, cnt)
+    // only, so hot boilerplate spans skew a COUNT, not a row explosion
+    // (contrast a window-over-fingerprint, which would buffer the hot
+    // partition). d10's winnowing is the sampled cousin; this is the
+    // exact pass run when recall must be 1.
+    GQuery("d13_dup_spans",
+      (s, d) => dupSpanStats(Tables.documents(s, d)
+        .select("doc_id", "text")).orderBy("doc_id"),
+      Some(s"""WITH dt AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents
+             |  WHERE trim(text) <> ''
+             |    AND len(string_split(trim(text), ' ')) >= $SpanW),
+             |sp AS (SELECT doc_id,
+             |         md5(array_to_string(
+             |           list_slice(t, i, i + ${SpanW - 1}), ' ')) AS h
+             |       FROM (SELECT doc_id, t,
+             |               unnest(range(1, len(t) - ${SpanW - 2})) AS i
+             |             FROM dt)),
+             |g AS (SELECT h, count(*) AS cnt FROM sp GROUP BY 1),
+             |per AS (SELECT sp.doc_id, count(*) AS n_spans,
+             |          CAST(sum(CASE WHEN g.cnt > 1 THEN 1 ELSE 0 END)
+             |            AS BIGINT) AS n_dup
+             |        FROM sp JOIN g USING (h) GROUP BY 1)
+             |SELECT d2.doc_id,
+             |  CAST(coalesce(per.n_spans, 0) AS BIGINT) AS n_spans,
+             |  CAST(coalesce(per.n_dup, 0) AS BIGINT) AS n_dup,
+             |  round(coalesce(per.n_dup, 0) * 1.0 /
+             |        greatest(coalesce(per.n_spans, 0), 1), 4) AS dup_frac
+             |FROM documents d2 LEFT JOIN per ON d2.doc_id = per.doc_id
+             |ORDER BY d2.doc_id""".stripMargin))
   )
+
+  /** d12 core: cluster-assign `vecs` (vec_id, v, nrm) to the broadcast
+    * `cents` (cid, cv, cn), then within each cluster drop every member
+    * that has a ≥-tau cosine neighbor of strictly lower
+    * (centroid-similarity, vec_id) priority — SemDeDup's keep-the-
+    * least-central choice. Output: (vec_id, cid, csim, keep). */
+  private[graft] def semdedup(vecs: DataFrame, cents: DataFrame,
+      tau: Double): DataFrame = {
+    val wAsg = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid"))
+    val asg = graft.Caches.track(
+      vecs.crossJoin(broadcast(cents))
+        .withColumn("csim", round(Ann.simFromNorms(
+          col("v"), col("cv"), col("nrm"), col("cn")), 6))
+        .withColumn("rn", row_number().over(wAsg))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("cid"), col("csim"), col("v"),
+          col("nrm")))
+    val l = asg.select(col("cid"), col("vec_id").as("ida"),
+      col("csim").as("ca"), col("v").as("va"), col("nrm").as("na"))
+    val r = asg.select(col("cid"), col("vec_id").as("idb"),
+      col("csim").as("cb"), col("v").as("vb"), col("nrm").as("nb"))
+    // priority filter BEFORE the dot product: halves the pair set and
+    // keeps the expensive cosine off the symmetric duplicates
+    val drops = l.join(r, Seq("cid"))
+      .filter(col("ca") < col("cb") ||
+        (col("ca") === col("cb") && col("ida") < col("idb")))
+      .filter(round(Ann.simFromNorms(col("va"), col("vb"), col("na"),
+        col("nb")), 6) >= tau)
+      .select(col("idb").as("vec_id")).distinct()
+    asg.join(drops.withColumn("dropped", lit(true)),
+        Seq("vec_id"), "left_outer")
+      .select(col("vec_id"), col("cid"), col("csim"),
+        col("dropped").isNull.as("keep"))
+  }
+
+  /** d13 core over an arbitrary (doc_id, text) frame: every SpanW-token
+    * window fingerprinted, corpus-wide duplicated fingerprints counted
+    * back per doc. Output: (doc_id, n_spans, n_dup, dup_frac). */
+  private[graft] def dupSpanStats(docs: DataFrame): DataFrame = {
+    val toksF = docs
+      .repartition(docs.sparkSession.sparkContext.defaultParallelism)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .filter(size(col("toks")) >= SpanW) // guards ascending sequence()
+    val spans = graft.Caches.track(
+      toksF.select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), size(col("toks")) - (SpanW - 1)),
+          i => md5(concat_ws(" ", slice(col("toks"), i, lit(SpanW))))))
+          .as("h")))
+    val g = spans.groupBy("h").agg(count(lit(1)).as("cnt"))
+    val per = spans.join(g, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).as("n_dup"))
+    docs.select("doc_id")
+      .join(per, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+        round(coalesce(col("n_dup"), lit(0L)) * 1.0 /
+          greatest(coalesce(col("n_spans"), lit(0L)), lit(1L)), 4)
+          .as("dup_frac"))
+  }
 
   /** Incremental dedup — the production shape: a NEW batch arrives and
     * is deduplicated against the EXISTING corpus without re-deduping

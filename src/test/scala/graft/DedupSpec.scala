@@ -299,4 +299,50 @@ class DedupSpec extends AnyFunSuite {
     assert(viaBuckets == exact,
       s"bucket recall mismatch: missing ${exact -- viaBuckets}, extra ${viaBuckets -- exact}")
   }
+
+  test("d12 semdedup: planted near-dup dropped, least-central kept") {
+    import spark.implicits._
+    // two centroids on orthogonal axes; members near each; one planted
+    // near-dup pair in cluster A (ids 10, 11 — 11 is nearer the
+    // centroid, so SemDeDup keeps 10 and drops 11); a lone member in
+    // cluster B survives untouched.
+    def vec(xs: (Int, Double)*): Array[Double] = {
+      val v = Array.fill(8)(0.0); xs.foreach { case (i, x) => v(i) = x }; v
+    }
+    val rows = Seq(
+      (10L, vec(0 -> 1.0, 1 -> 0.30)),  // cluster A, farther from cA
+      (11L, vec(0 -> 1.0, 1 -> 0.28)),  // near-dup of 10, nearer cA
+      (20L, vec(2 -> 1.0)),             // lone cluster-B member
+      (30L, vec(0 -> 1.0, 3 -> 0.9)))   // cluster A but dissimilar to 10/11
+    val vecs = rows.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v"),
+        sqrt(graft.ops.Ann.dotCol(col("v"), col("v"))).as("nrm"))
+    val cents = Seq((1L, vec(0 -> 1.0)), (2L, vec(2 -> 1.0)))
+      .toDF("cid", "cv")
+      .select(col("cid"), col("cv"),
+        sqrt(graft.ops.Ann.dotCol(col("cv"), col("cv"))).as("cn"))
+    val got = Dedup.semdedup(vecs, cents, 0.99).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    assert(got == Map(10L -> true, 11L -> false, 20L -> true, 30L -> true),
+      s"keep map wrong: $got")
+  }
+
+  test("d13 dup spans: shared 16-token passage flagged in both docs only") {
+    val passage = (0 until 16).map(i => s"p$i").mkString(" ")
+    def filler(tag: String, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val docs = docsDf(Seq(
+      (1L, s"${filler("a", 10)} $passage"),   // passage at tail
+      (2L, s"$passage ${filler("b", 10)}"),   // same passage at head
+      (3L, filler("c", 30)),                   // no dup
+      (4L, filler("d", 10))))                  // too short for any span
+    val got = Dedup.dupSpanStats(docs).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // docs 1/2: 26 tokens → 11 spans each; exactly ONE span (the pure
+    // passage window) is shared verbatim between them
+    assert(got(1L) == ((11L, 1L)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((11L, 1L)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((15L, 0L)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((0L, 0L)), s"doc4: ${got(4L)}")
+  }
 }
