@@ -29,6 +29,11 @@ object Ann extends QueryModule {
   /** Fixed demo query-set size for the brute-force kNN baseline — the
     * broadcast side must be CONSTANT, not a corpus fraction. */
   val QueryK = 25
+  /** n8 product quantization: PqM sub-spaces of PqDsub dims, PqK
+    * codewords per sub-space (codebook = a constant broadcast). */
+  val PqM = 8
+  val PqDsub = 8
+  val PqK = 16
 
   /** Deterministic ±1 hyperplane matrix (NumTables*BitsPerTable × Dim). */
   lazy val SIGNS: IndexedSeq[IndexedSeq[Int]] = {
@@ -230,6 +235,66 @@ object Ann extends QueryModule {
        |$outCent AS (SELECT cid,
        |        list(qsum / (1000.0 * n) ORDER BY pos) AS cv
        |      FROM s$i GROUP BY cid)""".stripMargin
+
+  /** n8 core: PQ-encode `vecs` (vec_id, v, nrm) against the
+    * deterministic md5-seed codebook and return ADC top-`k` per QueryK
+    * query. Distances are micro-quantized exact longs end to end. */
+  private[graft] def pqTopK(vecs: DataFrame, k: Int): DataFrame = {
+    val wSeed = Window.orderBy(md5(col("vec_id").cast("string")))
+        val seeds = vecs.orderBy(md5(col("vec_id").cast("string")))
+          .limit(PqK)
+          .withColumn("code", row_number().over(wSeed).cast("long"))
+          .select(col("code"), col("v"))
+        def subArr(vc: Column): Column =
+          array((0 until PqM).map(m => struct(lit(m).cast("long").as("m"),
+            slice(vc, m * PqDsub + 1, PqDsub).as("sv"))): _*)
+        // ‖a−b‖² in 1e-6 units as exact long — each dot is the native
+        // sequential-sum expression, the combination is scalar IEEE ops,
+        // so both engines quantize the identical double
+        def d2q(a: Column, b: Column): Column =
+          round((dotCol(a, a) + dotCol(b, b) -
+            lit(2.0) * dotCol(a, b)) * 1e6).cast("long")
+        val cb = seeds.select(col("code"), explode(subArr(col("v"))).as("e"))
+          .select(col("e.m").as("m"), col("code"), col("e.sv").as("cv"))
+        val sub = vecs.select(col("vec_id"), explode(subArr(col("v"))).as("e"))
+          .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
+        val wEnc = Window.partitionBy("vec_id", "m")
+          .orderBy(col("dq"), col("code"))
+        val codes = sub.join(broadcast(cb), Seq("m"))
+          .withColumn("dq", d2q(col("sv"), col("cv")))
+          .withColumn("rn", row_number().over(wEnc))
+          .filter(col("rn") === 1)
+          .select(col("vec_id"), col("m"), col("code"))
+        val lut = vecs.orderBy(md5(col("vec_id").cast("string")))
+          .limit(QueryK)
+          .select(col("vec_id").as("qid"), col("v").as("qv"))
+          .select(col("qid"), explode(subArr(col("qv"))).as("e"))
+          .select(col("qid"), col("e.m").as("m"), col("e.sv").as("qsv"))
+          .join(broadcast(cb), Seq("m"))
+          .withColumn("qdq", d2q(col("qsv"), col("cv")))
+          .select(col("qid"), col("m"), col("code"), col("qdq"))
+        val wTop = Window.partitionBy("qid").orderBy(col("adq"), col("nbr"))
+        codes.join(broadcast(lut), Seq("m", "code"))
+          .filter(col("vec_id") =!= col("qid"))
+          .groupBy(col("qid"), col("vec_id"))
+          .agg(sum(col("qdq")).as("adq"))
+          .withColumnRenamed("vec_id", "nbr")
+          .withColumn("rn", row_number().over(wTop))
+          .filter(col("rn") <= k)
+          .select(col("qid"), col("rn").cast("long").as("rn"), col("nbr"),
+            col("adq"))
+          .orderBy("qid", "rn")
+  }
+
+  /** Oracle fragment: micro-quantized squared L2 between two list exprs —
+    * the SQL twin of n8's d2q (sequential-sum dots, scalar combination,
+    * round ×1e6 to BIGINT). */
+  private def d2qSql(a: String, b: String): String = {
+    def ds(x: String, y: String) =
+      s"list_sum(list_transform(list_zip($x, $y), z -> z[1]*z[2]))"
+    s"CAST(round((${ds(a, a)} + ${ds(b, b)} - 2.0*${ds(a, b)}) * 1e6) " +
+      "AS BIGINT)"
+  }
 
   private[ops] def cosSql(a: String, b: String): String =
     s"""CASE WHEN sqrt(list_sum(list_transform($a, x -> x*x))) = 0
@@ -564,6 +629,64 @@ object Ann extends QueryModule {
            |  count(*) AS n_vecs
            |FROM (SELECT cid, unnest(v) AS x,
            |        unnest(range(len(v))) AS pos FROM asg)
-           |GROUP BY 1, 2 ORDER BY cid, pos""".stripMargin))
+           |GROUP BY 1, 2 ORDER BY cid, pos""".stripMargin)),
+
+    // Product-quantized (PQ) ANN — the memory tier BELOW SQ8: the
+    // 64-dim vector becomes 8 sub-space codes of 4 bits-ish (16
+    // codewords each), 8 bytes total per vector, and query-time scoring
+    // is a table LOOKUP (asymmetric distance computation, Jégou et al.
+    // 2011) instead of a dot product. The codebook here is
+    // deterministic (sub-vectors of the PqK smallest-md5 vectors — the
+    // n3 seeding trick) so the oracle replays it exactly; production
+    // would k-means each sub-space (n5's lloydStep per sub-space, same
+    // shapes). Scale posture: codebook and LUT are constant broadcasts
+    // (PqK·PqM and QueryK·PqM·PqK rows); encoding is a linear scan with
+    // a per-(vec, sub-space) argmin over 16 bucket-mates; ADC scoring
+    // streams the 8-codes-per-vector frame once, and every distance is
+    // micro-quantized integer arithmetic — exact in both engines, no
+    // float-sum ordering anywhere.
+    GQuery("n8_ann_pq",
+      (s, d) => pqTopK(graft.Caches.track(normedVecs(s, d)), 5),
+      Some(vCte +
+        s""",
+           |seeds AS (SELECT v, CAST(row_number() OVER (
+           |    ORDER BY md5(CAST(vec_id AS VARCHAR))) AS BIGINT) AS code
+           |  FROM (SELECT vec_id, v FROM v
+           |        ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $PqK)),
+           |ms AS (SELECT CAST(unnest(range($PqM)) AS BIGINT) AS m),
+           |cb AS (SELECT ms.m, seeds.code,
+           |         list_slice(seeds.v, ms.m*$PqDsub + 1,
+           |           ms.m*$PqDsub + $PqDsub) AS cv
+           |       FROM seeds, ms),
+           |sub AS (SELECT v.vec_id, ms.m,
+           |          list_slice(v.v, ms.m*$PqDsub + 1,
+           |            ms.m*$PqDsub + $PqDsub) AS sv
+           |        FROM v, ms),
+           |enc AS (SELECT vec_id, m, code FROM (
+           |  SELECT sub.vec_id, sub.m, cb.code,
+           |    row_number() OVER (PARTITION BY sub.vec_id, sub.m
+           |      ORDER BY ${d2qSql("sv", "cv")}, cb.code) AS rn
+           |  FROM sub JOIN cb ON sub.m = cb.m) WHERE rn = 1),
+           |q AS (SELECT vec_id AS qid, v AS qv FROM v
+           |      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $QueryK),
+           |qsub AS (SELECT q.qid, ms.m,
+           |           list_slice(q.qv, ms.m*$PqDsub + 1,
+           |             ms.m*$PqDsub + $PqDsub) AS qsv
+           |         FROM q, ms),
+           |lut AS (SELECT qsub.qid, qsub.m, cb.code,
+           |          ${d2qSql("qsv", "cv")} AS qdq
+           |        FROM qsub JOIN cb ON qsub.m = cb.m),
+           |adc AS (SELECT lut.qid, enc.vec_id AS nbr,
+           |          CAST(sum(lut.qdq) AS BIGINT) AS adq
+           |        FROM enc JOIN lut
+           |          ON enc.m = lut.m AND enc.code = lut.code
+           |        WHERE enc.vec_id <> lut.qid
+           |        GROUP BY 1, 2)
+           |SELECT qid, rn, nbr, adq FROM (
+           |  SELECT qid, nbr, adq,
+           |    CAST(row_number() OVER (PARTITION BY qid
+           |      ORDER BY adq, nbr) AS BIGINT) AS rn
+           |  FROM adc)
+           |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin))
   )
 }

@@ -189,4 +189,40 @@ class AnnSpec extends AnyFunSuite {
     assert(rTrained >= 0.9,
       f"trained recall $rTrained%.3f below 0.9 on planted clusters")
   }
+
+  test("n8 PQ ADC ranks cluster mates first on planted clusters") {
+    // 8 tight clusters of 8: cluster mates share the full 8-sub-space
+    // code tuple (jitter far below codeword spacing), so a query's ADC
+    // distance to a mate equals its own quantization error — the
+    // minimum possible — and every top-5 slot should be a mate.
+    import spark.implicits._
+    val rnd = new Random(13)
+    def unit(): Array[Double] = {
+      val v = Array.fill(graft.ops.Ann.Dim)(rnd.nextGaussian())
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val clusterOf = scala.collection.mutable.Map.empty[Long, Int]
+    val planted = (0 until 8).flatMap { c =>
+      val base = unit()
+      (0 until 8).map { j =>
+        val jit = base.map(_ + rnd.nextGaussian() * 0.02)
+        val n = math.sqrt(jit.map(x => x * x).sum)
+        val id = c * 100L + j
+        clusterOf(id) = c
+        (id, jit.map(_ / n))
+      }
+    }
+    val vecs = planted.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v"),
+        sqrt(graft.ops.Ann.dotCol(col("v"), col("v"))).as("nrm"))
+    val top = graft.ops.Ann.pqTopK(vecs, 5)
+      .select("qid", "nbr").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(top.nonEmpty, "PQ returned no neighbors")
+    val mateFrac = top.count { case (q2, n) =>
+      clusterOf(q2) == clusterOf(n)
+    }.toDouble / top.size
+    assert(mateFrac >= 0.9,
+      f"PQ top-5 mate fraction $mateFrac%.3f below 0.9")
+  }
 }
