@@ -175,6 +175,99 @@ object TextAnalysis extends QueryModule {
       .select("doc_id", "text")
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** [[docsSpread]] + the source column (x27 partitions counts by it). */
+  private def docsSpread2(s: org.apache.spark.sql.SparkSession, d: String) =
+    graft.Tables.documents(s, d)
+      .select("doc_id", "source", "text")
+      .repartition(s.sparkContext.defaultParallelism)
+
+  /** x27 core over an arbitrary (doc_id, source, text) frame: per-doc
+    * mean hashed-unigram log-ratio against the `target` source. */
+  private[graft] def dsirWeights(docs: org.apache.spark.sql.DataFrame,
+      target: String): org.apache.spark.sql.DataFrame = {
+    val tb = docs
+      .select(col("doc_id"), col("source"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("tok")), 1, 12), 16, 10)
+          .cast("long") % DsirB).as("b"))
+    val bk = graft.Caches.track(
+      tb.groupBy("b").agg(
+        sum(when(col("source") === target, 1L).otherwise(0L))
+          .as("tc"),
+        count(lit(1)).as("rc")))
+    val lr = bk.select(col("b"),
+      round((log(col("tc") + 1.0) - log(col("rc") + 1.0)) * 1e6)
+        .cast("long").as("lrm"))
+    val shift = bk.agg(
+      round((log(sum(col("rc")) + lit(DsirB.toDouble)) -
+        log(sum(col("tc")) + lit(DsirB.toDouble))) * 1e6)
+        .cast("long").as("shift"))
+    tb.join(broadcast(lr), Seq("b"))
+      .crossJoin(broadcast(shift))
+      .groupBy("doc_id", "shift")
+      .agg(count(lit(1)).as("n_toks"), sum(col("lrm")).as("sm"))
+      .select(col("doc_id"), col("n_toks"),
+        round((col("sm") + col("n_toks") * col("shift")) /
+          (col("n_toks") * 1e6), 4).as("dsir_lr"))
+  }
+
+  /** x27 DSIR: hashed-feature bucket count and the target domain. */
+  private val DsirB = 4096
+  private val DsirTarget = "src0"
+
+  /** Oracle CTEs shared by x12/x26: per-token unigram stats and the
+    * per-doc `scores` frame (doc_id, n_toks, nll, rare_frac). */
+  private val lmScoreSqlCtes: String =
+    """t AS (
+      |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+      |  FROM documents),
+      |f AS (SELECT tok, count(*) AS cnt,
+      |        CAST(round(ln(count(*)) * 1e6) AS BIGINT) AS lp_micro
+      |      FROM t GROUP BY 1),
+      |n AS (SELECT CAST(round(ln(sum(cnt)) * 1e6) AS BIGINT)
+      |        AS ln_total_micro FROM f),
+      |scores AS (
+      |  SELECT t.doc_id AS doc_id, count(*) AS n_toks,
+      |    round((n.ln_total_micro * count(*) - sum(f.lp_micro)) /
+      |          (count(*) * 1e6), 3) AS nll,
+      |    round(sum(CASE WHEN f.cnt <= 2 THEN 1 ELSE 0 END) * 1.0
+      |          / count(*), 4) AS rare_frac
+      |  FROM t JOIN f USING (tok) CROSS JOIN n
+      |  GROUP BY t.doc_id, n.ln_total_micro)""".stripMargin
+
+  /** x12 core — unigram-LM mean NLL per doc, shared with x26's CCNet
+    * bucketing. `freq` is persisted (vocab-bounded): it feeds the
+    * per-doc join AND the corpus total; the total rides the plan as a
+    * 1-row broadcast (the x22 pattern) instead of a driver head() —
+    * the head() form ran the corpus explode a THIRD time at plan-build,
+    * outside any cache (measured 2.1 s vs 1.3 s). log() in-plan is
+    * java.lang.Math.log, micro-quantized to long so every downstream
+    * sum is exact integer arithmetic the oracle replays. */
+  private def lmScores(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val toks = docsSpread(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = graft.Caches.track(
+      toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
+        .select(col("tok"), col("cnt"),
+          round(log(col("cnt").cast("double")) * 1e6).cast("long")
+            .as("lp_micro")))
+    val total = freq.agg(
+      round(log(sum(col("cnt")).cast("double")) * 1e6).cast("long")
+        .as("ln_total_micro"))
+    toks.join(broadcast(freq), Seq("tok"))
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id", "ln_total_micro")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(col("lp_micro")).as("s_micro"),
+        sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("n_rare"))
+      .select(col("doc_id"), col("n_toks"),
+        round((col("ln_total_micro") * col("n_toks") - col("s_micro")) /
+          (col("n_toks") * 1e6), 3).as("nll"),
+        round(col("n_rare") * 1.0 / col("n_toks"), 4).as("rare_frac"))
+  }
+
   override def queries: Seq[GQuery] = Seq(
 
     // Language-ID skeleton: per-class word-list scores + argmax.
@@ -567,52 +660,85 @@ object TextAnalysis extends QueryModule {
     // salting); the corpus-sized work is one map-side-combined groupBy
     // and one keyed join.
     GQuery("x12_lm_score",
+      (s, d) => lmScores(s, d).orderBy("doc_id"),
+      Some(s"""WITH $lmScoreSqlCtes
+             |SELECT doc_id, n_toks, nll, rare_frac FROM scores
+             |ORDER BY doc_id""".stripMargin)),
+
+    // CCNet-style quality bucketing (Wenzek et al. 2020): per LANGUAGE,
+    // rank docs by LM score and cut into head/middle/tail tertiles —
+    // the standard crawl-curation triage (keep head, maybe-keep middle,
+    // drop tail), language-local so low-resource languages aren't
+    // crushed by the dominant language's score scale. Reuses x12's
+    // scores; the only additions are a broadcast lang join and ONE
+    // window per language partition (at 100 TB the partition key is
+    // (lang, shard) and the tertile boundary comes from a quantile
+    // sketch instead of a full sort — a18's machinery).
+    GQuery("x26_ppl_buckets",
       (s, d) => {
-        val toks = docsSpread(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        // persisted (vocab-bounded): freq feeds the per-doc join AND
-        // the corpus total; and the total rides the plan as a 1-row
-        // broadcast (the x22 pattern) instead of a driver head() —
-        // the head() form ran the corpus explode a THIRD time at
-        // plan-build, outside any cache (measured 2.1 s vs 1.3 s).
-        // log() in-plan is java.lang.Math.log — the same value the
-        // driver-side math.log produced, so the oracle is unchanged.
-        val freq = graft.Caches.track(
-          toks.groupBy("tok").agg(count(lit(1)).as("cnt"))
-            .select(col("tok"), col("cnt"),
-              round(log(col("cnt").cast("double")) * 1e6).cast("long")
-                .as("lp_micro")))
-        val total = freq.agg(
-          round(log(sum(col("cnt")).cast("double")) * 1e6).cast("long")
-            .as("ln_total_micro"))
-        toks.join(broadcast(freq), Seq("tok"))
-          .crossJoin(broadcast(total))
-          .groupBy("doc_id", "ln_total_micro")
-          .agg(count(lit(1)).as("n_toks"),
-            sum(col("lp_micro")).as("s_micro"),
-            sum(when(col("cnt") <= 2, 1L).otherwise(0L)).as("n_rare"))
-          .select(col("doc_id"), col("n_toks"),
-            round((col("ln_total_micro") * col("n_toks") - col("s_micro")) /
-              (col("n_toks") * 1e6), 3).as("nll"),
-            round(col("n_rare") * 1.0 / col("n_toks"), 4).as("rare_frac"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy(col("nll"), col("doc_id"))
+        lmScores(s, d)
+          .join(broadcast(Tables.documents(s, d)
+            .select("doc_id", "lang")), Seq("doc_id"))
+          .withColumn("t3", ntile(3).over(w))
+          .select(col("doc_id"), col("lang"), col("nll"),
+            when(col("t3") === 1, "head").when(col("t3") === 2, "middle")
+              .otherwise("tail").as("bucket"))
           .orderBy("doc_id")
       },
-      Some("""WITH t AS (
-             |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
-             |  FROM documents),
-             |f AS (SELECT tok, count(*) AS cnt,
-             |        CAST(round(ln(count(*)) * 1e6) AS BIGINT) AS lp_micro
-             |      FROM t GROUP BY 1),
-             |n AS (SELECT CAST(round(ln(sum(cnt)) * 1e6) AS BIGINT)
-             |        AS ln_total_micro FROM f)
-             |SELECT t.doc_id AS doc_id, count(*) AS n_toks,
-             |  round((n.ln_total_micro * count(*) - sum(f.lp_micro)) /
-             |        (count(*) * 1e6), 3) AS nll,
-             |  round(sum(CASE WHEN f.cnt <= 2 THEN 1 ELSE 0 END) * 1.0
-             |        / count(*), 4) AS rare_frac
-             |FROM t JOIN f USING (tok) CROSS JOIN n
-             |GROUP BY t.doc_id, n.ln_total_micro
-             |ORDER BY doc_id""".stripMargin)),
+      Some(s"""WITH $lmScoreSqlCtes,
+             |lb AS (SELECT s.doc_id, d.lang, s.nll,
+             |         ntile(3) OVER (PARTITION BY d.lang
+             |           ORDER BY s.nll, s.doc_id) AS t3
+             |       FROM scores s JOIN documents d ON s.doc_id = d.doc_id)
+             |SELECT doc_id, lang, nll,
+             |  CASE t3 WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+             |       ELSE 'tail' END AS bucket
+             |FROM lb ORDER BY doc_id""".stripMargin)),
+
+    // DSIR importance weights (Xie et al. 2023): score every raw doc by
+    // how target-like its hashed n-gram feature distribution is —
+    // weight = mean over tokens of log(p_target(bucket)/p_raw(bucket))
+    // with add-1 smoothing over B hashed buckets. The target here is
+    // the src0 domain; raw is the whole corpus. All log-ratios are
+    // micro-quantized to long at the BUCKET level (|vocab|-bounded), so
+    // the per-doc sums are exact integer arithmetic in both engines.
+    // Scale posture: two bounded frames ride the plan — the B-row
+    // bucket table (broadcast join) and the 1-row normalization shift
+    // (x22's broadcast-total pattern); the corpus is scanned once for
+    // counts and once for scoring, both linear, shuffles keyed on the
+    // 4096-value bucket id.
+    GQuery("x27_dsir",
+      (s, d) => dsirWeights(docsSpread2(s, d), DsirTarget)
+        .orderBy("doc_id"),
+      Some(s"""WITH t AS (
+             |  SELECT doc_id, source,
+             |    unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents WHERE trim(text) <> ''),
+             |tb AS (SELECT doc_id,  source,
+             |         ('0x' || substr(md5(tok), 1, 12))::BIGINT % $DsirB
+             |           AS b
+             |       FROM t),
+             |bk AS (SELECT b,
+             |         CAST(sum(CASE WHEN source = '$DsirTarget' THEN 1
+             |                       ELSE 0 END) AS BIGINT) AS tc,
+             |         count(*) AS rc
+             |       FROM tb GROUP BY 1),
+             |lr AS (SELECT b, CAST(round((ln(tc + 1.0) - ln(rc + 1.0))
+             |         * 1e6) AS BIGINT) AS lrm
+             |       FROM bk),
+             |sh AS (SELECT CAST(round((ln(CAST(sum(rc) AS BIGINT)
+             |           + $DsirB.0) - ln(CAST(sum(tc) AS BIGINT)
+             |           + $DsirB.0)) * 1e6) AS BIGINT) AS shift
+             |       FROM bk),
+             |per AS (SELECT tb.doc_id, count(*) AS n_toks,
+             |          CAST(sum(lr.lrm) AS BIGINT) AS sm
+             |        FROM tb JOIN lr USING (b) GROUP BY 1)
+             |SELECT doc_id, n_toks,
+             |  round((sm + n_toks * sh.shift) / (n_toks * 1e6), 4)
+             |    AS dsir_lr
+             |FROM per CROSS JOIN sh ORDER BY doc_id""".stripMargin)),
 
     // Domain-level curation rollup — crawl pipelines filter by DOMAIN
     // (spam domains, boilerplate farms), not by document: per-domain

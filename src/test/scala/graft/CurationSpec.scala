@@ -233,4 +233,23 @@ class CurationSpec extends AnyFunSuite {
     assert(merged2.count(_ == "x he") == 4)
     assert(merged2.count(_ == "he y") == 4)
   }
+
+  test("x27 DSIR upweights target-vocab docs, downweights disjoint vocab") {
+    import spark.implicits._
+    // target docs share a vocabulary; raw docs split between
+    // target-like and disjoint-vocab. DSIR's log-ratio must rank the
+    // target-like raw doc strictly above every disjoint-vocab doc.
+    val tgtText = "alpha beta gamma delta epsilon zeta eta theta"
+    val offText = "one two three four five six seven eight"
+    val docs = Seq(
+      (1L, "tgt", tgtText), (2L, "tgt", tgtText), (3L, "tgt", tgtText),
+      (10L, "raw", tgtText),           // target-like raw doc
+      (11L, "raw", offText), (12L, "raw", offText))
+      .toDF("doc_id", "source", "text")
+    val w = ops.TextAnalysis.dsirWeights(docs, "tgt").collect()
+      .map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(w(10L) > w(11L) && w(10L) > w(12L),
+      s"target-like doc not upweighted: $w")
+    assert(w(1L) > w(11L), s"target doc not above disjoint raw: $w")
+  }
 }
