@@ -22,6 +22,17 @@ object Sources extends QueryModule {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** s16's read side over a lang-partitioned documents directory: the
+    * lang='en' filter must become a PartitionFilter (plan-locked in
+    * SourcesSinksSpec), the aggregate matches the unpartitioned oracle. */
+  private[graft] def partitionPrunedAgg(
+      parts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    parts.filter(col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+      .orderBy("source")
+
   override def queries: Seq[GQuery] = Seq(
 
     // S2+S4: driver-local collection with explicit StructType joined
@@ -156,6 +167,32 @@ object Sources extends QueryModule {
              |  min(x) AS xmin, max(x) AS xmax,
              |  min(y) AS ymin, max(y) AS ymax
              |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin)),
+
+    // S16: Hive-partitioned parquet sink + partition-PRUNED read-back —
+    // the layout every 100 TB lake table actually uses: directories
+    // keyed by low-cardinality columns so a filtered read touches only
+    // the matching subtrees (PartitionFilters in the scan node — no
+    // file of another lang is even listed). The write side demonstrates
+    // partitionBy; the read side must produce the same aggregate the
+    // oracle computes straight off the unpartitioned table.
+    // SourcesSinksSpec locks the pruning itself (the plan's
+    // PartitionFilters carries the lang predicate).
+    GQuery("s16_partitioned_roundtrip",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_part_").toString
+        Tables.documents(s, d)
+          .select("doc_id", "source", "lang", "n_chars")
+          // key-repartition before partitionBy: one writer task per
+          // Hive partition, not numTasks×numLangs slivers (S11 spec)
+          .repartition(col("lang"))
+          .write.mode("overwrite").partitionBy("lang").parquet(dir)
+        partitionPrunedAgg(s.read.parquet(dir))
+      },
+      Some("""SELECT source, count(*) AS n,
+             |  CAST(sum(n_chars) AS BIGINT) AS chars
+             |FROM documents WHERE lang = 'en'
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // S15: parquet schema evolution — two generations of files (the
     // older written WITHOUT s_acctbal) read together with mergeSchema:

@@ -98,4 +98,22 @@ class SourcesSinksSpec extends AnyFunSuite {
     val orig = docs.as[(Long, String, Long)].collect().sortBy(_._1)
     assert(back.toSeq == orig.toSeq)
   }
+
+  test("S16: roundtrip agg's lang filter prunes partitions in the plan") {
+    val dir = Files.createTempDirectory("graft_s16spec").toString + "/out"
+    Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "source", "lang", "n_chars")
+      .repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    val agg = graft.ops.Sources.partitionPrunedAgg(spark.read.parquet(dir))
+    val scan = agg.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).find(_.contains("FileScan"))
+      .getOrElse(fail("no FileScan leaf in s16 plan"))
+    assert(scan.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang predicate must land in PartitionFilters:\n$scan")
+    // and n_chars/source must be the ONLY data columns read
+    assert(scan.contains("ReadSchema") &&
+      !scan.contains("doc_id"),
+      s"doc_id should be pruned from ReadSchema:\n$scan")
+  }
 }
