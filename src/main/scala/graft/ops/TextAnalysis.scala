@@ -740,6 +740,69 @@ object TextAnalysis extends QueryModule {
              |    AS dsir_lr
              |FROM per CROSS JOIN sh ORDER BY doc_id""".stripMargin)),
 
+    // Gopher-style rule filter (Rae et al. 2021): the hard heuristic
+    // gate crawl pipelines apply BEFORE any model-based scoring — word
+    // count in [50, 100k], mean word length in [3, 10], ≥80% alphabetic
+    // words, ≥2 stopword occurrences. Each rule is a separate flag (the
+    // curation dashboard wants per-rule attrition, not just the AND).
+    // Every comparison is INTEGER (length bounds via cross-
+    // multiplication: 3n ≤ chars ≤ 10n), so the verdict columns carry
+    // zero float risk; the one float column (mean_wlen) is output-only.
+    // The line-shape rules (bullet/ellipsis ratios) are omitted: the
+    // harness corpus is single-line by construction.
+    GQuery("x28_gopher_rules",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        docsSpread(s, d)
+          .select(col("doc_id"),
+            size(toks).cast("long").as("n_words"),
+            aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+              .as("chars"),
+            size(filter(toks, t => t.rlike("[a-z]"))).cast("long")
+              .as("n_alpha"),
+            hits(toks, stopwords).as("n_stop"))
+          .select(col("doc_id"), col("n_words"),
+            when(col("n_words") === 0, 0.0).otherwise(
+              round(col("chars") * 1.0 / col("n_words"), 4))
+              .as("mean_wlen"),
+            (col("n_words") >= 50 && col("n_words") <= 100000).as("r_wc"),
+            (col("n_words") > 0 && col("chars") >= col("n_words") * 3 &&
+              col("chars") <= col("n_words") * 10).as("r_wlen"),
+            (col("n_words") > 0 &&
+              col("n_alpha") * 10 >= col("n_words") * 8).as("r_alpha"),
+            (col("n_stop") >= 2).as("r_stop"))
+          .withColumn("keep",
+            col("r_wc") && col("r_wlen") && col("r_alpha") && col("r_stop"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH dt AS (
+             |  SELECT doc_id,
+             |    CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+             |         ELSE string_split(trim(text), ' ') END AS t
+             |  FROM documents),
+             |s1 AS (SELECT doc_id,
+             |  CAST(len(t) AS BIGINT) AS n_words,
+             |  CAST(coalesce(list_sum(list_transform(t, w -> len(w))), 0)
+             |    AS BIGINT) AS chars,
+             |  CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+             |    AS BIGINT) AS n_alpha,
+             |  CAST(len(list_filter(t,
+             |    w -> w IN (${stopwords.map(w => s"'$w'").mkString(",")})))
+             |    AS BIGINT) AS n_stop
+             |  FROM dt)
+             |SELECT doc_id, n_words,
+             |  CASE WHEN n_words = 0 THEN 0.0
+             |       ELSE round(chars * 1.0 / n_words, 4) END AS mean_wlen,
+             |  (n_words >= 50 AND n_words <= 100000) AS r_wc,
+             |  (n_words > 0 AND chars >= n_words * 3
+             |    AND chars <= n_words * 10) AS r_wlen,
+             |  (n_words > 0 AND n_alpha * 10 >= n_words * 8) AS r_alpha,
+             |  (n_stop >= 2) AS r_stop,
+             |  (n_words >= 50 AND n_words <= 100000
+             |    AND chars >= n_words * 3 AND chars <= n_words * 10
+             |    AND n_alpha * 10 >= n_words * 8 AND n_stop >= 2) AS keep
+             |FROM s1 ORDER BY doc_id""".stripMargin)),
+
     // Domain-level curation rollup — crawl pipelines filter by DOMAIN
     // (spam domains, boilerplate farms), not by document: per-domain
     // doc counts, mean quality, and short-doc fraction drive the
