@@ -79,4 +79,51 @@ class EdgeCaseSpec extends AnyFunSuite {
     val del = graft.ops.Relational.cdcDiff(v, e, "k", "p").collect()
     assert(del.length == 1 && del.head.getString(1) == "D")
   }
+
+  test("dupSpanStats: all-short corpus reports zero spans, keeps every doc") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, ""), (3L, "x y z w")).toDF(
+      "doc_id", "text")
+    val got = graft.ops.Dedup.dupSpanStats(docs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    assert(got.toSeq == Seq((1L, 0L, 0L), (2L, 0L, 0L), (3L, 0L, 0L)),
+      s"short/empty docs must report 0 spans, got ${got.toSeq}")
+  }
+
+  test("semdedup: singleton corpus keeps its only member") {
+    import spark.implicits._
+    val v = Seq((7L, Array.fill(8)(0.5))).toDF("vec_id", "v")
+      .select(col("vec_id"), col("v"),
+        sqrt(graft.ops.Ann.dotCol(col("v"), col("v"))).as("nrm"))
+    val c = Seq((1L, Array.fill(8)(0.5))).toDF("cid", "cv")
+      .select(col("cid"), col("cv"),
+        sqrt(graft.ops.Ann.dotCol(col("cv"), col("cv"))).as("cn"))
+    val got = graft.ops.Dedup.semdedup(v, c, 0.5).collect()
+    assert(got.length == 1 && got.head.getBoolean(3),
+      "lone vector must be kept")
+  }
+
+  test("pqTopK: corpus smaller than the codebook still returns neighbors") {
+    import spark.implicits._
+    // 6 vectors < PqK=16 seeds and < QueryK=25 queries: every vector is
+    // both a seed and a query; ADC must still rank the other 5
+    val rnd = new scala.util.Random(3)
+    val vs = (0 until 6).map(i =>
+      (i.toLong, Array.fill(64)(rnd.nextGaussian())))
+    val df = vs.toDF("vec_id", "v")
+      .select(col("vec_id"), col("v"),
+        sqrt(graft.ops.Ann.dotCol(col("v"), col("v"))).as("nrm"))
+    val got = graft.ops.Ann.pqTopK(df, 5).collect()
+    assert(got.length == 30, s"6 queries x 5 nbrs expected, ${got.length}")
+  }
+
+  test("dsirWeights: absent target source still yields finite weights") {
+    import spark.implicits._
+    val docs = Seq((1L, "raw", "a b c"), (2L, "raw", "d e f"))
+      .toDF("doc_id", "source", "text")
+    val got = graft.ops.TextAnalysis.dsirWeights(docs, "nope").collect()
+    assert(got.length == 2 && got.forall(r =>
+      !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite),
+      "weights must stay finite with an empty target")
+  }
 }
