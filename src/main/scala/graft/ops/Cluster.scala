@@ -305,6 +305,46 @@ object Cluster extends QueryModule {
              |SELECT node, count(*) AS n_tri FROM nodes
              |GROUP BY 1 ORDER BY n_tri DESC, node LIMIT 15""".stripMargin)),
 
+    // K-core decomposition (fixed 3 peeling rounds over m11's part
+    // co-occurrence graph): iteratively delete vertices of degree < K —
+    // the dense-substructure extractor behind community seeds and spam-
+    // ring mining. Each round is two keyed aggregations + two semi-
+    // shaped equi-joins, all shuffles on the vertex id; no all-pairs
+    // anywhere, so a 100 TB edge list peels in O(E) per round. The
+    // REGISTERED query runs exactly KcoreRounds rounds so the DuckDB
+    // oracle can replay every round as a CTE chain; the run-to-
+    // convergence variant (`kcoreConverged`, localCheckpoint lineage
+    // cuts per round, stops when the vertex count is stable) is the
+    // library path, gated by ConvergenceSpec.
+    GQuery("m15_kcore",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.select(col("o"), col("p").as("pa"))
+          .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2).select("pa", "pb")
+          .transform(graft.Caches.track)
+        kcorePeel(e, KcoreK, KcoreRounds)
+          .orderBy("node")
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |  FROM lineitem),
+             |e0 AS (SELECT a.p AS pa, b.p AS pb
+             |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |""".stripMargin +
+        (1 to KcoreRounds).map(i => kcoreSqlRound(i, s"e${i - 1}"))
+          .mkString(",\n") +
+        s"""
+           |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           |  SELECT pa AS node FROM e$KcoreRounds
+           |  UNION ALL SELECT pb FROM e$KcoreRounds)
+           |GROUP BY 1 ORDER BY node""".stripMargin)),
+
     GQuery("m8_connected_components",
       (s, d) => {
         // persisted: the distinct activity-cell summary feeds BOTH sides
@@ -435,6 +475,72 @@ object Cluster extends QueryModule {
     * label — one keyed count + one per-node window rank per iteration,
     * no mode() nondeterminism, no floats anywhere, so the oracle
     * replays both iterations exactly. Returns (node, lbl). */
+  /** m15 constants: core threshold and the fixed oracle round count. */
+  private[graft] val KcoreK = 3
+  private[graft] val KcoreRounds = 3
+
+  /** Oracle fragment: one peeling round `prevE` → `e$i` (degree count,
+    * ≥K survivor set, edge filter to both-endpoint survivors). */
+  private def kcoreSqlRound(i: Int, prevE: String): String =
+    s"""deg$i AS (SELECT n, count(*) AS dg FROM (
+       |  SELECT pa AS n FROM $prevE
+       |  UNION ALL SELECT pb FROM $prevE) GROUP BY 1),
+       |s$i AS (SELECT n FROM deg$i WHERE dg >= $KcoreK),
+       |e$i AS (SELECT pa, pb FROM $prevE
+       |        JOIN s$i sa ON sa.n = pa
+       |        JOIN s$i sb ON sb.n = pb)""".stripMargin
+
+  /** Exactly `rounds` peeling rounds of the k-core loop; output = the
+    * residual degree of every endpoint of the surviving edge set (the
+    * SQL-replayable finite prefix of [[kcoreConverged]]). */
+  private[graft] def kcorePeel(edges: DataFrame, k: Int, rounds: Int)
+      : DataFrame = {
+    var e = edges
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("pa").as("n"))
+        .unionAll(e.select(col("pb").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val surv = deg.filter(col("dg") >= k).select("n")
+      e = graft.Caches.track(
+        e.join(surv.withColumnRenamed("n", "pa"), Seq("pa"))
+          .join(surv.withColumnRenamed("n", "pb"), Seq("pb"))
+          .select("pa", "pb"))
+    }
+    e.select(col("pa").as("node")).unionAll(e.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
+  /** Run the peel to a FIXPOINT: stop when a round deletes no vertex.
+    * Each round's edge frame is localCheckpoint-ed (eager) — the same
+    * lineage-cut discipline as [[pagerankConverged]] — so a deep peel
+    * (a long pendant chain peels one link per round) keeps O(1) plans.
+    * Returns (node, deg) of the k-core. */
+  private[graft] def kcoreConverged(edges: DataFrame, k: Int,
+      maxRounds: Int = 50): DataFrame = {
+    var e = edges.localCheckpoint(true)
+    var nVerts = -1L
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < maxRounds) {
+      val deg = e.select(col("pa").as("n"))
+        .unionAll(e.select(col("pb").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val surv = deg.filter(col("dg") >= k).select("n")
+      val n = surv.count()
+      if (n == nVerts) stable = true
+      else {
+        nVerts = n
+        e = e.join(surv.withColumnRenamed("n", "pa"), Seq("pa"))
+          .join(surv.withColumnRenamed("n", "pb"), Seq("pb"))
+          .select("pa", "pb")
+          .localCheckpoint(true)
+        rounds += 1
+      }
+    }
+    e.select(col("pa").as("node")).unionAll(e.select(col("pb").as("node")))
+      .groupBy("node").agg(count(lit(1)).as("deg"))
+  }
+
   private[graft] def labelPropagation(edges: DataFrame, iters: Int)
       : DataFrame = {
     val e = edges.select(col("a"), col("b")).distinct()

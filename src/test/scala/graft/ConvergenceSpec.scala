@@ -68,4 +68,24 @@ class ConvergenceSpec extends AnyFunSuite {
       s"lineage not cut: $nNodes logical nodes\n${res.queryExecution.optimizedPlan}")
     Caches.drain()
   }
+
+  test("kcoreConverged: cascade peel needs >1 round; only the clique stays") {
+    import spark.implicits._
+    // K4 clique (1-4, each deg 3) + hub 10 wired to clique node 4 and to
+    // three leaves 11-13: round 1 peels the deg-1 leaves, dropping the
+    // hub to deg 1; round 2 peels the hub. A single fixed round keeps
+    // the hub — so the fixpoint genuinely needs the cascade.
+    val edges = (Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L)) ++ Seq((4L, 10L), (10L, 11L), (10L, 12L), (10L, 13L)))
+      .toDF("pa", "pb")
+    val oneRound = graft.ops.Cluster.kcorePeel(edges, 3, 1)
+      .collect().map(_.getLong(0)).toSet
+    assert(oneRound.contains(10L),
+      s"hub should survive ONE round (it has deg 4 pre-peel): $oneRound")
+    val core = graft.ops.Cluster.kcoreConverged(edges, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L),
+      s"3-core must be exactly the K4 at degree 3: $core")
+    Caches.drain()
+  }
 }
