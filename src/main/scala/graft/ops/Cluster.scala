@@ -475,8 +475,12 @@ object Cluster extends QueryModule {
     * label — one keyed count + one per-node window rank per iteration,
     * no mode() nondeterminism, no floats anywhere, so the oracle
     * replays both iterations exactly. Returns (node, lbl). */
-  /** m15 constants: core threshold and the fixed oracle round count. */
-  private[graft] val KcoreK = 3
+  /** m15 constants: core threshold and the fixed oracle round count.
+    * K=2 (prune-to-cycles): the w≥2 co-occurrence graph thins with SF
+    * (sf0.1: max degree 6), so K=3 empties at bench scale while K=2
+    * keeps a non-trivial core at every harness SF (1535 nodes at
+    * sf0.01, 13 at sf0.1 — measured). */
+  private[graft] val KcoreK = 2
   private[graft] val KcoreRounds = 3
 
   /** Oracle fragment: one peeling round `prevE` → `e$i` (degree count,
