@@ -464,7 +464,43 @@ object Cluster extends QueryModule {
              |SELECT node, cand AS lbl FROM (
              |  SELECT node, cand, row_number() OVER (PARTITION BY node
              |    ORDER BY n DESC, cand) AS rn FROM c2) WHERE rn = 1
-             |ORDER BY node""".stripMargin))
+             |ORDER BY node""".stripMargin)),
+
+    // M16: single-source shortest path (BFS hop distance) from the
+    // seed node over the same symmetrized customer↔supplier graph as
+    // m13/m14 — the reachability-with-distance primitive behind crawl
+    // frontier scheduling and link-depth features. Each round is a
+    // frontier expansion (one join on src) + a min-combine (one keyed
+    // aggregation): Bellman-Ford-as-join, all shuffles node-keyed,
+    // distance state bounded by |V|, nothing broadcast — the plan a
+    // 1000-executor BFS wants. Arithmetic is pure BIGINT (dist + 1,
+    // min) so every round replays bit-exactly. The REGISTERED query
+    // runs exactly SsspRounds rounds so DuckDB replays each round as a
+    // CTE; the run-to-empty-frontier variant ([[ssspConverged]],
+    // localCheckpoint lineage cuts per round — a 40-hop chain peels
+    // one hop per round with O(1) plans) is the library path, gated by
+    // ConvergenceSpec.
+    GQuery("m16_sssp",
+      (s, d) => sssp(
+        Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b")), SsspSeed, SsspRounds)
+        .orderBy("node"),
+      Some("""WITH e AS (
+             |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |sym AS (SELECT a AS src, b AS dst FROM e
+             |        UNION ALL SELECT b, a FROM e),
+             |d0 AS (SELECT CAST(2 AS BIGINT) AS node,
+             |         CAST(0 AS BIGINT) AS dist),
+             |""".stripMargin +
+        (1 to SsspRounds).map(i => ssspSqlRound(i, s"d${i - 1}"))
+          .mkString(",\n") +
+        s"""
+           |SELECT node, dist FROM d$SsspRounds ORDER BY node"""
+          .stripMargin))
   )
 
   /** Two synchronous label-propagation iterations over an undirected
@@ -681,5 +717,80 @@ object Cluster extends QueryModule {
     var r = deg.select(col("src").as("node"), lit(1000000L).as("r"))
     for (_ <- 1 to iters) r = step(r)
     r
+  }
+
+  /** m16 constants: BFS seed node (2 = customer #1 under the 2·custkey
+    * encoding — present at every harness SF) and the fixed oracle round
+    * count. 4 rounds reaches the whole giant component on the dense
+    * order graph while keeping the oracle CTE chain shallow. */
+  private[graft] val SsspSeed = 2L
+  private[graft] val SsspRounds = 4
+
+  /** Oracle fragment: one BFS relaxation `prevD` → `d$i` (frontier
+    * expansion along sym + min-combine with the carried distances). */
+  private def ssspSqlRound(i: Int, prevD: String): String =
+    s"""d$i AS (SELECT node, min(dist) AS dist FROM (
+       |  SELECT node, dist FROM $prevD
+       |  UNION ALL
+       |  SELECT sym.dst AS node, p.dist + 1 AS dist
+       |  FROM $prevD p JOIN sym ON p.node = sym.src)
+       |GROUP BY 1)""".stripMargin
+
+  /** Exactly `rounds` BFS relaxations from `seed` over the symmetrized
+    * (a, b) edge frame — the SQL-replayable finite prefix of
+    * [[ssspConverged]]. Returns (node, dist) for nodes reached within
+    * `rounds` hops. Each round's distance frame feeds BOTH the carry
+    * and the expansion, so it is tracked-persisted per round. */
+  private[graft] def sssp(edges: DataFrame, seed: Long, rounds: Int)
+      : DataFrame = {
+    val e = edges.select(col("a"), col("b")).distinct()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .transform(graft.Caches.track)
+    var dist = e.sparkSession.range(1)
+      .select(lit(seed).as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to rounds) {
+      dist = graft.Caches.track(
+        dist.unionByName(
+            sym.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+              .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
+          .groupBy("node").agg(min("dist").as("dist")))
+    }
+    dist
+  }
+
+  /** Run BFS to the FIXPOINT: stop when a round reaches no new node
+    * and improves no distance (exact integer check on (count, sum) —
+    * both monotone under relaxation, so stability of the pair IS the
+    * fixpoint). Each round's frame is localCheckpoint-ed eagerly: a
+    * 40-hop chain peels one hop per round with O(1) plan depth, the
+    * same lineage discipline as [[pagerankConverged]]. Returns
+    * ((node, dist), rounds run). */
+  private[graft] def ssspConverged(edges: DataFrame, seed: Long,
+      maxRounds: Int = 50): (DataFrame, Int) = {
+    val e = edges.select(col("a"), col("b")).distinct()
+    val sym = e.select(col("a").as("src"), col("b").as("dst"))
+      .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
+      .repartition(col("src"))
+      .transform(graft.Caches.track)
+    var dist = e.sparkSession.range(1)
+      .select(lit(seed).as("node"), lit(0L).as("dist"))
+      .localCheckpoint(true)
+    var sig = (1L, 0L)
+    var it = 0
+    var stable = false
+    while (!stable && it < maxRounds) {
+      val next = dist.unionByName(
+          sym.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
+      val row = next.agg(count(lit(1)), sum("dist")).head()
+      val nextSig = (row.getLong(0), row.getLong(1))
+      if (nextSig == sig) stable = true
+      else { sig = nextSig; dist = next; it += 1 }
+    }
+    (dist, it)
   }
 }

@@ -228,6 +228,48 @@ object Sources extends QueryModule {
              |            ELSE s_acctbal END), 2) AS bal
              |FROM supplier GROUP BY 1 ORDER BY 1""".stripMargin)),
 
+    // S17: bucketed co-located join — both join sides written
+    // bucketBy(8, custkey) + sortBy as managed tables, so the
+    // sort-merge join consumes the on-disk bucketing and needs NO
+    // exchange on either input (SkewAndBucketSpec plan-locks zero
+    // shuffles below the join). THE layout-level answer to a repeated
+    // 100 TB fact↔fact join: pay the partitioning once at write time,
+    // amortize it over every subsequent join — AQE can only react at
+    // runtime, bucketing removes the shuffle from the plan entirely.
+    // The registered query verifies the VALUES round-trip through the
+    // bucketed layout against the straight unbucketed oracle join.
+    GQuery("s17_bucketed_join",
+      (s, d) => {
+        // EXTERNAL bucketed tables at a fresh temp path: a managed
+        // table's warehouse location outlives the JVM while the
+        // in-memory catalog does not, so a second session would hit
+        // LOCATION_ALREADY_EXISTS; an explicit per-invocation path
+        // plus DROP-IF-EXISTS is collision-free in both directions
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_buck_").toString
+        s.sql("DROP TABLE IF EXISTS graft_s17_cust")
+        s.sql("DROP TABLE IF EXISTS graft_s17_ord")
+        Tables.customer(s, d).select("c_custkey", "c_nationkey")
+          .write.mode("overwrite").bucketBy(8, "c_custkey")
+          .sortBy("c_custkey").option("path", s"$dir/cust")
+          .saveAsTable("graft_s17_cust")
+        Tables.orders(s, d).select("o_custkey", "o_orderkey")
+          .write.mode("overwrite").bucketBy(8, "o_custkey")
+          .sortBy("o_custkey").option("path", s"$dir/ord")
+          .saveAsTable("graft_s17_ord")
+        s.table("graft_s17_cust")
+          .join(s.table("graft_s17_ord"),
+            col("c_custkey") === col("o_custkey"))
+          .groupBy("c_nationkey")
+          .agg(count(lit(1)).as("n_orders"),
+            sum(col("o_orderkey")).as("key_sum"))
+          .orderBy("c_nationkey")
+      },
+      Some("""SELECT c_nationkey, count(*) AS n_orders,
+             |  CAST(sum(o_orderkey) AS BIGINT) AS key_sum
+             |FROM customer JOIN orders ON c_custkey = o_custkey
+             |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // S13: SQL-text front end — temp views + spark.sql over the SAME
     // statement DuckDB runs as the oracle (modulo nothing: the text is
     // shared verbatim). Proves a reference user can bring raw ANSI SQL

@@ -181,6 +181,100 @@ object TextAnalysis extends QueryModule {
       .select("doc_id", "source", "text")
       .repartition(s.sparkContext.defaultParallelism)
 
+  /** x29 core over an arbitrary (doc_id, text) frame: train 3 BPE
+    * merges on the corpus vocabulary (the x25 kernel — boundary-aware
+    * [[bpeMerge]], (count desc, lexicographic) tie-break), then encode
+    * the corpus by applying them. The scale-critical shape: merges run
+    * over the Heaps-law-bounded TYPE vocabulary (each distinct word
+    * encoded once, the frame persisted across its 7 consumers); per-doc
+    * totals come from joining the token stream to the encoded
+    * vocabulary — occurrences never pay string work. */
+  private[graft] def bpeEncodeDocs(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val v0 = graft.Caches.track(docs
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .select(col("tok"), array_join(filter(split(col("tok"), ""),
+        x => length(x) > 0), " ").as("w"), col("c")))
+    def topPair(w: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame = {
+      val sy = split(col("w"), " ")
+      w.select(explode(zip_with(sy, slice(sy, lit(2), size(sy)),
+          (a, b) => struct(a.as("pa"), b.as("pb")))).as("z"), col("c"))
+        .filter(col("z.pb").isNotNull)
+        .groupBy(col("z.pa").as("pa"), col("z.pb").as("pb"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("pa"), col("pb")).limit(1)
+    }
+    def merged(w: org.apache.spark.sql.DataFrame,
+        top: org.apache.spark.sql.DataFrame)
+        : org.apache.spark.sql.DataFrame =
+      graft.Caches.track(w.crossJoin(broadcast(top))
+        .select(col("tok"),
+          bpeMerge(col("w"), col("pa"), col("pb")).as("w"), col("c")))
+    val v1 = merged(v0, topPair(v0))
+    val v2 = merged(v1, topPair(v1))
+    val v3 = merged(v2, topPair(v2))
+    val enc = v3.select(col("tok"),
+      size(split(col("w"), " ")).cast("long").as("n_sym"))
+    docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .join(enc, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_toks"),
+        sum(length(col("tok"))).cast("long").as("n_chars"),
+        sum(col("n_sym")).as("n_bpe"))
+      .select(col("doc_id"), col("n_toks"), col("n_chars"), col("n_bpe"),
+        round(col("n_bpe") * 1.0 / col("n_chars"), 4).as("ratio"))
+      .orderBy("doc_id")
+  }
+
+  /** x30 core: overlapping token windows of `w` every `s` tokens over a
+    * (doc_id, text) frame — map-only (explode + slice), no shuffle
+    * before the presentation sort. */
+  private[graft] def chunkOverlap(docs: org.apache.spark.sql.DataFrame,
+      win: Int, stride: Int): org.apache.spark.sql.DataFrame =
+    docs
+      .select(col("doc_id"), tokens(col("text")).as("t"))
+      .withColumn("n", size(col("t")).cast("long"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0L), col("n") - 1, lit(stride.toLong)))
+          .as("st"))
+      .select(col("doc_id"), expr(s"st div $stride").as("chunk_idx"),
+        slice(col("t"), (col("st") + 1).cast("int"), lit(win)).as("ch"))
+      .select(col("doc_id"), col("chunk_idx"),
+        size(col("ch")).cast("long").as("n_chunk_toks"),
+        md5(array_join(col("ch"), " ")).as("chunk_md5"),
+        element_at(col("ch"), 1).as("first_tok"),
+        element_at(col("ch"), -1).as("last_tok"))
+      .orderBy("doc_id", "chunk_idx")
+
+  /** x31 core: deterministic A-ES weighted top-k per source stratum
+    * over a (doc_id, source, w) frame — smallest k values of the
+    * micro-quantized -ln(u)/w key, u derived from md5(doc_id). */
+  private[graft] def weightedSample(docs: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy("source")
+      .orderBy(col("r"), col("doc_id"))
+    docs
+      .withColumn("h",
+        expr("cast(conv(substr(md5(cast(doc_id as string)), 1, 12)," +
+          " 16, 10) as bigint)"))
+      .withColumn("lm",
+        expr("cast(round(-ln((h + 1) / 281474976710656.0) * 1e6)" +
+          " as bigint)"))
+      .withColumn("r", col("lm").cast("double") / col("w"))
+      .withColumn("rk", row_number().over(win).cast("long"))
+      .filter(col("rk") <= k)
+      .select(col("source"), col("rk"), col("doc_id"), col("w"),
+        col("lm"))
+      .orderBy("source", "rk")
+  }
+
   /** x27 core over an arbitrary (doc_id, source, text) frame: per-doc
     * mean hashed-unigram log-ratio against the `target` source. */
   private[graft] def dsirWeights(docs: org.apache.spark.sql.DataFrame,
@@ -1287,6 +1381,148 @@ object TextAnalysis extends QueryModule {
              |  min(cells.cnt) AS cms_est
              |FROM pc JOIN cells USING (r, c)
              |GROUP BY pc.tok
-             |ORDER BY exact_cnt DESC, tok""".stripMargin))
+             |ORDER BY exact_cnt DESC, tok""".stripMargin)),
+
+    // X29: BPE ENCODING — the application half of x25's training: run
+    // the learned 3-rule merge table over the corpus and report each
+    // doc's token-count compression. The scale-critical design point:
+    // encode TYPES, not tokens — the merge rules are applied to the
+    // Heaps-law-bounded VOCABULARY frame (each distinct word encoded
+    // once), and per-doc totals come from joining the corpus token
+    // stream to that encoded vocabulary. A 100 TB corpus has billions
+    // of token OCCURRENCES but a ~10^7-type vocabulary; re-running the
+    // merge replace per occurrence would be 10^4× the string work.
+    // Training state and application both replay exactly in the
+    // oracle (same CTE chain as x25, keeping the tok key).
+    GQuery("x29_bpe_encode",
+      (s, d) => bpeEncodeDocs(docsSpread(s, d)),
+      Some("""WITH v AS (
+             |  SELECT tok, count(*) AS c FROM (
+             |    SELECT unnest(string_split(trim(text), ' ')) AS tok
+             |    FROM documents)
+             |  WHERE tok <> '' GROUP BY 1),
+             |w0 AS (SELECT tok, array_to_string(list_filter(
+             |         string_split_regex(tok, ''), x -> len(x) > 0), ' ')
+             |         AS w, c FROM v),
+             |p1 AS (SELECT z[1] AS pa, z[2] AS pb,
+             |         CAST(sum(c) AS BIGINT) AS n
+             |       FROM (SELECT unnest(list_zip(string_split(w, ' '),
+             |               string_split(w, ' ')[2:])) AS z, c FROM w0)
+             |       WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+             |t1 AS (SELECT pa, pb FROM p1
+             |       ORDER BY n DESC, pa, pb LIMIT 1),
+             |w1 AS (SELECT tok, trim(replace(replace(
+             |         ' ' || replace(w, ' ', '  ') || ' ',
+             |         ' ' || pa || '  ' || pb || ' ',
+             |         ' ' || pa || pb || ' '), '  ', ' ')) AS w, c
+             |       FROM w0 CROSS JOIN t1),
+             |p2 AS (SELECT z[1] AS pa, z[2] AS pb,
+             |         CAST(sum(c) AS BIGINT) AS n
+             |       FROM (SELECT unnest(list_zip(string_split(w, ' '),
+             |               string_split(w, ' ')[2:])) AS z, c FROM w1)
+             |       WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+             |t2 AS (SELECT pa, pb FROM p2
+             |       ORDER BY n DESC, pa, pb LIMIT 1),
+             |w2 AS (SELECT tok, trim(replace(replace(
+             |         ' ' || replace(w, ' ', '  ') || ' ',
+             |         ' ' || pa || '  ' || pb || ' ',
+             |         ' ' || pa || pb || ' '), '  ', ' ')) AS w, c
+             |       FROM w1 CROSS JOIN t2),
+             |p3 AS (SELECT z[1] AS pa, z[2] AS pb,
+             |         CAST(sum(c) AS BIGINT) AS n
+             |       FROM (SELECT unnest(list_zip(string_split(w, ' '),
+             |               string_split(w, ' ')[2:])) AS z, c FROM w2)
+             |       WHERE z[2] IS NOT NULL GROUP BY 1, 2),
+             |t3 AS (SELECT pa, pb FROM p3
+             |       ORDER BY n DESC, pa, pb LIMIT 1),
+             |w3 AS (SELECT tok, trim(replace(replace(
+             |         ' ' || replace(w, ' ', '  ') || ' ',
+             |         ' ' || pa || '  ' || pb || ' ',
+             |         ' ' || pa || pb || ' '), '  ', ' ')) AS w, c
+             |       FROM w2 CROSS JOIN t3),
+             |enc AS (SELECT tok, CAST(len(string_split(w, ' ')) AS BIGINT)
+             |          AS n_sym FROM w3),
+             |tk AS (SELECT doc_id, tok FROM (
+             |         SELECT doc_id,
+             |           unnest(string_split(trim(text), ' ')) AS tok
+             |         FROM documents)
+             |       WHERE tok <> '')
+             |SELECT doc_id, count(*) AS n_toks,
+             |  CAST(sum(len(tok)) AS BIGINT) AS n_chars,
+             |  CAST(sum(n_sym) AS BIGINT) AS n_bpe,
+             |  round(sum(n_sym) * 1.0 / sum(len(tok)), 4) AS ratio
+             |FROM tk JOIN enc USING (tok)
+             |GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+
+    // X30: overlapping-window chunking — the RAG / long-context
+    // preprocessing step: cut each doc's token stream into fixed
+    // 64-token windows every 48 tokens (16-token overlap, so no
+    // retrieval-relevant span is ever split across a hard boundary
+    // without also appearing whole in a neighbor). Distinct from x24
+    // (which packs DISJOINT trainer sequences across docs): chunks here
+    // are per-doc, overlap by design, and carry a content fingerprint.
+    // Pure array arithmetic — sequence/slice are codegen'd, one explode
+    // per doc, no shuffle at all until the final presentation sort; at
+    // 100 TB this is an embarrassingly parallel map stage whose output
+    // feeds the embedding UDF batch-wise. Chunk identity = md5 of the
+    // joined window (engine-exact), so downstream exact-dedup of
+    // chunks (d1 shape) composes directly.
+    GQuery("x30_chunk_overlap",
+      (s, d) => chunkOverlap(docsSpread(s, d), 64, 48),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents WHERE trim(text) <> ''),
+             |c AS (SELECT doc_id, st // 48 AS chunk_idx,
+             |        t[st + 1 : st + 64] AS ch
+             |      FROM (SELECT doc_id, t,
+             |              unnest(generate_series(0, len(t) - 1, 48))
+             |                AS st
+             |            FROM d))
+             |SELECT doc_id, chunk_idx,
+             |  CAST(len(ch) AS BIGINT) AS n_chunk_toks,
+             |  md5(array_to_string(ch, ' ')) AS chunk_md5,
+             |  ch[1] AS first_tok, ch[len(ch)] AS last_tok
+             |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)),
+
+    // X31: deterministic weighted sampling (Efraimidis–Spirakis A-ES):
+    // keep the k=5 docs per source with the smallest -ln(u)/w, where w
+    // is the doc's token count and u is a uniform derived from
+    // md5(doc_id) — i.e. a reproducible weighted-without-replacement
+    // sample whose inclusion probability is proportional to token
+    // mass. This is the mechanism behind "sample 1% of the corpus,
+    // token-weighted" that x22's mixture planning assumes. Engine
+    // exactness: u comes from the first 48 md5 bits (the x27 hash
+    // bridge), -ln(u) is micro-quantized to an integer BEFORE the
+    // division (the x27 ln-rounding pattern), and the sort key
+    // lm/w is an exact-integer IEEE division — identical doubles in
+    // both engines, ties impossible in 48 bits. Scale posture: one
+    // window per SOURCE stratum (same sharding story as x24); the
+    // heap-based per-partition top-k refinement is what
+    // TakeOrderedAndProject already does under the window's rank
+    // filter.
+    GQuery("x31_weighted_sample",
+      (s, d) => weightedSample(
+        docsSpread2(s, d)
+          .select(col("doc_id"), col("source"),
+            size(tokens(col("text"))).cast("long").as("w"))
+          .filter(col("w") > 0), 5),
+      Some("""WITH d AS (
+             |  SELECT doc_id, source,
+             |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w
+             |  FROM documents WHERE trim(text) <> ''),
+             |h AS (SELECT doc_id, source, w,
+             |        ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+             |          ::BIGINT AS h
+             |      FROM d),
+             |k AS (SELECT doc_id, source, w,
+             |        CAST(round(-ln((h + 1) / 281474976710656.0) * 1e6)
+             |          AS BIGINT) AS lm
+             |      FROM h),
+             |r AS (SELECT doc_id, source, w, lm,
+             |        row_number() OVER (PARTITION BY source
+             |          ORDER BY CAST(lm AS DOUBLE) / w, doc_id) AS rk
+             |      FROM k)
+             |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, w, lm
+             |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin))
   )
 }

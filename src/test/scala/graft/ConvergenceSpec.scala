@@ -69,6 +69,28 @@ class ConvergenceSpec extends AnyFunSuite {
     Caches.drain()
   }
 
+  test("ssspConverged: deep chain needs ~diameter rounds, exact hop counts") {
+    import spark.implicits._
+    // chain 1-2-...-12: the frontier advances one hop per round, so the
+    // fixed 4-round prefix cannot reach the far end but the converged
+    // variant must, with dist = exact hop index
+    val chain = (1L until 12L).map(i => (i, i + 1)).toDF("a", "b")
+    val prefix = ops.Cluster.sssp(chain, 1L, 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(prefix.keySet == (1L to 5L).toSet,
+      s"4 rounds must reach exactly hops 0-4: $prefix")
+    val (res, iters) = ops.Cluster.ssspConverged(chain, 1L)
+    assert(iters > 4 && iters < 30, s"chain diameter demands ~11: $iters")
+    val d = res.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(d == (1L to 12L).map(i => i -> (i - 1)).toMap,
+      s"hop distances must be exact: $d")
+    // lineage cut: the result plan reads the checkpoint, not an
+    // iters-deep union/join tower
+    val nNodes = res.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nNodes <= 10, s"lineage not cut: $nNodes nodes")
+    Caches.drain()
+  }
+
   test("kcoreConverged: cascade peel needs >1 round; only the clique stays") {
     import spark.implicits._
     // K4 clique (1-4, each deg 3) + hub 10 wired to clique node 4 and to

@@ -252,4 +252,60 @@ class CurationSpec extends AnyFunSuite {
       s"target-like doc not upweighted: $w")
     assert(w(1L) > w(11L), s"target doc not above disjoint raw: $w")
   }
+
+  test("x29 BPE encode: hand-computed merge chain on a planted corpus") {
+    import spark.implicits._
+    // vocabulary {aaab: 3}. Symbolized 'a a a b'. Training: t1=(a,a) n=6
+    // (left-to-right non-overlapping → 'aa a b'); t2: (aa,a) n=3 vs
+    // (a,b) n=3 tie → lexicographic pa picks (a,b) → 'aa ab';
+    // t3=(aa,ab) → single symbol 'aaab'. Every occurrence of the word
+    // must therefore encode to ONE symbol.
+    val docs = Seq((1L, "aaab aaab"), (2L, "aaab"))
+      .toDF("doc_id", "text")
+    val r = ops.TextAnalysis.bpeEncodeDocs(docs).collect()
+      .map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3)))
+    assert(r.toSeq == Seq((1L, 2L, 8L, 2L), (2L, 1L, 4L, 1L)),
+      s"merge chain must fully fuse 'aaab': ${r.toSeq}")
+    Caches.drain()
+  }
+
+  test("x29 on harness docs: n_toks <= n_bpe <= n_chars, merges bite") {
+    val rows = q("x29_bpe_encode")
+      .select("n_toks", "n_chars", "n_bpe").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (t, c, b) =>
+      assert(t <= b && b <= c, s"symbol count out of range: ($t, $c, $b)")
+    }
+    // 3 merge rules on a natural-ish corpus must compress SOMETHING
+    assert(rows.map(r => r._2 - r._3).sum > 0, "no merge ever applied")
+    Caches.drain()
+  }
+
+  test("x31 weighted sample equals a driver-side A-ES rederivation") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "s1", 5L), (2L, "s1", 50L), (3L, "s1", 500L), (4L, "s1", 1L),
+      (5L, "s2", 10L), (6L, "s2", 10L), (7L, "s2", 10L))
+      .toDF("doc_id", "source", "w")
+    val got = ops.TextAnalysis.weightedSample(docs, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // independent rederivation from first principles (MessageDigest md5,
+    // not Spark's): u = (h48+1)/2^48, key = round(-ln(u)*1e6)/w, keep
+    // the 2 smallest keys per source
+    def key(id: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val h = java.lang.Long.parseLong(hex, 16)
+      math.round(-math.log((h + 1) / 281474976710656.0) * 1e6).toDouble / w
+    }
+    val want = Seq((1L, "s1", 5L), (2L, "s1", 50L), (3L, "s1", 500L),
+      (4L, "s1", 1L), (5L, "s2", 10L), (6L, "s2", 10L), (7L, "s2", 10L))
+      .groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+        ds.sortBy(d => (key(d._1, d._3), d._1)).take(2).zipWithIndex
+          .map { case (d, i) => (src, i + 1L, d._1) }
+      }.sortBy(r => (r._1, r._2))
+    assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
+  }
 }

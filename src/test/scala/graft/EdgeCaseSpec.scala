@@ -40,6 +40,45 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.ops.Cluster.labelPropagation(none, 2).count() == 0)
   }
 
+  test("sssp: empty graph keeps only the seed at distance 0") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("a", "b")
+    val fixed = graft.ops.Cluster.sssp(none, 7L, 4).collect()
+    assert(fixed.map(r => (r.getLong(0), r.getLong(1))).toSeq
+      == Seq((7L, 0L)))
+    val (conv, iters) = graft.ops.Cluster.ssspConverged(none, 7L)
+    assert(iters == 0 && conv.count() == 1)
+    Caches.drain()
+  }
+
+  test("chunkOverlap: boundary docs — empty, sub-window, exact-window") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, ""),                                  // blank → no chunks
+      (2L, (1 to 10).map("t" + _).mkString(" ")), // < stride → 1 chunk
+      (3L, (1 to 48).map("t" + _).mkString(" ")), // == stride → 1 chunk
+      (4L, (1 to 49).map("t" + _).mkString(" "))) // stride+1 → 2 chunks
+      .toDF("doc_id", "text")
+    val ch = graft.ops.TextAnalysis.chunkOverlap(docs, 64, 48)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(ch.toSeq == Seq((2L, 0L, 10L), (3L, 0L, 48L),
+      (4L, 0L, 49L), (4L, 1L, 1L)), s"got ${ch.toSeq}")
+  }
+
+  test("weightedSample: empty and single-doc strata") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, Long)].toDF("doc_id", "source", "w")
+    assert(graft.ops.TextAnalysis.weightedSample(empty, 5).count() == 0)
+    val one = Seq((1L, "s", 10L)).toDF("doc_id", "source", "w")
+    val r = graft.ops.TextAnalysis.weightedSample(one, 5).collect()
+    assert(r.length == 1 && r.head.getLong(1) == 1L)
+  }
+
+  test("bpeEncodeDocs: empty corpus encodes to an empty frame") {
+    assert(graft.ops.TextAnalysis.bpeEncodeDocs(emptyDocs).count() == 0)
+    graft.Caches.drain()
+  }
+
   test("pagerank: self-loop-only graph stays finite and deterministic") {
     import spark.implicits._
     val loop = Seq((1L, 1L)).toDF("a", "b")

@@ -51,4 +51,23 @@ class SkewAndBucketSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("s17 registered query: no exchange on the bucketed join key") {
+    // the only exchanges allowed are ABOVE the join (the nationkey agg
+    // and the presentation sort) — never a re-partition of either
+    // bucketed input on its custkey
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = SparkEntry.queries("s17_bucketed_join")(
+        spark, "/root/testdata/sf0.001")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(c_custkey") &&
+        !plan.contains("Exchange hashpartitioning(o_custkey"),
+        s"bucketed inputs must not re-shuffle on the join key:\n$plan")
+      assert(df.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
 }
