@@ -765,6 +765,67 @@ object Cluster extends QueryModule {
     dist
   }
 
+  /** Pure-DataFrame connected components — the alternating
+    * large-star/small-star contraction (Kiveris et al., "Connected
+    * Components in MapReduce and Beyond"): the GraphX-free fallback
+    * SURVEY §7.1 names for when GraphX typing fights the Dataset flow,
+    * and the third member of the converged-loop family (with
+    * [[pagerankConverged]]/[[ssspConverged]]). Each round is two
+    * star operations, each ONE keyed min-aggregation + ONE equi-join
+    * on the node key — no Pregel scheduler, no vertex broadcast; the
+    * edge frame SHRINKS toward depth-1 stars rooted at component
+    * minima and is localCheckpoint-ed per round (O(1) plans at any
+    * depth). Converges in O(log diameter) rounds. Stop condition is
+    * EXACT set equality of successive edge frames (count + one-sided
+    * EXCEPT — two bounded jobs per round, the same class as the other
+    * loops' convergence probes). Returns ((v, component = min id in
+    * component) for every vertex with ≥1 edge, rounds run). */
+  private[graft] def ccLargeSmallStar(edges: DataFrame,
+      maxRounds: Int = 30): (DataFrame, Int) = {
+    def canon(e: DataFrame): DataFrame = e
+      .filter(col("a") =!= col("b"))
+      .select(least(col("a"), col("b")).as("a"),
+        greatest(col("a"), col("b")).as("b"))
+      .distinct()
+    def neighborMin(sym: DataFrame): DataFrame = sym
+      .groupBy(col("u")).agg(min(col("v")).as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    // large-star: every neighbor v > u links to u's neighborhood min
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+      canon(sym.join(neighborMin(sym), Seq("u"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+    }
+    // small-star: along larger→smaller edges, u and its smaller
+    // neighbors all link to the minimum
+    def smallStar(e: DataFrame): DataFrame = {
+      val dir = e.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val m = neighborMin(dir)
+      canon(dir.join(m, Seq("u"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionAll(m.select(col("u").as("a"), col("m").as("b"))))
+    }
+    var e = canon(edges.select(col("l1").as("a"), col("l2").as("b")))
+      .localCheckpoint(true)
+    var it = 0
+    var stable = false
+    while (!stable && it < maxRounds) {
+      val next = smallStar(largeStar(e)).localCheckpoint(true)
+      stable = next.count() == e.count() && next.except(e).isEmpty
+      e = next
+      it += 1
+    }
+    // fixpoint edges are canonical (root, v) stars: every endpoint
+    // labels to the min endpoint, the root to itself
+    val comp = e.select(col("a").as("v"), col("a").as("component"))
+      .unionAll(e.select(col("b").as("v"), col("a").as("component")))
+      .groupBy("v").agg(min("component").as("component"))
+    (comp, it)
+  }
+
   /** Run BFS to the FIXPOINT: stop when a round reaches no new node
     * and improves no distance (exact integer check on (count, sum) —
     * both monotone under relaxation, so stability of the pair IS the

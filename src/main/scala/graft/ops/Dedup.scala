@@ -97,8 +97,14 @@ object Dedup extends QueryModule {
   }
 
   private[ops] def lshPairs(s: SparkSession, d: String, minSim: Double)
+      : DataFrame =
+    lshPairsOf(Tables.documents(s, d).select(col("doc_id"), col("text")),
+      minSim)
+
+  /** [[lshPairs]] over an arbitrary (doc_id, text) frame. */
+  private[graft] def lshPairsOf(docs: DataFrame, minSim: Double)
       : DataFrame = {
-    val ds = docShingles(s, d)
+    val ds = shinglesOf(docs)
     val bands = bandSignatures(ds)
     val buckets = bands.groupBy("bid", "sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
@@ -114,7 +120,7 @@ object Dedup extends QueryModule {
     // shingle projection. Bounded by the candidate set, so the cache is
     // part of the working set even at 100 TB (unlike the full corpus
     // shingles, which stay uncached by design).
-    val shCand = Tables.documents(s, d)
+    val shCand = docs
       .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(wordNgrams(col("toks"), 3)).as("sh"))

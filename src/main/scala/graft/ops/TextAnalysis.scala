@@ -231,6 +231,55 @@ object TextAnalysis extends QueryModule {
       .orderBy("doc_id")
   }
 
+  /** Iterate-until-exhausted BPE trainer — the unbounded library
+    * variant of the x25/x29 fixed-3 kernel, given the same treatment
+    * as the graph loops (fixed-depth oracle query + deep loop with
+    * localCheckpoint lineage cuts). Trains up to `maxMerges` rules,
+    * stopping EARLY when no adjacent symbol pair remains. Each round:
+    * one keyed pair-count aggregation over the Heaps-bounded
+    * vocabulary, one 1-row TakeOrdered collect (the bounded driver
+    * action of the loop, same class as the convergence probes in
+    * `Cluster.pagerankConverged`), one merge projection. The vocab
+    * frame is localCheckpoint-ed eagerly per round, so plan depth
+    * stays O(1) however deep the merge table gets — a real tokenizer
+    * runs 30k+ merges and the corpus is read exactly once, at the
+    * initial word count. Returns (merge table (step, pa, pb, n),
+    * final symbolized vocab (w, c)). */
+  private[graft] def bpeTrain(docs: org.apache.spark.sql.DataFrame,
+      maxMerges: Int)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    import docs.sparkSession.implicits._
+    var v = docs.select(explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+      .select(array_join(filter(split(col("tok"), ""),
+        x => length(x) > 0), " ").as("w"), col("c"))
+      .localCheckpoint(true)
+    val merges =
+      scala.collection.mutable.ListBuffer.empty[(Long, String, String, Long)]
+    var done = false
+    while (!done && merges.size < maxMerges) {
+      val sy = split(col("w"), " ")
+      val top = v.select(explode(zip_with(sy, slice(sy, lit(2), size(sy)),
+          (a, b) => struct(a.as("pa"), b.as("pb")))).as("z"), col("c"))
+        .filter(col("z.pb").isNotNull)
+        .groupBy(col("z.pa").as("pa"), col("z.pb").as("pb"))
+        .agg(sum(col("c")).as("n"))
+        .orderBy(col("n").desc, col("pa"), col("pb")).limit(1)
+        .collect()
+      if (top.isEmpty) done = true
+      else {
+        val r = top.head
+        merges += ((merges.size + 1L, r.getString(0), r.getString(1),
+          r.getLong(2)))
+        v = v.select(bpeMerge(col("w"), lit(r.getString(0)),
+            lit(r.getString(1))).as("w"), col("c"))
+          .localCheckpoint(true)
+      }
+    }
+    (merges.toSeq.toDF("step", "pa", "pb", "n"), v)
+  }
+
   /** x30 core: overlapping token windows of `w` every `s` tokens over a
     * (doc_id, text) frame — map-only (explode + slice), no shuffle
     * before the presentation sort. */

@@ -40,6 +40,12 @@ final case class PackedDoc(doc_id: Long, source: String, n_toks: Long,
 
 final case class KmvState(hashes: List[Long])
 
+/** A-ES reservoir state: the k smallest (key, doc_id, w) triples. */
+final case class AesState(top: List[(Double, Long, Long)])
+
+/** One sampled doc in the current per-source weighted reservoir. */
+final case class AesOut(source: String, rk: Long, doc_id: Long, w: Long)
+
 /** Current cardinality estimate for one key. */
 final case class KmvOut(key: String, n_kept: Int, est_distinct: Double)
 
@@ -274,6 +280,43 @@ object StreamOps extends Serializable {
 
     rows.groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming twin of x31's deterministic A-ES weighted sampler
+    * (`TextAnalysis.weightedSample`): per-source state is the k
+    * smallest (-ln(u)/w, doc_id) keys — a BOUNDED reservoir merged
+    * per micro-batch, emitting the updated sample after each batch.
+    * Because the A-ES key is a pure per-doc function (md5-derived
+    * uniform, micro-quantized ln, exact integer division — the same
+    * derivation as the batch operator column-for-column), the
+    * reservoir commutes with arrival order: any batch split of the
+    * same doc set converges to the batch sample (StreamOpsSpec).
+    * This is how a continuously-ingesting corpus keeps a live
+    * token-weighted sample without ever re-scanning history. */
+  def weightedSampleStream(docs: Dataset[DocTok], k: Int)
+      : Dataset[AesOut] = {
+    import docs.sparkSession.implicits._
+    def key(docId: Long, w: Long): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(docId.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 12)
+      val h = java.lang.Long.parseLong(hex, 16)
+      math.round(-math.log((h + 1) / 281474976710656.0) * 1e6).toDouble / w
+    }
+    def fn(source: String, batch: Iterator[DocTok],
+        state: GroupState[AesState]): Iterator[AesOut] = {
+      val cur = state.getOption.map(_.top).getOrElse(Nil)
+      val merged = (cur ++ batch.filter(_.n_toks > 0)
+          .map(d => (key(d.doc_id, d.n_toks), d.doc_id, d.n_toks)))
+        .distinct.sortBy(t => (t._1, t._2)).take(k)
+      state.update(AesState(merged))
+      merged.zipWithIndex.map { case ((_, id, w), i) =>
+        AesOut(source, i + 1L, id, w)
+      }.iterator
+    }
+    docs.groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Streaming count-min sketch (the streaming face of the batch

@@ -91,6 +91,34 @@ class ConvergenceSpec extends AnyFunSuite {
     Caches.drain()
   }
 
+  test("ccLargeSmallStar equals union-find CC; deep chain, O(log) rounds") {
+    import spark.implicits._
+    // chain 1-...-16 (diameter 15): star contraction must converge in
+    // O(log n) rounds, far under the diameter — the property that
+    // separates it from one-hop label flooding
+    val chain = (1L until 16L).map(i => (i, i + 1)).toDF("l1", "l2")
+    val (cc, rounds) = ops.Cluster.ccLargeSmallStar(chain)
+    val labels = cc.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == (1L to 16L).map(_ -> 1L).toMap, s"got $labels")
+    assert(rounds > 1 && rounds <= 6,
+      s"expected O(log 16) rounds, got $rounds")
+
+    // seeded random graph: must agree exactly with the production
+    // union-find/GraphX path on every vertex
+    val rnd = new scala.util.Random(42)
+    val edges = Seq.fill(150)(
+      (rnd.nextInt(200).toLong, rnd.nextInt(200).toLong))
+      .filter(p => p._1 != p._2)
+    val eDf = edges.toDF("l1", "l2")
+    val (cc2, _) = ops.Cluster.ccLargeSmallStar(eDf)
+    val got = cc2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = cluster.Dbscan.componentsFromEdges(spark, eDf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want,
+      s"star CC diverges from union-find on ${got.toSet.diff(want.toSet)}")
+    Caches.drain()
+  }
+
   test("kcoreConverged: cascade peel needs >1 round; only the clique stays") {
     import spark.implicits._
     // K4 clique (1-4, each deg 3) + hub 10 wired to clique node 4 and to

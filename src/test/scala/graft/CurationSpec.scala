@@ -282,6 +282,41 @@ class CurationSpec extends AnyFunSuite {
     Caches.drain()
   }
 
+  test("bpeTrain: deep loop — early exhaustion, x25 prefix agreement, O(1) plan") {
+    import spark.implicits._
+    // 'aaab' corpus: the full merge sequence is exactly (a,a), (a,b),
+    // (aa,ab) — after which every word is ONE symbol and the trainer
+    // must stop EARLY despite maxMerges=12
+    val tiny = Seq((1L, "aaab aaab"), (2L, "aaab")).toDF("doc_id", "text")
+    val (mt, vFinal) = ops.TextAnalysis.bpeTrain(tiny, 12)
+    val rules = mt.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(rules.toSeq == Seq((1L, "a", "a", 6L), (2L, "a", "b", 3L),
+      (3L, "aa", "ab", 3L)), s"got ${rules.toSeq}")
+    assert(vFinal.collect().map(_.getString(0)).toSeq == Seq("aaab"))
+
+    // a 13-symbol word demands 12 merges: the loop must go the full
+    // depth, and the final vocab plan must be a checkpoint scan (O(1)),
+    // not a 12-round projection tower
+    val deep = Seq((1L, "abcdefghijklm")).toDF("doc_id", "text")
+    val (mt2, v2) = ops.TextAnalysis.bpeTrain(deep, 12)
+    assert(mt2.count() == 12)
+    assert(v2.collect().map(_.getString(0)).toSeq == Seq("abcdefghijklm"))
+    val nNodes = v2.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(nNodes <= 6, s"lineage not cut: $nNodes nodes")
+
+    // prefix agreement: the first 3 rules on the harness corpus equal
+    // the oracle-verified x25 merge table
+    val x25 = q("x25_bpe_merges").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toMap
+    val (mt3, _) = ops.TextAnalysis.bpeTrain(
+      Tables.documents(spark, sfDir).select("doc_id", "text"), 3)
+    val prefix = mt3.collect()
+      .map(r => (r.getLong(0), r.getString(1) + "+" + r.getString(2))).toMap
+    assert(prefix == x25, s"deep-trainer prefix $prefix != x25 $x25")
+    Caches.drain()
+  }
+
   test("x31 weighted sample equals a driver-side A-ES rederivation") {
     import spark.implicits._
     val docs = Seq(

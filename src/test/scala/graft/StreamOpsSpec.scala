@@ -405,4 +405,45 @@ class StreamOpsSpec extends AnyFunSuite {
         s"b: est ${last("b")._3} vs exact $truthB beyond 3σ at k=16")
     } finally q.stop()
   }
+
+  test("weightedSampleStream: reservoir converges to the batch x31 sample") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 3
+    val docsAll = Seq(
+      (1L, "s1", 5L), (2L, "s1", 50L), (3L, "s1", 500L), (4L, "s1", 1L),
+      (5L, "s1", 80L), (6L, "s2", 10L), (7L, "s2", 10L), (8L, "s2", 10L),
+      (9L, "s2", 300L))
+    val mem = MemoryStream[graft.streaming.DocTok]
+    val q = StreamOps.weightedSampleStream(mem.toDS(), k)
+      .writeStream.format("memory").queryName("aes")
+      .outputMode(OutputMode.Update).start()
+    try {
+      // split mid-stratum: both sources receive docs in BOTH batches,
+      // in an order unrelated to the A-ES key order
+      def tok(t: (Long, String, Long)) =
+        graft.streaming.DocTok(t._1, t._2, t._3)
+      mem.addData(docsAll.take(4).map(tok): _*)
+      q.processAllAvailable()
+      mem.addData(docsAll.drop(4).map(tok): _*)
+      q.processAllAvailable()
+      // memory sink in Update mode appends each emission; the final
+      // sample per source is its LAST ≤k rows (ranks re-emitted whole)
+      val rows = spark.sql("SELECT source, rk, doc_id, w FROM aes")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      // each emission is rk = 1..n in row order, so the final sample
+      // per source starts at the LAST rk=1 row of its group
+      val lastEmission = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.drop(rs.lastIndexWhere(_._2 == 1L))
+      }.toSet
+      val batch = graft.ops.TextAnalysis.weightedSample(
+          docsAll.toDF("doc_id", "source", "w"), k)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toSet
+      assert(lastEmission == batch,
+        s"stream $lastEmission\n!= batch $batch")
+    } finally q.stop()
+  }
 }
