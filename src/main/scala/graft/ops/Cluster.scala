@@ -391,6 +391,52 @@ object Cluster extends QueryModule {
              |SELECT v, min(u) AS component FROM reach GROUP BY v
              |ORDER BY v""".stripMargin)),
 
+    // M17: the SAME component semantics as m8, computed by the pure-
+    // DataFrame large-star/small-star contraction instead of
+    // union-find/GraphX ([[ccLargeSmallStar]]) — registered first-class
+    // because, unlike the fixed-depth graph queries, a CONVERGED CC has
+    // an exact declarative oracle: the fixpoint is reachability closure,
+    // which the recursive CTE states directly. Proves the GraphX-free
+    // fallback end-to-end on real data, not just on spec fixtures.
+    GQuery("m17_cc_star",
+      (s, d) => {
+        val ue = Tables.events(s, d)
+          .withColumn("hour", expr("ts div 3600000000000"))
+          .select("user_id", "hour", "event_type").distinct()
+          .transform(graft.Caches.track)
+        val e = ue.select(col("hour"), col("event_type"),
+            col("user_id").as("ua"))
+          .join(ue.select(col("hour"), col("event_type"),
+            col("user_id").as("ub")), Seq("hour", "event_type"))
+          .filter(col("ua") < col("ub"))
+          .groupBy("ua", "ub").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 3)
+          .select(col("ua").as("l1"), col("ub").as("l2"))
+        val v = ue.select(col("user_id").as("v")).distinct()
+        val comp = ccLargeSmallStar(e)._1
+        v.join(comp, Seq("v"), "left")
+          .select(col("v"),
+            coalesce(col("component"), col("v")).as("component"))
+          .orderBy("v")
+      },
+      Some("""WITH RECURSIVE
+             |ue AS (SELECT DISTINCT user_id,
+             |         epoch_ns(ts) // 3600000000000 AS hour, event_type
+             |       FROM events),
+             |e AS (SELECT a.user_id AS l1, b.user_id AS l2
+             |      FROM ue a JOIN ue b ON a.hour = b.hour
+             |        AND a.event_type = b.event_type AND a.user_id < b.user_id
+             |      GROUP BY 1, 2 HAVING count(*) >= 3),
+             |sym AS (SELECT l1 AS s, l2 AS t FROM e
+             |        UNION ALL SELECT l2, l1 FROM e),
+             |verts AS (SELECT DISTINCT user_id AS v FROM events),
+             |reach AS (SELECT v, v AS u FROM verts
+             |          UNION
+             |          SELECT r.v, sym.t AS u
+             |          FROM reach r JOIN sym ON r.u = sym.s)
+             |SELECT v, min(u) AS component FROM reach GROUP BY v
+             |ORDER BY v""".stripMargin)),
+
     // M13: PageRank — two power iterations over the customer↔supplier
     // order graph (nodes disambiguated as 2·custkey / 2·suppkey+1,
     // edges symmetrized), the crawl-frontier / domain-authority
@@ -808,13 +854,25 @@ object Cluster extends QueryModule {
         .select(col("v").as("a"), col("m").as("b"))
         .unionAll(m.select(col("u").as("a"), col("m").as("b"))))
     }
+    def sig(e: DataFrame): (Long, Long, Long) = {
+      val r = e.agg(count(lit(1)), sum(col("a")), sum(col("b"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
+        if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
     var e = canon(edges.select(col("l1").as("a"), col("l2").as("b")))
       .localCheckpoint(true)
+    var eSig = sig(e)
     var it = 0
     var stable = false
     while (!stable && it < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint(true)
-      stable = next.count() == e.count() && next.except(e).isEmpty
+      val nextSig = sig(next)
+      // cheap (count, Σa, Σb) signature per round; the EXACT set-
+      // equality confirmation (one except shuffle) runs only when the
+      // signature stops moving — exactness preserved, per-round cost
+      // is one bounded aggregate on the checkpointed frame
+      stable = nextSig == eSig && next.except(e).isEmpty
+      eSig = nextSig
       e = next
       it += 1
     }

@@ -40,6 +40,18 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(graft.ops.Cluster.labelPropagation(none, 2).count() == 0)
   }
 
+  test("ccLargeSmallStar: empty and self-loop-only edge frames") {
+    import spark.implicits._
+    val none = Seq.empty[(Long, Long)].toDF("l1", "l2")
+    val (cc0, it0) = graft.ops.Cluster.ccLargeSmallStar(none)
+    assert(cc0.count() == 0 && it0 <= 1)
+    // self-loops carry no connectivity: canonicalization drops them
+    val loops = Seq((5L, 5L), (9L, 9L)).toDF("l1", "l2")
+    val (cc1, _) = graft.ops.Cluster.ccLargeSmallStar(loops)
+    assert(cc1.count() == 0)
+    Caches.drain()
+  }
+
   test("sssp: empty graph keeps only the seed at distance 0") {
     import spark.implicits._
     val none = Seq.empty[(Long, Long)].toDF("a", "b")

@@ -52,6 +52,51 @@ class SkewAndBucketSpec extends AnyFunSuite {
     }
   }
 
+  test("AQE splits a skewed sort-merge join partition at runtime") {
+    // the library's skew story has two layers: STATIC salting
+    // (Skew.saltedJoin, above) when the hot keys are known, and AQE's
+    // runtime skew-join split when they are not. This locks the
+    // runtime layer: a 90%-hot-key join under a small skew threshold
+    // must execute with skew-split shuffle reads, not one straggler
+    // partition. (The bench session disables AQE for latency reasons —
+    // this spec is exactly why the LIBRARY default keeps it on.)
+    val restore = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "100k")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "50k")
+      spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val big = spark.range(200000)
+        .select((when(col("id") % 10 < 9, 7L).otherwise(col("id") % 1000))
+          .as("k"), md5(col("id").cast("string")).as("payload"))
+      val dim = spark.range(1000)
+        .select(col("id").as("k"), (col("id") * 2).as("v"))
+      val joined = big.join(dim, Seq("k"))
+      // collect(), not count(): count() wraps a NEW query execution and
+      // the join's own adaptive plan would never finalize
+      assert(joined.collect().length == 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("isFinalPlan=true"), s"AQE did not run:\n$plan")
+      assert(plan.contains("skew=true"),
+        s"AQE did not mark the skewed join:\n$plan")
+    } finally restore.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("s17 registered query: no exchange on the bucketed join key") {
     // the only exchanges allowed are ABOVE the join (the nationkey agg
     // and the presentation sort) — never a re-partition of either
