@@ -38,14 +38,20 @@ final case class FrameRow(
   * `ImageIO.read` per asset inside `mapPartitions`, features are
   * histograms over the DECODED pixels, and resize decodes, scales
   * (deterministic nearest-neighbor integer arithmetic) and re-encodes.
-  * Audio/video feature extraction remains a documented synthetic
-  * stand-in (no audio/video codec ships with the JDK): a byte
-  * histogram with the same shape a real decoder+featurizer would emit.
+  * The AUDIO path is REAL too: payloads are genuine RIFF/WAV files
+  * (8-bit unsigned PCM mono via the JDK's `javax.sound.sampled`),
+  * decode runs `AudioSystem.getAudioInputStream` per asset, features
+  * are histograms over the DECODED sample stream, duration metadata
+  * is derived from the true frame count, and [[resampleAudio]] is a
+  * real decode → integer-index resample → re-encode. Only VIDEO
+  * remains a documented synthetic stand-in (the JDK ships no video
+  * codec): a byte histogram with the shape a real decoder would emit.
   *
-  * Oracle portability: image PIXELS derive from md5 digests (the d4
-  * trick) and PNG is lossless, so decode returns exactly the generated
-  * pixel stream and DuckDB replays the pixel histogram from `md5()` —
-  * the oracle never needs to parse a PNG.
+  * Oracle portability: image PIXELS and audio SAMPLES derive from md5
+  * digests (the d4 trick); PNG is lossless and 8-bit PCM-in-WAV is a
+  * byte-transparent container, so decode returns exactly the generated
+  * stream and DuckDB replays the histograms from `md5()` — the oracle
+  * never parses a PNG or a WAV.
   *
   * Scale posture: media bytes never pass through a shuffle wider than
   * needed — feature extraction and resize are mapPartitions/map
@@ -68,6 +74,28 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** WAV-encode an 8-bit unsigned PCM mono sample stream. The
+    * container is byte-transparent: decoding returns `pcm` exactly. */
+  private[graft] def encodeWav(pcm: Array[Byte], rate: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED,
+      rate.toFloat, 8, 1, 1, rate.toFloat, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, pcm.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Decode a WAV to (8-bit PCM sample bytes, sample rate). */
+  private[graft] def decodeWav(bytes: Array[Byte]): (Array[Byte], Int) = {
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val pcm = ais.readAllBytes()
+    (pcm, ais.getFormat.getSampleRate.toInt)
   }
 
   /** Decode a PNG to (pixels row-major 8-bit gray, width, height). */
@@ -126,8 +154,12 @@ object Multimodal {
           val h = (8 + c % 24).toInt
           MediaRow(id, kind, encodeGray(payload(w * h), w, h), w, h, 0, 0L)
         case "audio" =>
-          MediaRow(id, kind, payload((256 + a % 768).toInt), 0, 0,
-            Seq(8000, 16000, 44100)((b % 3).toInt), 1000L + c % 9000)
+          // REAL WAV container; duration derives from the true frame
+          // count (8-bit mono: one byte per frame), not a random draw
+          val len = (256 + a % 768).toInt
+          val rate = Seq(8000, 16000, 44100)((b % 3).toInt)
+          MediaRow(id, kind, encodeWav(payload(len), rate), 0, 0,
+            rate, len * 1000L / rate)
         case _ =>
           MediaRow(id, kind, payload((256 + a % 768).toInt), 320, 240, 0,
             1000L + c % 9000)
@@ -138,18 +170,22 @@ object Multimodal {
   /** Decode + feature extraction. Images: REAL `ImageIO` decode of the
     * PNG payload, 16-bin normalized histogram over the decoded pixel
     * luminance, n_bytes = pixel count (the decoded payload size).
-    * Audio/video: a 16-bin byte histogram as a documented synthetic
-    * stand-in for codec decode + featurization (no audio/video codec
-    * in the JDK), n_bytes = raw payload length. Runs as mapPartitions
-    * so a real codec/model could amortize per-batch setup exactly
-    * here. */
+    * Audio: REAL `AudioSystem` decode of the WAV payload, histogram
+    * over the decoded PCM samples, n_bytes = sample count. Video: a
+    * byte histogram as the documented synthetic stand-in (no video
+    * codec in the JDK), n_bytes = raw payload length. Runs as
+    * mapPartitions so a real codec/model could amortize per-batch
+    * setup exactly here. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // a real audio/video impl would open its codec context here
+      // a real video impl would open its codec context here
       it.map { m =>
-        val payload: Array[Byte] =
-          if (m.kind == "image") decodeGray(m.bytes)._1 else m.bytes
+        val payload: Array[Byte] = m.kind match {
+          case "image" => decodeGray(m.bytes)._1
+          case "audio" => decodeWav(m.bytes)._1
+          case _ => m.bytes
+        }
         val hist = new Array[Float](16)
         var i = 0
         while (i < payload.length) {
@@ -196,6 +232,32 @@ object Multimodal {
     }
   }
 
+  /** Real audio resample to `targetRate`: decode the WAV, pick samples
+    * with deterministic nearest-neighbor integer index arithmetic
+    * (src = dst·rate/target, floor — the 1-D twin of
+    * [[resizeImages]]), re-encode, update metadata. Non-audio kinds
+    * and audio already at or below `targetRate` pass through
+    * unchanged. Narrow map; no shuffle. */
+  def resampleAudio(media: Dataset[MediaRow], targetRate: Int)
+      : Dataset[MediaRow] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      if (m.kind != "audio" || m.sample_rate <= targetRate) m
+      else {
+        val (pcm, rate) = decodeWav(m.bytes)
+        val n = (pcm.length.toLong * targetRate / rate).toInt.max(1)
+        val out = new Array[Byte](n)
+        var i = 0
+        while (i < n) {
+          out(i) = pcm((i.toLong * rate / targetRate).toInt)
+          i += 1
+        }
+        MediaRow(m.media_id, m.kind, encodeWav(out, targetRate), m.width,
+          m.height, targetRate, n * 1000L / targetRate)
+      }
+    }
+  }
+
   /** Frame sampling: one row per sampled frame at `everyMs` intervals —
     * pure metadata math (a real pipeline decodes the frame lazily from
     * the blob given ts_ms). Narrow flatMap; no shuffle. */
@@ -231,11 +293,13 @@ object Multimodal {
 
   /** DuckDB oracle for [[pipeline]]: replays the md5-derived generator
     * — image pixel streams (PNG is lossless, so decoded pixels ARE the
-    * md5 stream; n_bytes = w·h pixels), audio/video byte streams, the
-    * 16-bin histogram's bin 0 (a FLOAT division, cast to double then
-    * rounded — matching the Spark side exactly), and the frame-count
-    * math — from nothing but `md5()` and `range()`; it never parses a
-    * PNG. */
+    * md5 stream; n_bytes = w·h pixels), audio PCM streams (8-bit
+    * PCM-in-WAV is byte-transparent, so decoded samples ARE the md5
+    * stream; n_bytes = sample count = generated length), raw video
+    * byte streams, the 16-bin histogram's bin 0 (a FLOAT division,
+    * cast to double then rounded — matching the Spark side exactly),
+    * and the frame-count math — from nothing but `md5()` and
+    * `range()`; it never parses a PNG or a WAV. */
   def pipelineOracleSql(n: Int): String =
     s"""WITH ids AS (SELECT range AS id FROM range($n)),
        |meta AS (SELECT id,

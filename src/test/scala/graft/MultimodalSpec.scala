@@ -4,8 +4,10 @@ import graft.multimodal.Multimodal
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Multimodal spec: schema/typing, REAL image decode (PNG round-trip,
-  * dimension agreement, pixel-exact features), real nearest-neighbor
-  * resize, frame-sample explode shape, audio/video stand-in decode. */
+  * dimension agreement, pixel-exact features), REAL audio decode (WAV
+  * round-trip, rate/duration agreement, sample-exact features), real
+  * nearest-neighbor resize and resample, frame-sample explode shape,
+  * video stand-in decode. */
 class MultimodalSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -15,15 +17,60 @@ class MultimodalSpec extends AnyFunSuite {
     val b = Multimodal.syntheticMedia(spark, 30).collect().sortBy(_.media_id)
     assert(a.map(_.bytes.toSeq).toSeq == b.map(_.bytes.toSeq).toSeq)
     assert(a.map(_.kind).toSet == Set("image", "audio", "video"))
-    // audio/video payloads are raw md5 streams with the documented
-    // bounds; image payloads are PNG containers (size set by deflate)
-    a.filter(m => m.kind != "image").foreach(m =>
+    // video payloads are raw md5 streams with the documented bounds;
+    // image payloads are PNG containers, audio payloads WAV containers
+    a.filter(_.kind == "video").foreach(m =>
       assert(m.bytes.length >= 256 && m.bytes.length < 1024))
     a.filter(_.kind == "image").foreach { m =>
       val sig = m.bytes.take(4).map(_ & 0xff)
       assert(sig.sameElements(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)),
         s"image ${m.media_id} payload is not a PNG")
     }
+    a.filter(_.kind == "audio").foreach { m =>
+      assert(new String(m.bytes.take(4), "US-ASCII") == "RIFF",
+        s"audio ${m.media_id} payload is not a WAV")
+    }
+  }
+
+  test("audio decode is real: rate and duration match, samples round-trip") {
+    val auds = Multimodal.syntheticMedia(spark, 30).collect()
+      .filter(_.kind == "audio")
+    assert(auds.nonEmpty)
+    auds.foreach { m =>
+      val (pcm, rate) = Multimodal.decodeWav(m.bytes)
+      assert(rate == m.sample_rate,
+        s"decoded rate $rate != metadata ${m.sample_rate}")
+      assert(m.duration_ms == pcm.length * 1000L / rate,
+        s"metadata duration inconsistent with true frame count")
+      // WAV 8-bit PCM is byte-transparent: the decoded sample stream
+      // is exactly the md5-derived stream the generator drew
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dg = md.digest(s"payload_${m.media_id}_0".getBytes("UTF-8"))
+      assert(pcm.take(16).toSeq == dg.toSeq,
+        s"audio ${m.media_id} samples diverge from generator stream")
+    }
+  }
+
+  test("resampleAudio: real decode, NN index map, re-encode") {
+    import spark.implicits._
+    // a 44.1k ramp through the same codec path
+    val pcm = Array.tabulate(4410)(i => (i % 251).toByte)
+    val src = Seq(multimodal.MediaRow(3L, "audio",
+      Multimodal.encodeWav(pcm, 44100), 0, 0, 44100, 100L)).toDS()
+    val out = Multimodal.resampleAudio(src, 8000).collect().head
+    assert(out.sample_rate == 8000)
+    val (rpcm, rrate) = Multimodal.decodeWav(out.bytes)
+    assert(rrate == 8000)
+    assert(rpcm.length == 4410L * 8000 / 44100)
+    // nearest-neighbor with integer index map: out(i) = in(i*rate/target)
+    for (i <- Seq(0, rpcm.length / 2, rpcm.length - 1))
+      assert(rpcm(i) == pcm((i.toLong * 44100 / 8000).toInt),
+        s"sample $i mismatch")
+    // at-or-below-target audio and non-audio pass through untouched
+    val media = Multimodal.syntheticMedia(spark, 9)
+    val same = Multimodal.resampleAudio(media, 44100).collect()
+      .sortBy(_.media_id).zip(media.collect().sortBy(_.media_id))
+    same.foreach { case (r, o) => assert(r.bytes.toSeq == o.bytes.toSeq) }
   }
 
   test("image decode is real: dimensions match metadata, pixels round-trip") {
@@ -54,8 +101,14 @@ class MultimodalSpec extends AnyFunSuite {
       assert(math.abs(f.features.sum - 1.0f) < 1e-3f,
         s"histogram of ${f.media_id} not normalized")
       val m = byId(f.media_id)
-      if (f.kind == "image") assert(f.n_bytes == m.width.toLong * m.height)
-      else assert(f.n_bytes == m.bytes.length.toLong)
+      f.kind match {
+        case "image" => assert(f.n_bytes == m.width.toLong * m.height)
+        case "audio" =>
+          // decoded sample count, not the WAV container size
+          assert(f.n_bytes == Multimodal.decodeWav(m.bytes)._1.length.toLong)
+          assert(f.n_bytes < m.bytes.length.toLong)
+        case _ => assert(f.n_bytes == m.bytes.length.toLong)
+      }
     }
   }
 
