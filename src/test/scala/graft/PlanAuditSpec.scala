@@ -99,6 +99,36 @@ class PlanAuditSpec extends AnyFunSuite {
       s"md5 not below the first exchange:\n$p")
   }
 
+  test("x30: chunking is map-only — no shuffle beyond spread and sort") {
+    // the operator's scale claim: between the input spread and the
+    // presentation sort there is NO shuffle — chunk generation is an
+    // embarrassingly parallel map stage
+    val p = plan("x30_chunk_overlap")
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n == 2, s"expected exactly spread + sort exchanges, got $n:\n$p")
+  }
+
+  test("x31: window rank-limit pushes a partial top-k below the shuffle") {
+    // A-ES keeps k rows per source; WindowGroupLimit must appear on
+    // BOTH sides of the window exchange (partial per-partition top-k
+    // before the shuffle — the heap refinement the comment claims)
+    val p = plan("x31_weighted_sample")
+    val n = "WindowGroupLimit".r.findAllIn(p).length
+    assert(n >= 2, s"expected partial+final WindowGroupLimit, got $n:\n$p")
+  }
+
+  test("m16: BFS expansion never plans a cartesian product") {
+    // BroadcastNestedLoopJoin IS allowed here: the round-0 frontier is
+    // a literal 1-row seed frame, so constant propagation folds its
+    // join key away and the (bounded, 1-row) broadcast nested loop is
+    // the correct plan — textually repeated once per unrolled round.
+    // What must never appear is an unbounded cross of two node-sized
+    // frames.
+    val p = plan("m16_sssp")
+    assert(!p.contains("CartesianProduct"),
+      s"BFS planned an unbounded cross:\n$p")
+  }
+
   test("n7: trained-IVF centroid frames broadcast; corpus never does") {
     val p = plan("n7_ann_ivf_trained")
     // three assignment stages (2 Lloyd + the index build) each
