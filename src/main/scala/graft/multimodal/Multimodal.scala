@@ -232,6 +232,29 @@ object Multimodal {
     }
   }
 
+  /** Decode health probe: (media_id, kind, ok) — ok=false when the
+    * payload fails its codec (truncated PNG, clipped WAV header, …).
+    * The blob-column twin of f15's quarantine gate: a production
+    * ingest runs this BEFORE featurization and routes failures to a
+    * quarantine sink instead of letting one corrupt asset kill a
+    * 100 TB job. Narrow map; decode cost is paid once per asset and a
+    * real pipeline would fuse this probe into the featurize pass. */
+  def quarantineMedia(media: Dataset[MediaRow])
+      : Dataset[(Long, String, Boolean)] = {
+    import media.sparkSession.implicits._
+    media.map { m =>
+      val ok =
+        try {
+          m.kind match {
+            case "image" => decodeGray(m.bytes)._1.nonEmpty
+            case "audio" => decodeWav(m.bytes)._1.nonEmpty
+            case _ => m.bytes.nonEmpty
+          }
+        } catch { case _: Exception => false }
+      (m.media_id, m.kind, ok)
+    }
+  }
+
   /** Real audio resample to `targetRate`: decode the WAV, pick samples
     * with deterministic nearest-neighbor integer index arithmetic
     * (src = dst·rate/target, floor — the 1-D twin of

@@ -136,6 +136,33 @@ class MultimodalSpec extends AnyFunSuite {
     same.foreach { case (r, o) => assert(r.bytes.toSeq == o.bytes.toSeq) }
   }
 
+  test("quarantineMedia: corrupt payloads flagged, healthy ones pass") {
+    import spark.implicits._
+    val healthy = Multimodal.syntheticMedia(spark, 12).collect()
+    val img = healthy.find(_.kind == "image").get
+    val aud = healthy.find(_.kind == "audio").get
+    val corrupted = Seq(
+      // truncated PNG (header survives, data stream does not) and a
+      // WAV clipped inside its RIFF header
+      img.copy(media_id = 100L, bytes = img.bytes.take(16)),
+      aud.copy(media_id = 101L, bytes = aud.bytes.take(8)),
+      // a zero-byte video blob
+      multimodal.MediaRow(102L, "video", Array.emptyByteArray, 320, 240,
+        0, 1000L))
+    val all = spark.createDataset(healthy.toSeq ++ corrupted)
+    val flags = Multimodal.quarantineMedia(all).collect()
+      .map(t => t._1 -> t._3).toMap
+    healthy.foreach(m => assert(flags(m.media_id),
+      s"healthy ${m.media_id} (${m.kind}) was quarantined"))
+    Seq(100L, 101L, 102L).foreach(id =>
+      assert(!flags(id), s"corrupt $id escaped quarantine"))
+    // the ok-filtered set featurizes without throwing
+    val okIds = flags.filter(_._2).keySet
+    val feats = Multimodal.extractFeatures(
+      all.filter(m => okIds.contains(m.media_id))).collect()
+    assert(feats.length == healthy.length)
+  }
+
   test("sampleFrames: videos only, correct count and timestamps") {
     val media = Multimodal.syntheticMedia(spark, 30)
     val frames = Multimodal.sampleFrames(media, 500L).collect()
