@@ -33,6 +33,14 @@ object Sources extends QueryModule {
       .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
       .orderBy("source")
 
+  /** Data files under a parquet output dir (excludes _SUCCESS etc.) —
+    * driver-side metadata listing for S18's before/after file counts. */
+  private[graft] def countParquetFiles(dir: String): Long = {
+    val d = new java.io.File(dir)
+    Option(d.listFiles()).map(_.count(f =>
+      f.isFile && f.getName.endsWith(".parquet")).toLong).getOrElse(0L)
+  }
+
   override def queries: Seq[GQuery] = Seq(
 
     // S2+S4: driver-local collection with explicit StructType joined
@@ -193,6 +201,49 @@ object Sources extends QueryModule {
              |  CAST(sum(n_chars) AS BIGINT) AS chars
              |FROM documents WHERE lang = 'en'
              |GROUP BY 1 ORDER BY 1""".stripMargin)),
+
+    // S18: small-file compaction — the lake-maintenance operator every
+    // long-lived 100 TB table needs: streaming/incremental ingest leaves
+    // thousands of KB-sized files whose per-file open/footer cost comes
+    // to dominate scans, and compaction rewrites them into scan-sized
+    // ones. The write here fragments documents into 64 files, then
+    // compacts via `coalesce` — a map-side merge with NO shuffle (the
+    // point: compaction moves bytes once, it does not re-key them).
+    // Row parity is proven by a content checksum (order-independent sum
+    // of per-doc md5 lanes) the oracle computes straight off the
+    // original table, and both file counts ride along as columns. At
+    // real scale the target count comes from bytes/targetFileSize and a
+    // REBALANCE hint (AQE coalescing) or maxRecordsPerFile replaces the
+    // literal 4; the shape — read small, merge map-side, write big,
+    // verify checksum — is the production one.
+    GQuery("s18_compaction",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_compact_").toString
+        val frag = s"$dir/fragmented"
+        val comp = s"$dir/compacted"
+        Tables.documents(s, d).select("doc_id", "source", "text")
+          .repartition(64)
+          .write.mode("overwrite").parquet(frag)
+        val nBefore = countParquetFiles(frag)
+        s.read.parquet(frag).coalesce(4)
+          .write.mode("overwrite").parquet(comp)
+        val nAfter = countParquetFiles(comp)
+        s.read.parquet(comp)
+          .groupBy("source")
+          .agg(count(lit(1)).as("n"),
+            sum(conv(substring(md5(col("text")), 1, 12), 16, 10)
+              .cast("long")).as("content_sum"))
+          .withColumn("n_files_before", lit(nBefore))
+          .withColumn("n_files_after", lit(nAfter))
+          .orderBy("source")
+      },
+      Some("""SELECT source, CAST(count(*) AS BIGINT) AS n,
+             |  CAST(sum(('0x' || substr(md5(text), 1, 12))::BIGINT)
+             |    AS BIGINT) AS content_sum,
+             |  CAST(64 AS BIGINT) AS n_files_before,
+             |  CAST(4 AS BIGINT) AS n_files_after
+             |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin)),
 
     // S15: parquet schema evolution — two generations of files (the
     // older written WITHOUT s_acctbal) read together with mergeSchema:

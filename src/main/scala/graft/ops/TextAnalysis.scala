@@ -1572,6 +1572,38 @@ object TextAnalysis extends QueryModule {
              |          ORDER BY CAST(lm AS DOUBLE) / w, doc_id) AS rk
              |      FROM k)
              |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, w, lm
-             |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin))
+             |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin)),
+
+    // X32: Unicode NFC normalization — the zeroth step of web-scale text
+    // curation (crawled text arrives with decomposed accent sequences;
+    // every downstream exact-hash dedup / token count silently fragments
+    // unless the corpus is canonicalized first). The harness corpus is
+    // ASCII, so the query PLANTS decomposed sequences deterministically
+    // in both engines (every 'e' gains U+0301 combining acute), then
+    // normalizes with the native codegen'd NfcNormalizeExpr (JDK UAX #15)
+    // vs DuckDB's nfc_normalize. n_composed = codepoints removed by
+    // composition = planted accent count — both engines count length in
+    // codepoints. Scale posture: map-only over the scan (zero shuffles
+    // before the output sort); the isNormalized fast path makes the
+    // already-clean common case a read-only scan of the UTF-8 bytes.
+    GQuery("x32_nfc_normalize",
+      (s, d) => Tables.documents(s, d)
+        .select(col("doc_id"), col("text"))
+        .withColumn("dirty",
+          expr("replace(text, 'e', 'e\u0301')"))
+        .withColumn("norm",
+          graft.plans.NativeFunctions.nfcNormalize(col("dirty")))
+        .select(col("doc_id"), col("norm"),
+          (length(col("dirty")) - length(col("norm")))
+            .cast("long").as("n_composed"))
+        .orderBy("doc_id"),
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    replace(text, 'e', 'e' || chr(769)) AS dirty
+             |  FROM documents)
+             |SELECT doc_id, nfc_normalize(dirty) AS norm,
+             |  CAST(length(dirty) - length(nfc_normalize(dirty)) AS BIGINT)
+             |    AS n_composed
+             |FROM d ORDER BY doc_id""".stripMargin))
   )
 }

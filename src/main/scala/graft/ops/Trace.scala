@@ -8,6 +8,10 @@ import org.apache.spark.sql.expressions.Window
 /** One event row for the typed reduceGroups query (A11). */
 final case class EvRow(user_id: Long, event_id: Long, value: Double)
 
+/** One reconciliation row for the typed cogroup query (T19). */
+final case class CoRecon(o_orderkey: Long, n_orders: Long,
+    total_cents: Long, n_items: Long, sum_cents: Long)
+
 /** Trace-analytics layer: the reference's core domain semantics
   * (sessionize → request path / euler string → depth features → cluster
   * rewrite → equal-process grouping; reference `Src/processes.py:10-232`,
@@ -471,7 +475,56 @@ object Trace extends QueryModule {
              |  n_weeks * sxy - sx * sy AS slope_num,
              |  n_weeks * sxx - sx * sx AS slope_den,
              |  (n_weeks * sxy - sx * sy > 0) AS rising
-             |FROM a ORDER BY event_type""".stripMargin))
+             |FROM a ORDER BY event_type""".stripMargin)),
+
+    // T19: typed cogroup — per-key logic over TWO grouped inputs at once
+    // (`KeyValueGroupedDataset.cogroup`), here order-vs-lineitems billing
+    // reconciliation: each order key sees its order rows and its line
+    // rows side by side, no join explosion, keys present on either side
+    // survive (the FULL OUTER semantics the SQL oracle spells as two
+    // aggregates + full join). Money is summed in integer CENTS so the
+    // fold is order-independent — double summation over an unordered
+    // cogroup iterator would be run-to-run nondeterministic. Scale
+    // posture: cogroup is ONE co-partitioned shuffle per side on the
+    // group key with partial-agg-free per-key streaming — the typed
+    // escape hatch for per-key logic that does not decompose into
+    // aggregates (here it does; the point is exercising the surface
+    // against that decomposition as the oracle).
+    GQuery("t19_cogroup",
+      (s, d) => {
+        val sess = s
+        import sess.implicits._
+        val os = Tables.orders(s, d)
+          .select(col("o_orderkey").cast("long"),
+            col("o_totalprice")).as[(Long, Double)]
+        val ls = Tables.lineitem(s, d)
+          .select(col("l_orderkey").cast("long"),
+            col("l_extendedprice")).as[(Long, Double)]
+        os.groupByKey(_._1).cogroup(ls.groupByKey(_._1)) { (k, oi, li) =>
+          var nOrd = 0L; var totC = 0L
+          oi.foreach { o => nOrd += 1; totC += math.round(o._2 * 100) }
+          var nIt = 0L; var sumC = 0L
+          li.foreach { l => nIt += 1; sumC += math.round(l._2 * 100) }
+          Iterator.single(CoRecon(k, nOrd, totC, nIt, sumC))
+        }.toDF().orderBy("o_orderkey")
+      },
+      Some("""WITH o AS (
+             |  SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS n_orders,
+             |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+             |      AS BIGINT) AS total_cents
+             |  FROM orders GROUP BY 1),
+             |l AS (
+             |  SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS n_items,
+             |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             |      AS BIGINT) AS sum_cents
+             |  FROM lineitem GROUP BY 1)
+             |SELECT CAST(coalesce(o.k, l.k) AS BIGINT) AS o_orderkey,
+             |  CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders,
+             |  CAST(coalesce(total_cents, 0) AS BIGINT) AS total_cents,
+             |  CAST(coalesce(n_items, 0) AS BIGINT) AS n_items,
+             |  CAST(coalesce(sum_cents, 0) AS BIGINT) AS sum_cents
+             |FROM o FULL OUTER JOIN l ON o.k = l.k
+             |ORDER BY o_orderkey""".stripMargin))
   )
 
   /** T18 core: per event type, the exact least-squares slope of weekly

@@ -110,4 +110,51 @@ class ExpressionsSpec extends AnyFunSuite {
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
   }
+
+  test("JaroWinklerExpr: textbook values, axioms, codegen path") {
+    import graft.plans.JaroWinklerExpr.{compute => jw}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    // the canonical record-linkage textbook triples (also DuckDB's values)
+    assert(math.abs(jw(u("MARTHA"), u("MARHTA")) - 0.9611111111111111) < 1e-12)
+    assert(math.abs(jw(u("DWAYNE"), u("DUANE")) - 0.84) < 1e-12)
+    assert(math.abs(jw(u("DIXON"), u("DICKSONX")) - 0.8133333333333332) < 1e-12)
+    // empties are 0 (DuckDB convention), identity is 1, symmetry holds
+    assert(jw(u(""), u("abc")) == 0.0 && jw(u(""), u("")) == 0.0)
+    assert(jw(u("widget"), u("widget")) == 1.0)
+    // boost fires only above 0.7 jaro, prefix capped at 4
+    assert(jw(u("aaaaaaaaaa"), u("aaaaabbbbb")) == 2.0 / 3.0) // j=2/3 ≤ .7
+    val rnd = new scala.util.Random(41)
+    (1 to 200).foreach { _ =>
+      val a = rnd.alphanumeric.take(rnd.nextInt(10)).mkString
+      val b = rnd.alphanumeric.take(rnd.nextInt(10)).mkString
+      val x = jw(u(a), u(b))
+      assert(x >= 0.0 && x <= 1.0 && x == jw(u(b), u(a)))
+    }
+    // dataframe path (whole-stage codegen) agrees with the static call
+    import spark.implicits._
+    val df = Seq(("cold widget", "old widget"), ("MARTHA", "MARHTA"))
+      .toDF("a", "b")
+    val out = df.select(graft.plans.NativeFunctions
+      .jaroWinkler(col("a"), col("b")).as("j")).collect()
+    assert(math.abs(out(0).getDouble(0) -
+      jw(u("cold widget"), u("old widget"))) == 0.0)
+    assert(math.abs(out(1).getDouble(0) - 0.9611111111111111) < 1e-12)
+  }
+
+  test("NfcNormalizeExpr: composes decomposed sequences, idempotent") {
+    import graft.plans.NfcNormalizeExpr.{compute => nfc}
+    import org.apache.spark.unsafe.types.UTF8String.{fromString => u}
+    val decomposed = "cafe\u0301 A\u030A over" // e+acute, A+ring
+    val composed = "caf\u00E9 \u00C5 over"
+    assert(nfc(u(decomposed)).toString == composed)
+    assert(nfc(u(composed)).toString == composed)          // idempotent
+    assert(nfc(u("plain ascii")).toString == "plain ascii") // fast path
+    // codepoint accounting: each composition removes one combining mark
+    import spark.implicits._
+    val out = Seq(decomposed).toDF("s")
+      .select(length(col("s")).as("raw"),
+        length(graft.plans.NativeFunctions.nfcNormalize(col("s")))
+          .as("norm")).head()
+    assert(out.getInt(0) - out.getInt(1) == 2)
+  }
 }
