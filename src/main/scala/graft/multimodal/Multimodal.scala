@@ -43,15 +43,20 @@ final case class FrameRow(
   * decode runs `AudioSystem.getAudioInputStream` per asset, features
   * are histograms over the DECODED sample stream, duration metadata
   * is derived from the true frame count, and [[resampleAudio]] is a
-  * real decode → integer-index resample → re-encode. Only VIDEO
-  * remains a documented synthetic stand-in (the JDK ships no video
-  * codec): a byte histogram with the shape a real decoder would emit.
+  * real decode → integer-index resample → re-encode. The VIDEO path
+  * is now REAL as well: payloads are genuine YUV4MPEG2 (y4m) streams
+  * — the standard uncompressed interchange container (plain-text
+  * `YUV4MPEG2 W… H… F… Cmono` header + per-frame `FRAME` markers +
+  * raw luma planes, the format ffmpeg/mplayer pipe to each other) —
+  * parsed by a hand-written JDK-only demuxer ([[decodeY4m]]): header
+  * grammar, per-frame markers, truncation checks. `Cmono` keeps the
+  * plane layout 8-bit luma-only, matching the grayscale image world.
   *
-  * Oracle portability: image PIXELS and audio SAMPLES derive from md5
-  * digests (the d4 trick); PNG is lossless and 8-bit PCM-in-WAV is a
-  * byte-transparent container, so decode returns exactly the generated
-  * stream and DuckDB replays the histograms from `md5()` — the oracle
-  * never parses a PNG or a WAV.
+  * Oracle portability: image PIXELS, audio SAMPLES and video LUMA
+  * derive from md5 digests (the d4 trick); PNG is lossless, 8-bit
+  * PCM-in-WAV is byte-transparent, and y4m mono planes are raw — so
+  * decode returns exactly the generated stream and DuckDB replays the
+  * histograms from `md5()`; the oracle never parses a PNG, WAV or y4m.
   *
   * Scale posture: media bytes never pass through a shuffle wider than
   * needed — feature extraction and resize are mapPartitions/map
@@ -96,6 +101,63 @@ object Multimodal {
       new java.io.ByteArrayInputStream(bytes))
     val pcm = ais.readAllBytes()
     (pcm, ais.getFormat.getSampleRate.toInt)
+  }
+
+  /** YUV4MPEG2-encode `frames` mono luma planes (each w×h, drawn
+    * sequentially from `y`) at 1 fps. `Cmono` = luma-only: the
+    * container is byte-transparent for the plane data. */
+  private[graft] def encodeY4m(y: Array[Byte], w: Int, h: Int,
+      frames: Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(s"YUV4MPEG2 W$w H$h F1:1 Ip A1:1 Cmono\n"
+      .getBytes("US-ASCII"))
+    val plane = w * h
+    var f = 0
+    while (f < frames) {
+      bos.write("FRAME\n".getBytes("US-ASCII"))
+      bos.write(y, f * plane, plane)
+      f += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Demux a YUV4MPEG2 mono stream to (concatenated luma planes,
+    * width, height, frame count). Real parsing: validates the magic,
+    * reads the W/H/C header parameters, walks per-frame `FRAME`
+    * marker lines (parameters after the marker are ignored, per
+    * spec), and rejects truncated planes. */
+  private[graft] def decodeY4m(bytes: Array[Byte])
+      : (Array[Byte], Int, Int, Int) = {
+    var i = 0
+    while (bytes(i) != '\n') i += 1
+    val header = new String(bytes, 0, i, "US-ASCII")
+    val toks = header.split(" ")
+    require(toks.head == "YUV4MPEG2", "not a YUV4MPEG2 stream")
+    var w = -1; var h = -1; var cs = "420"
+    toks.tail.foreach { t =>
+      if (t.startsWith("W")) w = t.substring(1).toInt
+      else if (t.startsWith("H")) h = t.substring(1).toInt
+      else if (t.startsWith("C")) cs = t.substring(1)
+    }
+    require(w > 0 && h > 0, s"y4m header missing geometry: $header")
+    require(cs == "mono", s"unsupported y4m colorspace C$cs")
+    i += 1
+    val plane = w * h
+    val out = new java.io.ByteArrayOutputStream()
+    var n = 0
+    while (i < bytes.length) {
+      var j = i
+      while (bytes(j) != '\n') j += 1
+      require(j - i >= 5 &&
+        new String(bytes, i, 5, "US-ASCII") == "FRAME",
+        "missing FRAME marker")
+      i = j + 1
+      require(i + plane <= bytes.length, "truncated y4m frame")
+      out.write(bytes, i, plane)
+      i += plane
+      n += 1
+    }
+    (out.toByteArray, w, h, n)
   }
 
   /** Decode a PNG to (pixels row-major 8-bit gray, width, height). */
@@ -161,8 +223,14 @@ object Multimodal {
           MediaRow(id, kind, encodeWav(payload(len), rate), 0, 0,
             rate, len * 1000L / rate)
         case _ =>
-          MediaRow(id, kind, payload((256 + a % 768).toInt), 320, 240, 0,
-            1000L + c % 9000)
+          // REAL y4m container at 1 fps; duration derives from the
+          // true frame count. 15×15×4 max keeps the luma stream
+          // inside the oracle's range(1024) replay window.
+          val w = (8 + b % 8).toInt
+          val h = (8 + c % 8).toInt
+          val frames = (2 + a % 3).toInt
+          MediaRow(id, kind, encodeY4m(payload(w * h * frames), w, h,
+            frames), w, h, 0, frames * 1000L)
       }
     }
   }
@@ -171,20 +239,21 @@ object Multimodal {
     * PNG payload, 16-bin normalized histogram over the decoded pixel
     * luminance, n_bytes = pixel count (the decoded payload size).
     * Audio: REAL `AudioSystem` decode of the WAV payload, histogram
-    * over the decoded PCM samples, n_bytes = sample count. Video: a
-    * byte histogram as the documented synthetic stand-in (no video
-    * codec in the JDK), n_bytes = raw payload length. Runs as
-    * mapPartitions so a real codec/model could amortize per-batch
-    * setup exactly here. */
+    * over the decoded PCM samples, n_bytes = sample count. Video:
+    * REAL y4m demux, histogram over the decoded luma planes of every
+    * frame, n_bytes = total luma sample count. Runs as mapPartitions
+    * so a real codec/model could amortize per-batch setup exactly
+    * here. */
   def extractFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // a real video impl would open its codec context here
+      // per-batch codec setup amortizes here (a GPU decoder/model
+      // would allocate its context once per partition)
       it.map { m =>
         val payload: Array[Byte] = m.kind match {
           case "image" => decodeGray(m.bytes)._1
           case "audio" => decodeWav(m.bytes)._1
-          case _ => m.bytes
+          case _ => decodeY4m(m.bytes)._1
         }
         val hist = new Array[Float](16)
         var i = 0
@@ -248,7 +317,7 @@ object Multimodal {
           m.kind match {
             case "image" => decodeGray(m.bytes)._1.nonEmpty
             case "audio" => decodeWav(m.bytes)._1.nonEmpty
-            case _ => m.bytes.nonEmpty
+            case _ => decodeY4m(m.bytes)._1.nonEmpty
           }
         } catch { case _: Exception => false }
       (m.media_id, m.kind, ok)
@@ -283,12 +352,36 @@ object Multimodal {
 
   /** Frame sampling: one row per sampled frame at `everyMs` intervals —
     * pure metadata math (a real pipeline decodes the frame lazily from
-    * the blob given ts_ms). Narrow flatMap; no shuffle. */
+    * the blob given ts_ms; [[frameFeatures]] is that real decode).
+    * Narrow flatMap; no shuffle. */
   def sampleFrames(media: Dataset[MediaRow], everyMs: Long): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.filter(_.kind == "video").flatMap { m =>
       (0L to m.duration_ms by everyMs).zipWithIndex.map { case (ts, idx) =>
         FrameRow(m.media_id, idx, ts)
+      }
+    }
+  }
+
+  /** REAL per-frame feature extraction: demux the y4m stream once per
+    * asset, then emit (media_id, frame_idx, ts_ms, mean_luma_milli)
+    * per contained frame — mean luma in exact integer milli-units
+    * (sum·1000 / pixels, floor), so the value is engine-portable.
+    * This is the decode [[sampleFrames]]'s metadata rows point at:
+    * one narrow flatMap, blob bytes read once, never shuffled. */
+  def frameFeatures(media: Dataset[MediaRow])
+      : Dataset[(Long, Int, Long, Long)] = {
+    import media.sparkSession.implicits._
+    media.filter(_.kind == "video").flatMap { m =>
+      val (luma, w, h, frames) = decodeY4m(m.bytes)
+      val plane = w * h
+      val frameMs = if (frames > 0) m.duration_ms / frames else 0L
+      (0 until frames).map { f =>
+        var sum = 0L
+        var i = f * plane
+        val end = i + plane
+        while (i < end) { sum += (luma(i) & 0xff); i += 1 }
+        (m.media_id, f, f * frameMs, sum * 1000L / plane)
       }
     }
   }
@@ -318,11 +411,12 @@ object Multimodal {
     * — image pixel streams (PNG is lossless, so decoded pixels ARE the
     * md5 stream; n_bytes = w·h pixels), audio PCM streams (8-bit
     * PCM-in-WAV is byte-transparent, so decoded samples ARE the md5
-    * stream; n_bytes = sample count = generated length), raw video
-    * byte streams, the 16-bin histogram's bin 0 (a FLOAT division,
-    * cast to double then rounded — matching the Spark side exactly),
-    * and the frame-count math — from nothing but `md5()` and
-    * `range()`; it never parses a PNG or a WAV. */
+    * stream; n_bytes = sample count = generated length), video luma
+    * streams (y4m mono planes are raw; n_bytes = w·h·frames, duration
+    * = frames·1000 ms at 1 fps), the 16-bin histogram's bin 0 (a
+    * FLOAT division, cast to double then rounded — matching the Spark
+    * side exactly), and the frame-count math — from nothing but
+    * `md5()` and `range()`; it never parses a PNG, a WAV or a y4m. */
   def pipelineOracleSql(n: Int): String =
     s"""WITH ids AS (SELECT range AS id FROM range($n)),
        |meta AS (SELECT id,
@@ -335,10 +429,14 @@ object Multimodal {
        |         WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
        |    256 + (a % 768) AS len,
        |    8 + (b % 24) AS w, 8 + (c % 24) AS h,
-       |    1000 + (c % 9000) AS dur
+       |    8 + (b % 8) AS vw, 8 + (c % 8) AS vh,
+       |    2 + (a % 3) AS vframes
        |  FROM meta),
-       |eff AS (SELECT id, kind, dur,
-       |    CASE WHEN kind = 'image' THEN w * h ELSE len END AS n
+       |eff AS (SELECT id, kind,
+       |    CASE WHEN kind = 'video' THEN vframes * 1000 ELSE 0 END AS dur,
+       |    CASE WHEN kind = 'image' THEN w * h
+       |         WHEN kind = 'video' THEN vw * vh * vframes
+       |         ELSE len END AS n
        |  FROM m2),
        |bytes AS (SELECT e.id,
        |    ('0x'||substr(md5('payload_'||e.id||'_'||(r.range // 16)),

@@ -5,9 +5,9 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Multimodal spec: schema/typing, REAL image decode (PNG round-trip,
   * dimension agreement, pixel-exact features), REAL audio decode (WAV
-  * round-trip, rate/duration agreement, sample-exact features), real
-  * nearest-neighbor resize and resample, frame-sample explode shape,
-  * video stand-in decode. */
+  * round-trip, rate/duration agreement, sample-exact features), REAL
+  * video demux (y4m round-trip, per-frame luma features), real
+  * nearest-neighbor resize and resample, frame-sample explode shape. */
 class MultimodalSpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
@@ -17,10 +17,11 @@ class MultimodalSpec extends AnyFunSuite {
     val b = Multimodal.syntheticMedia(spark, 30).collect().sortBy(_.media_id)
     assert(a.map(_.bytes.toSeq).toSeq == b.map(_.bytes.toSeq).toSeq)
     assert(a.map(_.kind).toSet == Set("image", "audio", "video"))
-    // video payloads are raw md5 streams with the documented bounds;
-    // image payloads are PNG containers, audio payloads WAV containers
+    // every payload is a genuine container: y4m for video, PNG for
+    // images, RIFF/WAV for audio
     a.filter(_.kind == "video").foreach(m =>
-      assert(m.bytes.length >= 256 && m.bytes.length < 1024))
+      assert(new String(m.bytes.take(9), "US-ASCII") == "YUV4MPEG2",
+        s"video ${m.media_id} payload is not a y4m stream"))
     a.filter(_.kind == "image").foreach { m =>
       val sig = m.bytes.take(4).map(_ & 0xff)
       assert(sig.sameElements(Array(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt)),
@@ -107,7 +108,59 @@ class MultimodalSpec extends AnyFunSuite {
           // decoded sample count, not the WAV container size
           assert(f.n_bytes == Multimodal.decodeWav(m.bytes)._1.length.toLong)
           assert(f.n_bytes < m.bytes.length.toLong)
-        case _ => assert(f.n_bytes == m.bytes.length.toLong)
+        case _ =>
+          // decoded luma count (w·h·frames), not the container size
+          assert(f.n_bytes == m.width.toLong * m.height *
+            (m.duration_ms / 1000))
+          assert(f.n_bytes < m.bytes.length.toLong)
+      }
+    }
+  }
+
+  test("video demux is real: dims/frames match metadata, luma round-trips") {
+    val vids = Multimodal.syntheticMedia(spark, 30).collect()
+      .filter(_.kind == "video")
+    assert(vids.nonEmpty)
+    vids.foreach { m =>
+      val (luma, w, h, frames) = Multimodal.decodeY4m(m.bytes)
+      assert(w == m.width && h == m.height,
+        s"demuxed ${w}x$h != metadata ${m.width}x${m.height}")
+      assert(m.duration_ms == frames * 1000L,
+        "metadata duration inconsistent with true frame count at 1 fps")
+      assert(luma.length == w * h * frames)
+      // mono y4m planes are raw: the demuxed luma stream is exactly
+      // the md5-derived stream the generator drew
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val dg = md.digest(s"payload_${m.media_id}_0".getBytes("UTF-8"))
+      assert(luma.take(16).toSeq == dg.toSeq,
+        s"video ${m.media_id} luma diverges from generator stream")
+    }
+    // malformed streams are rejected, not misread
+    val good = vids.head.bytes
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m(good.dropRight(3)) // truncated final plane
+    }
+    intercept[IllegalArgumentException] {
+      Multimodal.decodeY4m("YUV4MPEG2 W4 H4 F1:1 C420\nFRAME\n"
+        .getBytes("US-ASCII") ++ new Array[Byte](24)) // chroma planes
+    }
+  }
+
+  test("frameFeatures: real per-frame decode with exact integer mean luma") {
+    val media = Multimodal.syntheticMedia(spark, 30)
+    val vids = media.collect().filter(_.kind == "video")
+    val rows = Multimodal.frameFeatures(media).collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(rows.keySet == vids.map(_.media_id).toSet)
+    vids.foreach { m =>
+      val (luma, w, h, frames) = Multimodal.decodeY4m(m.bytes)
+      val fs = rows(m.media_id)
+      assert(fs.length == frames)
+      fs.foreach { case (_, idx, ts, milli) =>
+        assert(ts == idx * (m.duration_ms / frames))
+        val plane = luma.slice(idx * w * h, (idx + 1) * w * h)
+        val expect = plane.map(b => (b & 0xff).toLong).sum * 1000L / (w * h)
+        assert(milli == expect, s"frame $idx mean luma mismatch")
       }
     }
   }
