@@ -756,7 +756,54 @@ object Dedup extends QueryModule {
              |FROM b a JOIN b c ON a.noun = c.noun AND a.p_name < c.p_name
              |WHERE round(jaro_winkler_similarity(a.p_name, c.p_name), 4)
              |      >= 0.8
-             |ORDER BY na, nb""".stripMargin))
+             |ORDER BY na, nb""".stripMargin)),
+
+    // D15: PREFIX-FILTERING exact set-similarity self-join (Bayardo et
+    // al., "Scaling Up All Pairs Similarity Search", WWW'07 — the
+    // all-pairs/PPJoin family): the provably-EXACT pruned join that
+    // complements d2's capped approximation and d3's probabilistic LSH.
+    // Theorem: order every doc's shingle set by global rarity
+    // (df asc, tok asc); if J(x,y) ≥ τ then x and y share a shingle in
+    // their first |x|−⌈τ|x|⌉+1 shingles, so the prefix equi-join is a
+    // complete candidate generator — NOTHING is missed, unlike a
+    // frequency cap. Hot shingles land in SUFFIXES (rarity order), so
+    // the join is skew-safe by construction: the hotter the shingle,
+    // the fewer prefixes it appears in. Exact Jaccard verification
+    // runs only on candidates via a keyed (doc, shingle) equi-join.
+    // The oracle is the UNPRUNED inverted-index join — parity proves
+    // the pruning lossless. τ=0.5 keeps ⌈τs⌉ pure-integer ((s+1)/2);
+    // other τ swap in the same ceil-arithmetic. At 100 TB the shingle
+    // join keys become 128-bit hashes and df comes from a first pass
+    // (here both passes are visible in one plan).
+    GQuery("d15_prefix_filter",
+      (s, d) => prefixFilterHalf(graft.Caches.track(
+        Tables.documents(s, d)
+          .select(col("doc_id"), col("text"))
+          .select(col("doc_id"),
+            explode(array_distinct(wordNgrams(tokens(col("text")), 4)))
+              .as("tok")))).orderBy("ida", "idb"),
+      Some("""WITH d AS (
+             |  SELECT doc_id, string_split(trim(text), ' ') AS t
+             |  FROM documents
+             |  WHERE trim(text) <> ''
+             |    AND len(string_split(trim(text), ' ')) >= 4),
+             |t AS (SELECT DISTINCT doc_id,
+             |        array_to_string(list_slice(t, i, i + 3), ' ') AS tok
+             |      FROM (SELECT doc_id, t,
+             |              unnest(range(1, len(t) - 2)) AS i FROM d)),
+             |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS s
+             |       FROM t GROUP BY 1),
+             |ix AS (SELECT a.doc_id AS ida, b.doc_id AS idb,
+             |         CAST(count(*) AS BIGINT) AS c
+             |       FROM t a JOIN t b
+             |         ON a.tok = b.tok AND a.doc_id < b.doc_id
+             |       GROUP BY 1, 2)
+             |SELECT ida, idb, c, sa.s AS sa, sb.s AS sb,
+             |  round(c * 1.0 / (sa.s + sb.s - c), 4) AS jac
+             |FROM ix JOIN sz sa ON ix.ida = sa.doc_id
+             |        JOIN sz sb ON ix.idb = sb.doc_id
+             |WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
+             |ORDER BY ida, idb""".stripMargin))
   )
 
   /** d12 core: cluster-assign `vecs` (vec_id, v, nrm) to the broadcast
@@ -764,6 +811,44 @@ object Dedup extends QueryModule {
     * that has a ≥-tau cosine neighbor of strictly lower
     * (centroid-similarity, vec_id) priority — SemDeDup's keep-the-
     * least-central choice. Output: (vec_id, cid, csim, keep). */
+  /** d15 core: exact Jaccard ≥ 1/2 self-join over a distinct
+    * (doc_id, tok) frame via prefix filtering. Candidates come ONLY
+    * from the rarity-ordered prefix of each set (p = s − ⌈s/2⌉ + 1,
+    * order = (global df asc, tok asc)); the Bayardo prefix theorem
+    * makes that complete, so output equals the unpruned inverted-index
+    * join's (DedupSpec fuzzes the equivalence; the oracle IS the
+    * unpruned form). Returns (ida, idb, c, sa, sb, jac). */
+  private[graft] def prefixFilterHalf(toks: DataFrame): DataFrame = {
+    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("s"))
+    val dfq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+    val wRank = Window.partitionBy("doc_id").orderBy("df", "tok")
+    val prefix = toks.join(dfq, Seq("tok")).join(sz, Seq("doc_id"))
+      .withColumn("rn", row_number().over(wRank))
+      // p = s − ceil(τ·s) + 1 with τ = 1/2: ceil = (s+1) div 2
+      // (`div`, not `/` — Column `/` is IEEE double division)
+      .filter(col("rn") <= col("s") - expr("(s + 1) div 2") + 1)
+      .select(col("doc_id"), col("tok"))
+    val cand = prefix.select(col("doc_id").as("ida"), col("tok"))
+      .join(prefix.select(col("doc_id").as("idb"), col("tok")),
+        Seq("tok"))
+      .filter(col("ida") < col("idb"))
+      .select("ida", "idb").distinct()
+    val inter = toks.select(col("doc_id").as("ida"), col("tok"))
+      .join(cand, Seq("ida"))
+      .join(toks.select(col("doc_id").as("idb"), col("tok")),
+        Seq("idb", "tok"))
+      .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
+    inter
+      .join(sz.select(col("doc_id").as("ida"), col("s").as("sa")),
+        Seq("ida"))
+      .join(sz.select(col("doc_id").as("idb"), col("s").as("sb")),
+        Seq("idb"))
+      .filter(col("c") * 1.0 / (col("sa") + col("sb") - col("c")) >= 0.5)
+      .select(col("ida"), col("idb"), col("c"), col("sa"), col("sb"),
+        round(col("c") * 1.0 / (col("sa") + col("sb") - col("c")), 4)
+          .as("jac"))
+  }
+
   private[graft] def semdedup(vecs: DataFrame, cents: DataFrame,
       tau: Double): DataFrame = {
     val wAsg = Window.partitionBy("vec_id")

@@ -345,4 +345,34 @@ class DedupSpec extends AnyFunSuite {
     assert(got(3L) == ((15L, 0L)), s"doc3: ${got(3L)}")
     assert(got(4L) == ((0L, 0L)), s"doc4: ${got(4L)}")
   }
+
+  test("d15 prefix filtering is lossless: equals brute force on random sets") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(173)
+    // 40 random sets over a 60-token universe with skewed frequencies
+    // (token t appears with prob ~ 1/(1+t/6) — hot head, long tail),
+    // plus planted exact and near-exact duplicate pairs
+    val base = (0 until 40).map { id =>
+      id.toLong -> (0 until 60).filter(t =>
+        rnd.nextDouble() < 1.0 / (1 + t / 6.0)).map(t => s"t$t").toSet
+    }
+    val planted = Seq(
+      100L -> base(3)._2,                          // exact dup of set 3
+      101L -> (base(5)._2 + "tX"))                 // near dup of set 5
+    val all = (base ++ planted).filter(_._2.nonEmpty)
+    val toks = all.flatMap { case (id, s) => s.map(id -> _) }
+      .toDF("doc_id", "tok")
+    val got = ops.Dedup.prefixFilterHalf(toks).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute force over ALL pairs (no pruning at all)
+    val brute = (for {
+      (ia, sa) <- all; (ib, sb) <- all if ia < ib
+      c = (sa & sb).size
+      if c * 1.0 / (sa.size + sb.size - c) >= 0.5
+    } yield (ia, ib)).toSet
+    assert(got == brute,
+      s"missed=${brute -- got} extra=${got -- brute}")
+    assert(brute.contains((3L, 100L)), "planted exact dup not in truth set")
+    assert(brute.contains((5L, 101L)), "planted near dup not in truth set")
+  }
 }
