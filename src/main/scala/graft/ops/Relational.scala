@@ -1214,6 +1214,56 @@ object Relational extends QueryModule {
              |     ORDER BY valid_from, o_orderkey) AS valid_to
              |FROM s ORDER BY o_custkey, valid_from, prio""".stripMargin)),
 
+    // W8: NATIVE session windows in batch — Spark's `session_window`
+    // grouping expression (the Structured-Streaming session primitive,
+    // equally valid on a static frame) instead of t1's hand-rolled
+    // gaps-and-islands. One shuffle on (user, merged-window); the
+    // merge itself runs inside Spark's session-window physical node
+    // (UpdatingSessionsExec), so there's no lag()+running-sum window
+    // pass at all — at 100 TB that's one exchange and a sort within
+    // partitions, the same cost envelope as any keyed agg. Semantics
+    // locked by an EdgeCaseSpec micro-fixture (don't guess boundary
+    // conventions): an event at EXACTLY last_ts + gap still merges —
+    // only a strictly later event opens a new session — and
+    // end = last_ts + gap. The oracle's break condition is therefore
+    // strict (diff > gap), not >=.
+    GQuery("w8_session_window",
+      (s, d) => Tables.events(s, d)
+        .filter(col("user_id") % 20 === 0)
+        .select(col("user_id"),
+          timestamp_micros(expr("ts div 1000")).as("tss"), col("value"))
+        .groupBy(col("user_id"),
+          session_window(col("tss"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum("value"), 4).as("total_value"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("sess_start"),
+          unix_micros(col("sw.end")).as("sess_end"),
+          col("n_events"), col("total_value"))
+        .orderBy("user_id", "sess_start"),
+      Some("""WITH e AS (
+             |  SELECT user_id, epoch_ns(ts) // 1000 AS tu, value
+             |  FROM events WHERE user_id % 20 = 0),
+             |f AS (
+             |  SELECT user_id, tu, value,
+             |    CASE WHEN tu - lag(tu) OVER
+             |           (PARTITION BY user_id ORDER BY tu)
+             |         > 1800000000 THEN 1 ELSE 0 END AS brk
+             |  FROM e),
+             |g AS (
+             |  SELECT user_id, tu, value,
+             |    sum(brk) OVER (PARTITION BY user_id ORDER BY tu
+             |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             |      AS sid
+             |  FROM f)
+             |SELECT user_id,
+             |  min(tu) AS sess_start,
+             |  max(tu) + 1800000000 AS sess_end,
+             |  count(*) AS n_events,
+             |  round(sum(value), 4) AS total_value
+             |FROM g GROUP BY user_id, sid
+             |ORDER BY user_id, sess_start""".stripMargin)),
+
     // F14: malformed-input robustness — parse a JSON column where a
     // deterministic slice of rows is corrupted (truncated payload):
     // from_json returns a null struct for bad rows instead of failing

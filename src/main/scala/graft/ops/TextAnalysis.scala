@@ -1604,6 +1604,94 @@ object TextAnalysis extends QueryModule {
              |SELECT doc_id, nfc_normalize(dirty) AS norm,
              |  CAST(length(dirty) - length(nfc_normalize(dirty)) AS BIGINT)
              |    AS n_composed
-             |FROM d ORDER BY doc_id""".stripMargin))
+             |FROM d ORDER BY doc_id""".stripMargin)),
+
+    // X33: supervised quality probe — TRAIN a linear document filter
+    // distributively, the missing member of the curation family (x26
+    // scores by LM perplexity buckets, x27 reweights by DSIR, x28 gates
+    // by Gopher rules; production pipelines ALSO train a cheap hashed
+    // linear classifier on weak labels and score the corpus with it,
+    // fastText-style). Features are a 64-cell hashed bag-of-words
+    // computed with engine-portable integer arithmetic
+    // ((len·31 + first-char-code) mod 64 — same expression in DuckDB),
+    // the weak label is lang='en', and training is two batch PERCEPTRON
+    // steps with unit learning rate: w ← w + Σ_docs (y − ŷ)·x, kept
+    // INTEGER-exact end to end so the oracle replays it bit-for-bit
+    // (no sigmoid floats whose rounding differs between engines; the
+    // perceptron update is the integer-exact member of the GLM family).
+    // Scale shape: the feature frame is built once and persisted (the
+    // only corpus-sized intermediate); each training step is the
+    // weight frame (64 rows — broadcast, never shuffled) joined into
+    // the feature frame plus ONE map-side-combined keyed sum. Adding
+    // iterations or widening to 2^20 cells changes constant factors,
+    // not the plan: gradient aggregation is exactly the shape AllReduce
+    // does on a parameter server, expressed as a Spark agg.
+    GQuery("x33_linear_probe",
+      (s, d) => {
+        val feats = Tables.documents(s, d)
+          .select("doc_id", "lang", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"),
+            (col("lang") === "en").cast("long").as("y"),
+            explode(tokens(col("text"))).as("tok"))
+          .select(col("doc_id"), col("y"),
+            ((length(col("tok")) * 31 + ascii(col("tok"))) % 64)
+              .cast("long").as("f"))
+          .groupBy("doc_id", "y", "f").agg(count(lit(1)).as("c"))
+          .transform(graft.Caches.track)
+        // step 1 from w=0: every score is 0 → ŷ=0 → Δw_f = Σ_{y=1} c
+        val w1 = feats.filter(col("y") === 1)
+          .groupBy("f").agg(sum("c").as("w1"))
+        // step 2: score docs under w1, misclassified docs push ±counts
+        val scored = feats
+          .join(broadcast(w1), Seq("f"), "left")
+          .groupBy("doc_id", "y")
+          .agg(sum(col("c") * coalesce(col("w1"), lit(0L))).as("score"))
+          .select(col("doc_id"),
+            (col("y") - when(col("score") > 0, 1L).otherwise(0L))
+              .as("delta"))
+          .filter(col("delta") =!= 0)
+        val dw = feats.join(broadcast(scored), Seq("doc_id"))
+          .groupBy("f").agg(sum(col("delta") * col("c")).as("dw"))
+        feats.select("f").distinct()
+          .join(broadcast(w1), Seq("f"), "left")
+          .join(broadcast(dw), Seq("f"), "left")
+          .select(col("f"),
+            coalesce(col("w1"), lit(0L)).as("w1"),
+            (coalesce(col("w1"), lit(0L)) + coalesce(col("dw"), lit(0L)))
+              .as("w2"))
+          .orderBy("f")
+      },
+      Some("""WITH tok AS (
+             |  SELECT doc_id,
+             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+             |    unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents WHERE trim(text) <> ''),
+             |feats AS (
+             |  SELECT doc_id, y,
+             |    CAST((len(tok) * 31 + ascii(tok)) % 64 AS BIGINT) AS f,
+             |    CAST(count(*) AS BIGINT) AS c
+             |  FROM tok GROUP BY 1, 2, 3),
+             |w1 AS (SELECT f, CAST(sum(c) AS BIGINT) AS w1
+             |       FROM feats WHERE y = 1 GROUP BY f),
+             |sc AS (SELECT fe.doc_id, fe.y,
+             |         CAST(coalesce(sum(fe.c * w1.w1), 0) AS BIGINT)
+             |           AS score
+             |       FROM feats fe LEFT JOIN w1 ON fe.f = w1.f
+             |       GROUP BY 1, 2),
+             |dl AS (SELECT doc_id,
+             |         y - (CASE WHEN score > 0 THEN 1 ELSE 0 END) AS delta
+             |       FROM sc
+             |       WHERE y - (CASE WHEN score > 0 THEN 1 ELSE 0 END) <> 0),
+             |d2 AS (SELECT fe.f, CAST(sum(dl.delta * fe.c) AS BIGINT) AS dw
+             |       FROM feats fe JOIN dl ON fe.doc_id = dl.doc_id
+             |       GROUP BY fe.f)
+             |SELECT fs.f,
+             |  coalesce(w1.w1, 0) AS w1,
+             |  coalesce(w1.w1, 0) + coalesce(d2.dw, 0) AS w2
+             |FROM (SELECT DISTINCT f FROM feats) fs
+             |LEFT JOIN w1 ON fs.f = w1.f
+             |LEFT JOIN d2 ON fs.f = d2.f
+             |ORDER BY fs.f""".stripMargin))
   )
 }

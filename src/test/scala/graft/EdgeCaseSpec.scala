@@ -168,6 +168,53 @@ class EdgeCaseSpec extends AnyFunSuite {
     assert(got.length == 30, s"6 queries x 5 nbrs expected, ${got.length}")
   }
 
+  test("session_window boundary: event at exactly last_ts+gap MERGES " +
+      "into the session; first strictly-later event opens a new one " +
+      "(w8's oracle encodes the same strict-> convention)") {
+    import spark.implicits._
+    // gap = 10 s; events at 0 s, 10 s (== boundary → MERGES: Spark
+    // session windows are closed on the right for the merge test),
+    // 21 s (> last+gap=20 s → NEW session)
+    val e = Seq((1L, 0L), (1L, 10_000_000L), (1L, 21_000_000L))
+      .toDF("user_id", "tu")
+      .select(col("user_id"), timestamp_micros(col("tu")).as("tss"))
+    val got = e.groupBy(col("user_id"),
+        session_window(col("tss"), "10 seconds").as("sw"))
+      .agg(count(lit(1)).as("n"))
+      .select(unix_micros(col("sw.start")), unix_micros(col("sw.end")),
+        col("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (0L, 20_000_000L, 2L),
+      (21_000_000L, 31_000_000L, 1L)),
+      s"boundary event must merge, strictly-later must split: ${got.toSeq}")
+  }
+
+  test("x33 perceptron step 1: w1 is exactly the positive-class count " +
+      "sum per feature cell (w=0 scores everything 0 -> yhat=0)") {
+    import spark.implicits._
+    // planted 2-doc corpus: 'aa aa' (en) hashes to one cell with c=2;
+    // 'bbb' (fr) to another. Step-1 weights: en cell = 2, fr cell = 0;
+    // step 2: 'aa aa' now scores 4 > 0 (correct, no update), 'bbb'
+    // scores 0 -> yhat=0 = y (correct) -> w2 == w1.
+    val fa = (2 * 31 + 'a'.toInt) % 64
+    val fb = (3 * 31 + 'b'.toInt) % 64
+    val docs = Seq((1L, "en", "aa aa"), (2L, "fr", "bbb"))
+    val dir = java.nio.file.Files.createTempDirectory("x33probe").toString
+    docs.toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("s"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .select("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("x33_linear_probe")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(fa, fb).sorted.map { f =>
+      if (f == fa) (f.toLong, 2L, 2L) else (f.toLong, 0L, 0L) },
+      s"got ${got.toSeq}, expected cells fa=$fa fb=$fb")
+  }
+
   test("dsirWeights: absent target source still yields finite weights") {
     import spark.implicits._
     val docs = Seq((1L, "raw", "a b c"), (2L, "raw", "d e f"))
