@@ -129,6 +129,30 @@ class PlanAuditSpec extends AnyFunSuite {
       s"BFS planned an unbounded cross:\n$p")
   }
 
+  test("w8: native session windows plan the session-merge node, not a " +
+      "window-function pass") {
+    val p = plan("w8_session_window")
+    // MergingSessions (the partial-agg path: per-partition session
+    // pre-merge BEFORE the user_id exchange, map-side combine for
+    // sessions) or UpdatingSessions is the dedicated physical path; a
+    // lag/running-sum fallback would surface as a Window node
+    assert(p.contains("MergingSessions") || p.contains("UpdatingSessions"),
+      s"expected a session-merge node in plan:\n$p")
+    assert(!p.contains("Window("), s"session windows fell back to a " +
+      s"window-function pass:\n$p")
+  }
+
+  test("x33: both perceptron weight joins broadcast the 64-row side") {
+    // the feature frame (corpus-sized) must never be the build side;
+    // w1 riding into the scoring join and dw/w1 riding into the final
+    // assembly are all bounded-by-64 frames
+    val p = plan("x33_linear_probe")
+    val n = "BroadcastHashJoin".r.findAllIn(p).length
+    assert(n >= 3, s"expected >=3 broadcast weight joins, got $n:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"a weight join fell back to SMJ (corpus-sized shuffle):\n$p")
+  }
+
   test("n7: trained-IVF centroid frames broadcast; corpus never does") {
     val p = plan("n7_ann_ivf_trained")
     // three assignment stages (2 Lloyd + the index build) each
