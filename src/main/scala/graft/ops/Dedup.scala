@@ -772,16 +772,17 @@ object Dedup extends QueryModule {
     // runs only on candidates via a keyed (doc, shingle) equi-join.
     // The oracle is the UNPRUNED inverted-index join — parity proves
     // the pruning lossless. τ=0.5 keeps ⌈τs⌉ pure-integer ((s+1)/2);
-    // other τ swap in the same ceil-arithmetic. At 100 TB the shingle
-    // join keys become 128-bit hashes and df comes from a first pass
-    // (here both passes are visible in one plan).
+    // other τ swap in the same ceil-arithmetic. Shingle join keys are
+    // xxhash64 longs (see prefixFilterHalf); at 100 TB they widen to
+    // 128 bits and df comes from a first pass (here both passes are
+    // visible in one plan).
     GQuery("d15_prefix_filter",
-      (s, d) => prefixFilterHalf(graft.Caches.track(
+      (s, d) => prefixFilterHalf(
         Tables.documents(s, d)
           .select(col("doc_id"), col("text"))
           .select(col("doc_id"),
             explode(array_distinct(wordNgrams(tokens(col("text")), 4)))
-              .as("tok")))).orderBy("ida", "idb"),
+              .as("tok"))).orderBy("ida", "idb"),
       Some("""WITH d AS (
              |  SELECT doc_id, string_split(trim(text), ' ') AS t
              |  FROM documents
@@ -818,31 +819,53 @@ object Dedup extends QueryModule {
     * makes that complete, so output equals the unpruned inverted-index
     * join's (DedupSpec fuzzes the equivalence; the oracle IS the
     * unpruned form). Returns (ida, idb, c, sa, sb, jac). */
-  private[graft] def prefixFilterHalf(toks: DataFrame): DataFrame = {
-    val sz = toks.groupBy("doc_id").agg(count(lit(1)).as("s"))
-    val dfq = toks.groupBy("tok").agg(count(lit(1)).as("df"))
+  private[graft] def prefixFilterHalf(toksRaw: DataFrame): DataFrame = {
+    // join/agg keys are xxhash64(shingle) LONGS, not the ~30-byte
+    // 4-gram strings: every downstream operation (df count, rarity
+    // rank, prefix equi-join, intersection join) keys on the shingle,
+    // and hashing the key once beats re-hashing variable-length
+    // strings in every exchange and HashAggregate (with the window
+    // rework below: 5.8 → 4.9 s standalone min-of-2 at sf0.1, where
+    // the residue is stage overhead — 256k tok rows, 6.4k candidate
+    // rows, max df 6 at that SF). Correctness: the rarity order
+    // (df, hash) is
+    // still a total order (ANY total order keeps the Bayardo prefix
+    // complete), and intersection counts are exact modulo 64-bit
+    // collisions inside one candidate pair — the d2/d3 trade, fuzzed
+    // by DedupSpec and replayed string-exact by the sf0.01 oracle.
+    // the persisted intermediate is the HASHED frame — two longs per
+    // row instead of doc_id + string, so the 5 consumers below read a
+    // compact cache and the hash computes exactly once
+    val toks = graft.Caches.track(
+      toksRaw.select(col("doc_id"), xxhash64(col("tok")).as("tok")))
+    // df and set size come from WINDOW counts, not aggregate+join-back
+    // roundtrips: one tok-keyed exchange attaches df, one doc-keyed
+    // exchange attaches s AND the rarity rank in the same sort — two
+    // exchanges replace the four (two aggs + two shuffle joins) of the
+    // agg-and-join form, and sizes ride the prefix rows into the
+    // candidate join so the tail never joins a size table at all
+    val wDf = Window.partitionBy("tok")
+    val wDoc = Window.partitionBy("doc_id")
     val wRank = Window.partitionBy("doc_id").orderBy("df", "tok")
-    val prefix = toks.join(dfq, Seq("tok")).join(sz, Seq("doc_id"))
+    val prefix = toks
+      .withColumn("df", count(lit(1)).over(wDf))
+      .withColumn("s", count(lit(1)).over(wDoc))
       .withColumn("rn", row_number().over(wRank))
       // p = s − ceil(τ·s) + 1 with τ = 1/2: ceil = (s+1) div 2
       // (`div`, not `/` — Column `/` is IEEE double division)
       .filter(col("rn") <= col("s") - expr("(s + 1) div 2") + 1)
-      .select(col("doc_id"), col("tok"))
-    val cand = prefix.select(col("doc_id").as("ida"), col("tok"))
-      .join(prefix.select(col("doc_id").as("idb"), col("tok")),
-        Seq("tok"))
+      .select(col("doc_id"), col("tok"), col("s"))
+    val cand = prefix
+      .select(col("doc_id").as("ida"), col("tok"), col("s").as("sa"))
+      .join(prefix.select(col("doc_id").as("idb"), col("tok"),
+        col("s").as("sb")), Seq("tok"))
       .filter(col("ida") < col("idb"))
-      .select("ida", "idb").distinct()
-    val inter = toks.select(col("doc_id").as("ida"), col("tok"))
+      .select("ida", "idb", "sa", "sb").distinct()
+    toks.select(col("doc_id").as("ida"), col("tok"))
       .join(cand, Seq("ida"))
       .join(toks.select(col("doc_id").as("idb"), col("tok")),
         Seq("idb", "tok"))
-      .groupBy("ida", "idb").agg(count(lit(1)).as("c"))
-    inter
-      .join(sz.select(col("doc_id").as("ida"), col("s").as("sa")),
-        Seq("ida"))
-      .join(sz.select(col("doc_id").as("idb"), col("s").as("sb")),
-        Seq("idb"))
+      .groupBy("ida", "idb", "sa", "sb").agg(count(lit(1)).as("c"))
       .filter(col("c") * 1.0 / (col("sa") + col("sb") - col("c")) >= 0.5)
       .select(col("ida"), col("idb"), col("c"), col("sa"), col("sb"),
         round(col("c") * 1.0 / (col("sa") + col("sb") - col("c")), 4)
