@@ -551,7 +551,53 @@ object Cluster extends QueryModule {
           .mkString(",\n") +
         s"""
            |SELECT node, dist FROM d$SsspRounds ORDER BY node"""
-          .stripMargin))
+          .stripMargin)),
+
+    // M18: HITS hubs-and-authorities over the DIRECTED customer→
+    // supplier order graph — the link-analysis dual of m13's PageRank
+    // (authority = endorsed by good hubs; hub = endorses good
+    // authorities), the classic crawl-seed / source-reputation signal.
+    // 1.5 mutual-reinforcement rounds (a¹ ← h⁰, h¹ ← a¹, a² ← h¹),
+    // INTEGER-exact: h⁰ = 1e6 for every customer makes a¹ exactly
+    // 1e6·indegree (computed directly as one keyed count — the
+    // algebra, not a join), and the two remaining steps are keyed
+    // sums over the persisted distinct edge frame. Un-normalized on
+    // purpose: 2 rounds stay well inside BIGINT (≤1e15 here), both
+    // engines replay bit-for-bit; at depth each round divides by the
+    // global score sum — a 1-row broadcast, same shape as m13's
+    // damping. Every shuffle is keyed by an endpoint; the score
+    // frames (per-customer / per-supplier) broadcast into the edge
+    // joins at this scale and degrade to keyed shuffle joins past the
+    // threshold — nothing corpus-sized is ever broadcast.
+    GQuery("m18_hits",
+      (s, d) => {
+        val e = graft.Caches.track(
+          Tables.lineitem(s, d)
+            .join(Tables.orders(s, d),
+              col("l_orderkey") === col("o_orderkey"))
+            .select(col("o_custkey").as("u"), col("l_suppkey").as("v"))
+            .distinct())
+        val a1 = e.groupBy("v")
+          .agg((count(lit(1)) * 1000000L).as("a"))
+        val h1 = e.join(a1, Seq("v"))
+          .groupBy("u").agg(sum("a").as("h"))
+        e.join(h1, Seq("u"))
+          .groupBy("v").agg(sum(col("h")).as("auth"))
+          .orderBy(col("auth").desc, col("v"))
+          .limit(25)
+          .select(col("v").as("suppkey"), col("auth"))
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT o_custkey AS u, l_suppkey AS v
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |a1 AS (SELECT v, CAST(count(*) * 1000000 AS BIGINT) AS a
+             |       FROM e GROUP BY 1),
+             |h1 AS (SELECT u, CAST(sum(a) AS BIGINT) AS h
+             |       FROM e JOIN a1 USING (v) GROUP BY 1),
+             |a2 AS (SELECT v, CAST(sum(h) AS BIGINT) AS auth
+             |       FROM e JOIN h1 USING (u) GROUP BY 1)
+             |SELECT v AS suppkey, auth FROM a2
+             |ORDER BY auth DESC, v LIMIT 25""".stripMargin))
   )
 
   /** Two synchronous label-propagation iterations over an undirected

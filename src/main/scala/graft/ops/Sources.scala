@@ -333,6 +333,53 @@ object Sources extends QueryModule {
       },
       Some(SqlFrontendStatement)),
 
+    // S19: ANALYZE-style table profiling — per-column row/null/distinct
+    // counts and value-length stats in ONE pass, the statistics sweep
+    // every ingest runs before planning (and the numbers a CBO or a
+    // data-quality dashboard consumes). Columns unpivot to
+    // (col_name, stringified value) via stack — map-only, no extra
+    // scan per column — then one keyed agg computes all stats;
+    // countDistinct adds the usual Expand but everything stays
+    // map-side-combined and the output is exactly one row per column.
+    // Stats are over the STRING rendering (integer casts are
+    // digit-exact in both engines) so one operator profiles any
+    // schema; a typed profiler would branch per type, and at 100 TB
+    // n_distinct swaps to the x10/x13 KMV sketch — same plan, bounded
+    // state.
+    GQuery("s19_table_stats",
+      (s, d) => Tables.documents(s, d)
+        .select(expr("""stack(5,
+            'doc_id', cast(doc_id as string),
+            'lang', lang,
+            'n_chars', cast(n_chars as string),
+            'source', source,
+            'text', text) as (col_name, v)"""))
+        .groupBy("col_name")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("v").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct(col("v")).as("n_distinct"),
+          min(length(col("v"))).cast("long").as("min_len"),
+          max(length(col("v"))).cast("long").as("max_len"),
+          round(avg(length(col("v"))), 4).as("avg_len"))
+        .orderBy("col_name"),
+      Some("""WITH u AS (
+             |  SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS v
+             |  FROM documents
+             |  UNION ALL SELECT 'lang', lang FROM documents
+             |  UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR)
+             |  FROM documents
+             |  UNION ALL SELECT 'source', source FROM documents
+             |  UNION ALL SELECT 'text', text FROM documents)
+             |SELECT col_name,
+             |  CAST(count(*) AS BIGINT) AS n_rows,
+             |  CAST(sum(CASE WHEN v IS NULL THEN 1 ELSE 0 END)
+             |    AS BIGINT) AS n_nulls,
+             |  CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+             |  CAST(min(len(v)) AS BIGINT) AS min_len,
+             |  CAST(max(len(v)) AS BIGINT) AS max_len,
+             |  round(avg(len(v)), 4) AS avg_len
+             |FROM u GROUP BY 1 ORDER BY 1""".stripMargin)),
+
     // Multimodal pipeline head (decode/resize/frame-sample stubs over
     // synthetic binary media). The generator is md5-derived (portable
     // arithmetic — the d4 trick), so DuckDB replays payload bytes,
