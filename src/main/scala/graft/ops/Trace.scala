@@ -524,7 +524,62 @@ object Trace extends QueryModule {
              |  CAST(coalesce(n_items, 0) AS BIGINT) AS n_items,
              |  CAST(coalesce(sum_cents, 0) AS BIGINT) AS sum_cents
              |FROM o FULL OUTER JOIN l ON o.k = l.k
-             |ORDER BY o_orderkey""".stripMargin))
+             |ORDER BY o_orderkey""".stripMargin)),
+
+    // T20: OHLC bar downsampling — the metrics/observability compaction
+    // step (raw event stream → per-series per-hour open/high/low/close/
+    // volume bars, the storage format every time-series backend keeps).
+    // ONE window sort per (series, hour) attaches open AND close
+    // (first_value/last_value over the full frame, deterministic
+    // (ts, event_id) order), then one keyed agg folds high/low/count/
+    // volume — the window and the agg share the same partitioning, so
+    // the whole query is a single exchange. At 100 TB the series key
+    // gains a shard column exactly like x24's packing windows; no
+    // global sort anywhere.
+    GQuery("t20_ohlc_bars",
+      (s, d) => {
+        val w = Window
+          .partitionBy("event_type", "hour").orderBy("ts", "event_id")
+          .rowsBetween(Window.unboundedPreceding,
+            Window.unboundedFollowing)
+        Tables.events(s, d)
+          .select(col("event_type"),
+            expr("ts div 3600000000000").as("hour"),
+            col("ts"), col("event_id"), col("value"))
+          .withColumn("open", first("value").over(w))
+          .withColumn("close", last("value").over(w))
+          .groupBy("event_type", "hour")
+          .agg(round(min("open"), 4).as("open"),
+            round(max("value"), 4).as("high"),
+            round(min("value"), 4).as("low"),
+            round(min("close"), 4).as("close"),
+            count(lit(1)).as("n_events"),
+            round(sum("value"), 4).as("volume"))
+          .orderBy("event_type", "hour")
+      },
+      Some("""WITH e AS (
+             |  SELECT event_type, epoch_ns(ts) // 3600000000000 AS hour,
+             |    value,
+             |    first_value(value) OVER (
+             |      PARTITION BY event_type, epoch_ns(ts) // 3600000000000
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND UNBOUNDED FOLLOWING) AS o,
+             |    last_value(value) OVER (
+             |      PARTITION BY event_type, epoch_ns(ts) // 3600000000000
+             |      ORDER BY ts, event_id
+             |      ROWS BETWEEN UNBOUNDED PRECEDING
+             |        AND UNBOUNDED FOLLOWING) AS c
+             |  FROM events)
+             |SELECT event_type, hour,
+             |  round(min(o), 4) AS open,
+             |  round(max(value), 4) AS high,
+             |  round(min(value), 4) AS low,
+             |  round(min(c), 4) AS close,
+             |  count(*) AS n_events,
+             |  round(sum(value), 4) AS volume
+             |FROM e GROUP BY 1, 2
+             |ORDER BY event_type, hour""".stripMargin))
   )
 
   /** T18 core: per event type, the exact least-squares slope of weekly
