@@ -29,6 +29,9 @@ object Ann extends QueryModule {
   /** Fixed demo query-set size for the brute-force kNN baseline — the
     * broadcast side must be CONSTANT, not a corpus fraction. */
   val QueryK = 25
+
+  /** n9: number of 8-vector pseudo-passages used as MaxSim queries. */
+  val MaxsimQDocs = 5
   /** n8 product quantization: PqM sub-spaces of PqDsub dims, PqK
     * codewords per sub-space (codebook = a constant broadcast). */
   val PqM = 8
@@ -687,6 +690,63 @@ object Ann extends QueryModule {
            |    CAST(row_number() OVER (PARTITION BY qid
            |      ORDER BY adq, nbr) AS BIGINT) AS rn
            |  FROM adc)
-           |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin))
+           |WHERE rn <= 5 ORDER BY qid, rn""".stripMargin)),
+
+    // N9: MaxSim late-interaction scoring (the ColBERT retrieval
+    // shape): passages keep PER-TOKEN vectors and score(q, p) =
+    // Σ_{query token} max_{passage token} cos — finer than n1's
+    // single-vector cosine because each query token independently
+    // finds its best match. Passages here are vec_id div 8 groups of
+    // the embeddings table (8 token vectors each); the 5 query
+    // passages' ≤40 token vectors ride ONE broadcast against the
+    // corpus scan, then the max and the sum are two keyed aggs —
+    // map-side combined, nothing corpus-sized shuffled wide. Token
+    // sims quantize to BIGINT micro-units BEFORE the sum (the n5/x27
+    // trick) so ranking is integer-exact in both engines. At 100 TB
+    // the broadcast stays |query tokens|-sized and the corpus side
+    // pre-filters through any of the n2/n3 candidate generators —
+    // MaxSim is the RE-RANK stage, not the sweep.
+    GQuery("n9_maxsim",
+      (s, d) => {
+        val v = normedVecs(s, d).withColumn("doc", expr("vec_id div 8"))
+        val q = v.filter(col("doc") < MaxsimQDocs)
+          .select(col("doc").as("qdoc"), col("vec_id").as("qid"),
+            col("v").as("qv"), col("nrm").as("qn"))
+        val c = v.filter(col("doc") >= MaxsimQDocs)
+        val w = Window.partitionBy("qdoc")
+          .orderBy(col("maxsim_micro").desc, col("doc"))
+        c.crossJoin(broadcast(q))
+          .select(col("qdoc"), col("qid"), col("doc"),
+            round(simFromNorms(col("qv"), col("v"), col("qn"),
+              col("nrm")) * 1000000).cast("long").as("simq"))
+          .groupBy("qdoc", "qid", "doc").agg(max("simq").as("mxq"))
+          .groupBy("qdoc", "doc").agg(sum("mxq").as("maxsim_micro"))
+          .withColumn("rn", row_number().over(w).cast("long"))
+          .filter(col("rn") <= 5)
+          .select("qdoc", "rn", "doc", "maxsim_micro")
+          .orderBy("qdoc", "rn")
+      },
+      Some(vCte +
+        s""",
+           |dv AS (SELECT vec_id, v, vec_id // 8 AS doc FROM v),
+           |q AS (SELECT doc AS qdoc, vec_id AS qid, v AS qv
+           |      FROM dv WHERE doc < $MaxsimQDocs),
+           |c AS (SELECT doc, vec_id, v FROM dv
+           |      WHERE doc >= $MaxsimQDocs),
+           |p AS (SELECT q.qdoc, q.qid, c.doc,
+           |        CAST(round((${cosSql("q.qv", "c.v")}) * 1000000)
+           |          AS BIGINT) AS simq
+           |      FROM c, q),
+           |m AS (SELECT qdoc, qid, doc, max(simq) AS mxq
+           |      FROM p GROUP BY 1, 2, 3),
+           |sc AS (SELECT qdoc, doc, CAST(sum(mxq) AS BIGINT)
+           |         AS maxsim_micro
+           |       FROM m GROUP BY 1, 2)
+           |SELECT qdoc, rn, doc, maxsim_micro FROM (
+           |  SELECT qdoc, doc, maxsim_micro,
+           |    CAST(row_number() OVER (PARTITION BY qdoc
+           |      ORDER BY maxsim_micro DESC, doc) AS BIGINT) AS rn
+           |  FROM sc)
+           |WHERE rn <= 5 ORDER BY qdoc, rn""".stripMargin))
   )
 }

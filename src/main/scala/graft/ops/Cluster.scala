@@ -597,7 +597,86 @@ object Cluster extends QueryModule {
              |a2 AS (SELECT v, CAST(sum(h) AS BIGINT) AS auth
              |       FROM e JOIN h1 USING (u) GROUP BY 1)
              |SELECT v AS suppkey, auth FROM a2
-             |ORDER BY auth DESC, v LIMIT 25""".stripMargin))
+             |ORDER BY auth DESC, v LIMIT 25""".stripMargin)),
+
+    // M19: EXACT modularity scoring of m14's LPA communities — the
+    // quality metric that turns "we clustered the graph" into a
+    // number (Newman Q: within-community edge excess over the random-
+    // graph expectation). Kept INTEGER-exact as a fraction over the
+    // common denominator 4m²: per community c, contrib_num =
+    // 4·m·e_c − d_c² and q_den = 4m², so Q = Σ contrib_num / q_den
+    // with zero float arithmetic anywhere (bounds: both terms ≤ 4m²
+    // ≈ 1e12 at sf0.1 — far inside BIGINT). Shape: the LPA label
+    // frame joins the edge frame twice (both endpoint labels, keyed
+    // equi-joins), then two keyed aggs; m rides as a 1-row broadcast.
+    // Top 25 communities by size keeps the output bounded at any SF.
+    GQuery("m19_modularity",
+      (s, d) => {
+        val e = graft.Caches.track(
+          Tables.lineitem(s, d)
+            .join(Tables.orders(s, d),
+              col("l_orderkey") === col("o_orderkey"))
+            .select((col("o_custkey") * 2).as("a"),
+              (col("l_suppkey") * 2 + 1).as("b"))
+            .distinct())
+        val lbl = graft.Caches.track(labelPropagation(e, 2))
+        val m = e.agg(count(lit(1)).as("m"))
+        val deg = e.select(col("a").as("node"))
+          .unionAll(e.select(col("b").as("node")))
+          .groupBy("node").agg(count(lit(1)).as("deg"))
+        val dc = deg.join(lbl, Seq("node"))
+          .groupBy("lbl")
+          .agg(count(lit(1)).as("n_nodes"), sum("deg").as("d_sum"))
+        val ein = e
+          .join(lbl.select(col("node").as("a"), col("lbl").as("la")),
+            Seq("a"))
+          .join(lbl.select(col("node").as("b"), col("lbl").as("lb")),
+            Seq("b"))
+          .filter(col("la") === col("lb"))
+          .groupBy(col("la").as("lbl")).agg(count(lit(1)).as("e_in"))
+        dc.join(ein, Seq("lbl"), "left")
+          .crossJoin(broadcast(m))
+          .select(col("lbl"), col("n_nodes"),
+            coalesce(col("e_in"), lit(0L)).as("e_in"), col("d_sum"),
+            (lit(4L) * col("m") * coalesce(col("e_in"), lit(0L))
+              - col("d_sum") * col("d_sum")).as("contrib_num"),
+            (lit(4L) * col("m") * col("m")).as("q_den"))
+          .orderBy(col("n_nodes").desc, col("lbl")).limit(25)
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |sym AS (SELECT a AS src, b AS dst FROM e
+             |        UNION ALL SELECT b, a FROM e),
+             |l0 AS (SELECT DISTINCT src AS node, src AS lbl FROM sym),
+             |c1 AS (SELECT sym.dst AS node, l0.lbl AS cand, count(*) AS n
+             |       FROM sym JOIN l0 ON sym.src = l0.node GROUP BY 1, 2),
+             |l1 AS (SELECT node, cand AS lbl FROM (
+             |  SELECT node, cand, row_number() OVER (PARTITION BY node
+             |    ORDER BY n DESC, cand) AS rn FROM c1) WHERE rn = 1),
+             |c2 AS (SELECT sym.dst AS node, l1.lbl AS cand, count(*) AS n
+             |       FROM sym JOIN l1 ON sym.src = l1.node GROUP BY 1, 2),
+             |l2 AS (SELECT node, cand AS lbl FROM (
+             |  SELECT node, cand, row_number() OVER (PARTITION BY node
+             |    ORDER BY n DESC, cand) AS rn FROM c2) WHERE rn = 1),
+             |mm AS (SELECT CAST(count(*) AS BIGINT) AS m FROM e),
+             |deg AS (SELECT node, CAST(count(*) AS BIGINT) AS deg
+             |        FROM (SELECT a AS node FROM e
+             |              UNION ALL SELECT b FROM e) GROUP BY 1),
+             |dc AS (SELECT l2.lbl, CAST(count(*) AS BIGINT) AS n_nodes,
+             |         CAST(sum(deg.deg) AS BIGINT) AS d_sum
+             |       FROM l2 JOIN deg ON l2.node = deg.node GROUP BY 1),
+             |ein AS (SELECT la.lbl, CAST(count(*) AS BIGINT) AS e_in
+             |        FROM e JOIN l2 la ON e.a = la.node
+             |               JOIN l2 lb ON e.b = lb.node
+             |        WHERE la.lbl = lb.lbl GROUP BY 1)
+             |SELECT dc.lbl, dc.n_nodes,
+             |  CAST(coalesce(ein.e_in, 0) AS BIGINT) AS e_in, dc.d_sum,
+             |  CAST(4 * mm.m * coalesce(ein.e_in, 0)
+             |    - dc.d_sum * dc.d_sum AS BIGINT) AS contrib_num,
+             |  CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
+             |FROM dc LEFT JOIN ein ON dc.lbl = ein.lbl CROSS JOIN mm
+             |ORDER BY n_nodes DESC, dc.lbl LIMIT 25""".stripMargin))
   )
 
   /** Two synchronous label-propagation iterations over an undirected

@@ -49,6 +49,10 @@ final case class AesOut(source: String, rk: Long, doc_id: Long, w: Long)
 /** Current cardinality estimate for one key. */
 final case class KmvOut(key: String, n_kept: Int, est_distinct: Double)
 
+/** Misra-Gries counter state: ≤ k (token, count) counters per shard. */
+final case class MgState(counters: List[(String, Long)])
+final case class MgOut(shard: String, tok: String, cnt_lower: Long)
+
 /** One attributed purchase. */
 final case class AsofOut(
     user_id: Long,
@@ -280,6 +284,43 @@ object StreamOps extends Serializable {
 
     rows.groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** Streaming Misra-Gries heavy hitters — the FREQUENT-items member
+    * of the sketch trio ([[kmvDistinct]] cardinality, [[countMin]]
+    * frequency matrix): per shard, at most `k` (token, count)
+    * counters; an unmatched token beyond capacity decrements EVERY
+    * counter instead of evicting one. The classic guarantee is
+    * order-independent even though counter values are not: after n
+    * tokens, any token with true frequency > n/(k+1) is GUARANTEED
+    * present, and each kept count undercounts true frequency by at
+    * most n/(k+1) (each decrement event consumes k+1 distinct token
+    * occurrences, so there are < n/(k+1) of them). State is O(k) per
+    * shard — independent of stream length — which is what lets a
+    * 100 TB token stream keep live per-shard top tokens without any
+    * history re-scan; at depth shard = (lang, day) and the per-shard
+    * sketches union by counter-add + global decrement, the standard
+    * MG merge. Emits the surviving counters each micro-batch the
+    * shard sees data (Update mode). */
+  def heavyHitters(toks: Dataset[(String, String)], k: Int = 8)
+      : Dataset[MgOut] = {
+    import toks.sparkSession.implicits._
+    def fn(shard: String, batch: Iterator[(String, String)],
+        state: GroupState[MgState]): Iterator[MgOut] = {
+      var m = state.getOption
+        .map(_.counters.toMap).getOrElse(Map.empty[String, Long])
+      batch.foreach { case (_, tok) =>
+        if (m.contains(tok)) m = m.updated(tok, m(tok) + 1L)
+        else if (m.size < k) m = m.updated(tok, 1L)
+        else m = m.view.mapValues(_ - 1L).filter(_._2 > 0L).toMap
+      }
+      val counters = m.toList.sortBy { case (t, c) => (-c, t) }
+      state.update(MgState(counters))
+      counters.iterator.map { case (t, c) => MgOut(shard, t, c) }
+    }
+    toks.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout)(fn)
   }
 
   /** Streaming twin of x31's deterministic A-ES weighted sampler

@@ -446,4 +446,49 @@ class StreamOpsSpec extends AnyFunSuite {
         s"stream $lastEmission\n!= batch $batch")
     } finally q.stop()
   }
+
+  test("heavyHitters: MG guarantee holds across micro-batch splits") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val k = 4
+    val mem = MemoryStream[(String, String)]
+    val q = StreamOps.heavyHitters(mem.toDS(), k)
+      .writeStream.format("memory").queryName("hh")
+      .outputMode(OutputMode.Update).start()
+    // skewed shard-s stream: "hot" 40x, "warm" 12x, 48 singleton
+    // tokens interleaved deterministically; n = 100, n/(k+1) = 20 →
+    // hot MUST survive with count ≥ 40 − 20, warm (12 ≤ 20) may drop
+    val toks = {
+      val rnd = new scala.util.Random(7)
+      rnd.shuffle(
+        List.fill(40)("hot") ++ List.fill(12)("warm") ++
+          (0 until 48).map(i => s"u$i").toList)
+    }
+    try {
+      // split mid-stream so counters must persist across batches
+      mem.addData(toks.take(37).map("s" -> _): _*)
+      q.processAllAvailable()
+      // Update-mode memory sink APPENDS each emission; remember where
+      // batch 1's rows end so the final emission is the tail slice
+      val n1 = spark.table("hh").count().toInt
+      mem.addData(toks.drop(37).map("s" -> _): _*)
+      q.processAllAvailable()
+      val fin = spark.sql("SELECT tok, cnt_lower FROM hh")
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .drop(n1).toMap
+      val exact = toks.groupBy(identity).map { case (t, l) =>
+        t -> l.size.toLong }
+      val n = toks.size
+      val slack = n / (k + 1)
+      assert(fin.contains("hot"),
+        s"hot (freq 40 > n/(k+1) = $slack) must survive: $fin")
+      // every surviving counter is a LOWER bound within slack of truth
+      fin.foreach { case (t, c) =>
+        assert(c <= exact(t), s"$t overcounted: $c > ${exact(t)}")
+        assert(c >= exact(t) - slack,
+          s"$t undercounted beyond the MG bound: $c < ${exact(t)} - $slack")
+      }
+      assert(fin.size <= k, s"state exceeded k counters: $fin")
+    } finally q.stop()
+  }
 }
