@@ -75,18 +75,19 @@ object Bench {
     // only when the first pass finished quickly: if the host is slow for
     // real, a second pass just burns the driver's round budget.
     val elapsed = (System.nanoTime() - mainT0) / 1e9
-    // 210 s (was 120 → 180): round 6's driver run came in at ~209 s
-    // pass-1 — ~1.6x the same tree's local single pass — and the
-    // fallback meant the COMMITTED number was that single anomalous
-    // pass; local back-to-back runs show ±30% pass-to-pass swings,
-    // which is exactly what min-of-2 corrects. The budget exists to
-    // avoid burning the round budget on a genuinely slow host; with
-    // 158 registered queries pass-1 measured ~167-175 s on the slow
-    // host instance, so 180 left the second pass one host wobble away
-    // from being dropped. At 210 s worst-case wall is still
-    // warm + 2x210 + sbt ≈ 9-10 min, while a pathological host
-    // (>2.5x local) still falls back to the single pass.
-    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_BUDGET", "210").toDouble
+    // 240 s (was 120 → 180 → 210): round 6's driver run came in at
+    // ~209 s pass-1 — ~1.6x the same tree's local single pass — and
+    // the fallback meant the COMMITTED number was that single
+    // anomalous pass; local back-to-back runs show ±30% pass-to-pass
+    // swings (round 7 caught a transient that inflated one contiguous
+    // alphabetical block 2-9× for ~100 s of a single pass), which is
+    // exactly what min-of-2 corrects. The budget exists to avoid
+    // burning the round budget on a genuinely slow host; with 165
+    // registered queries pass-1 measures ~190 s here, so each
+    // breadth addition was eroding the old 210 margin. At 240 s
+    // worst-case wall is warm + 2x240 + sbt ≈ 10-11 min, while a
+    // pathological host (>2.5x local) still falls back to one pass.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_BENCH_REP_BUDGET", "240").toDouble
     val pass2Opt =
       if (elapsed <= budget) {
         val pass2 = measure()

@@ -187,6 +187,38 @@ object Ann extends QueryModule {
     * scans its 2 nearest cells, exact cosine reranks to top-3. The cell
     * index is a CONSTANT broadcast however the centroids were obtained
     * (md5 seed set for n3, Lloyd-trained for n7). */
+  /** n10 core: `iters` integer-exact power-iteration steps over a
+    * (vec_id, v: array<double>) frame from the all-ones start; returns
+    * (pos, v_micro) — the final direction in 1e-6 units of its max
+    * component. See the n10 GQuery doc for the quantization contract. */
+  private[graft] def powerIter(vecs: DataFrame, dims: Int, iters: Int)
+      : DataFrame = {
+    def step(vt: DataFrame): DataFrame = {
+      val w = vecs.crossJoin(broadcast(vt))
+        .select(round(dotCol(col("v"), col("vt")) * 1000)
+          .cast("long").as("sq"), col("v"))
+        .select(col("sq"), posexplode(col("v")).as(Seq("pos", "x")))
+        .select(col("pos"),
+          round(col("x") * col("sq")).cast("long").as("c"))
+        .groupBy("pos").agg(sum("c").as("w"))
+      val mx = w.agg(max(abs(col("w"))).as("mw"))
+      w.crossJoin(broadcast(mx))
+        .select(col("pos"),
+          expr("CASE WHEN w < 0 THEN -((-w * 1000000) div mw) " +
+            "ELSE (w * 1000000) div mw END").as("vq"))
+        .agg(transform(array_sort(collect_list(struct(col("pos"),
+            (col("vq") / lit(1000000.0)).as("y")))),
+          e => e.getField("y")).as("vt"))
+    }
+    val v0 = vecs.sparkSession.range(1)
+      .select(array((0 until dims).map(_ => lit(1.0)): _*).as("vt"))
+    (1 to iters).foldLeft(v0)((vt, _) => step(vt))
+      .select(posexplode(col("vt")).as(Seq("pos", "y")))
+      .select(col("pos").cast("long").as("pos"),
+        round(col("y") * 1000000).cast("long").as("v_micro"))
+      .orderBy("pos")
+  }
+
   private[graft] def ivfTopK(vecs: DataFrame, cents: DataFrame)
       : DataFrame = {
     val scoredC = vecs.crossJoin(broadcast(cents))
@@ -747,6 +779,66 @@ object Ann extends QueryModule {
            |    CAST(row_number() OVER (PARTITION BY qdoc
            |      ORDER BY maxsim_micro DESC, doc) AS BIGINT) AS rn
            |  FROM sc)
-           |WHERE rn <= 5 ORDER BY qdoc, rn""".stripMargin))
+           |WHERE rn <= 5 ORDER BY qdoc, rn""".stripMargin)),
+
+    // N10: dominant singular direction of the embedding matrix by
+    // POWER ITERATION — the kernel under PCA whitening / spectral
+    // dim-reduction in an embedding pipeline. Each iteration is one
+    // distributed pass: s_r = round(1000·⟨x_r, v⟩) per row (the
+    // current direction rides as a 1-row broadcast), per-dimension
+    // contributions quantized to BIGINT BEFORE the sum (the n5 trick —
+    // Σ round(x_j·s_r) commutes exactly, so the 64-long result is
+    // partitioning-independent), then an integer renormalization
+    // vq_j = sign·(|w_j|·1e6 div max|w|) — sign-split because Spark's
+    // `div` truncates while DuckDB's `//` floors, and they only agree
+    // on non-negatives. Two iterations from the all-ones start; the
+    // shuffle carries 64 partial-sum rows per partition and the
+    // direction never touches the driver. Uncentered (top singular
+    // vector, not covariance PC): centering is one more broadcast
+    // subtract, same plan. At larger row counts the s-quantization
+    // scale trades against BIGINT headroom — 1e3 holds to ~1e12 rows
+    // per partition-sum at these magnitudes.
+    GQuery("n10_power_iter",
+      (s, d) => powerIter(
+        graft.Caches.track(
+          Tables.embeddings(s, d)
+            .repartition(s.sparkContext.defaultParallelism)
+            .select(col("vec_id"),
+              transform(col("embedding"), _.cast("double")).as("v"))),
+        dims = 64, iters = 2),
+      Some(vCte +
+        """,
+          |s1 AS (SELECT v, CAST(round(list_sum(v) * 1000) AS BIGINT)
+          |         AS s FROM v),
+          |c1 AS (SELECT pos, CAST(sum(CAST(round(x * s) AS BIGINT))
+          |         AS BIGINT) AS w
+          |       FROM (SELECT s, unnest(v) AS x,
+          |               unnest(range(len(v))) AS pos FROM s1)
+          |       GROUP BY 1),
+          |m1 AS (SELECT max(abs(w)) AS mw FROM c1),
+          |v1 AS (SELECT pos,
+          |         CASE WHEN w < 0 THEN -((-w * 1000000) // mw)
+          |              ELSE (w * 1000000) // mw END AS vq
+          |       FROM c1, m1),
+          |vt1 AS (SELECT list(vq / 1000000.0 ORDER BY pos) AS vt
+          |        FROM v1),
+          |s2 AS (SELECT vec_id, v,
+          |         CAST(round(list_sum(list_transform(
+          |           list_zip(v, vt1.vt), x -> x[1] * x[2])) * 1000)
+          |           AS BIGINT) AS s
+          |       FROM v, vt1),
+          |c2 AS (SELECT pos, CAST(sum(CAST(round(x * s) AS BIGINT))
+          |         AS BIGINT) AS w
+          |       FROM (SELECT s, unnest(v) AS x,
+          |               unnest(range(len(v))) AS pos FROM s2)
+          |       GROUP BY 1),
+          |m2 AS (SELECT max(abs(w)) AS mw FROM c2),
+          |v2 AS (SELECT pos,
+          |         CASE WHEN w < 0 THEN -((-w * 1000000) // mw)
+          |              ELSE (w * 1000000) // mw END AS vq
+          |       FROM c2, m2)
+          |SELECT CAST(pos AS BIGINT) AS pos, CAST(vq AS BIGINT)
+          |  AS v_micro
+          |FROM v2 ORDER BY pos""".stripMargin))
   )
 }

@@ -225,4 +225,26 @@ class AnnSpec extends AnyFunSuite {
     assert(mateFrac >= 0.9,
       f"PQ top-5 mate fraction $mateFrac%.3f below 0.9")
   }
+
+  test("powerIter: recovers a planted dominant direction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val dims = 16
+    // anisotropic cloud: dimension 3 carries 10x the variance of the
+    // rest — the dominant singular direction is (close to) e_3
+    val vecs = (0 until 200).map { i =>
+      (i.toLong, Array.tabulate(dims)(j =>
+        if (j == 3) rnd.nextGaussian() * 10.0
+        else rnd.nextGaussian() * 1.0))
+    }.toDF("vec_id", "v")
+    val dir = graft.ops.Ann.powerIter(vecs, dims, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val domAbs = math.abs(dir(3L))
+    assert(domAbs == 1000000L,
+      s"planted dimension must be the max component: $dir")
+    (0 until dims).filter(_ != 3).foreach { j =>
+      assert(math.abs(dir(j.toLong)) < 400000L,
+        s"off-direction dim $j too large: ${dir(j.toLong)}")
+    }
+  }
 }
