@@ -153,6 +153,39 @@ class PlanAuditSpec extends AnyFunSuite {
       s"a weight join fell back to SMJ (corpus-sized shuffle):\n$p")
   }
 
+  test("t20: OHLC window and agg share one data exchange") {
+    // the (series, hour) window sort and the keyed agg reuse the same
+    // hash partitioning: exactly 2 exchanges total — the data exchange
+    // and the deterministic output orderBy
+    val p = plan("t20_ohlc_bars")
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n == 2, s"expected data + output-sort exchanges only, got $n:\n$p")
+  }
+
+  test("s19: profiling sweep plans re-aggregation, not Expand") {
+    // the single countDistinct compiles to two-phase re-aggregation on
+    // (col_name, v) — no Expand row-multiplication; 2 agg exchanges +
+    // the output sort
+    val p = plan("s19_table_stats")
+    assert(!p.contains("Expand"), s"distinct agg fell back to Expand:\n$p")
+    val n = "Exchange".r.findAllIn(p).length
+    assert(n == 3, s"expected 2 agg exchanges + output sort, got $n:\n$p")
+  }
+
+  test("n9: MaxSim broadcasts the query tokens and keeps partial top-k " +
+      "below the rank shuffle") {
+    val p = plan("n9_maxsim")
+    // corpus×query pairing must ride a broadcast of the bounded query
+    // side, never a shuffle join or unbounded cross
+    assert(p.contains("BroadcastNestedLoopJoin"),
+      s"query-token broadcast missing:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token pairing fell back to a corpus shuffle join:\n$p")
+    // rank-limit pushes a per-partition top-k before the qdoc exchange
+    val n = "WindowGroupLimit".r.findAllIn(p).length
+    assert(n >= 2, s"expected partial+final WindowGroupLimit, got $n:\n$p")
+  }
+
   test("n7: trained-IVF centroid frames broadcast; corpus never does") {
     val p = plan("n7_ann_ivf_trained")
     // three assignment stages (2 Lloyd + the index build) each
