@@ -1627,71 +1627,133 @@ object TextAnalysis extends QueryModule {
     // not the plan: gradient aggregation is exactly the shape AllReduce
     // does on a parameter server, expressed as a Spark agg.
     GQuery("x33_linear_probe",
+      (s, d) => probeWeights(probeFeats(s, d)).orderBy("f"),
+      Some(ProbeCtes +
+        """
+          |SELECT fs.f,
+          |  coalesce(w1.w1, 0) AS w1,
+          |  coalesce(w1.w1, 0) + coalesce(d2.dw, 0) AS w2
+          |FROM (SELECT DISTINCT f FROM feats) fs
+          |LEFT JOIN w1 ON fs.f = w1.f
+          |LEFT JOIN d2 ON fs.f = d2.f
+          |ORDER BY fs.f""".stripMargin)),
+
+    // X34: the EVALUATE half of x33 — score every document under the
+    // trained w2 weights and emit the integer-exact confusion matrix
+    // (y, yhat, n) plus per-cell corpus share in basis points. The
+    // train→evaluate loop is what a curation pipeline actually ships:
+    // x33's weights gate the corpus, x34's matrix is the quality
+    // report that decides whether they may. One extra consumer of the
+    // persisted feature frame: the 64-row weight frame broadcasts into
+    // one keyed scoring agg, then the 4-cell matrix is a second tiny
+    // agg — no new corpus-sized state anywhere.
+    GQuery("x34_probe_eval",
       (s, d) => {
-        val feats = Tables.documents(s, d)
-          .select("doc_id", "lang", "text")
-          .repartition(s.sparkContext.defaultParallelism)
-          .select(col("doc_id"),
-            (col("lang") === "en").cast("long").as("y"),
-            explode(tokens(col("text"))).as("tok"))
-          .select(col("doc_id"), col("y"),
-            ((length(col("tok")) * 31 + ascii(col("tok"))) % 64)
-              .cast("long").as("f"))
-          .groupBy("doc_id", "y", "f").agg(count(lit(1)).as("c"))
-          .transform(graft.Caches.track)
-        // step 1 from w=0: every score is 0 → ŷ=0 → Δw_f = Σ_{y=1} c
-        val w1 = feats.filter(col("y") === 1)
-          .groupBy("f").agg(sum("c").as("w1"))
-        // step 2: score docs under w1, misclassified docs push ±counts
+        val feats = probeFeats(s, d)
+        val wt = probeWeights(feats).select("f", "w2")
         val scored = feats
-          .join(broadcast(w1), Seq("f"), "left")
+          .join(broadcast(wt), Seq("f"), "left")
           .groupBy("doc_id", "y")
-          .agg(sum(col("c") * coalesce(col("w1"), lit(0L))).as("score"))
-          .select(col("doc_id"),
-            (col("y") - when(col("score") > 0, 1L).otherwise(0L))
-              .as("delta"))
-          .filter(col("delta") =!= 0)
-        val dw = feats.join(broadcast(scored), Seq("doc_id"))
-          .groupBy("f").agg(sum(col("delta") * col("c")).as("dw"))
-        feats.select("f").distinct()
-          .join(broadcast(w1), Seq("f"), "left")
-          .join(broadcast(dw), Seq("f"), "left")
-          .select(col("f"),
-            coalesce(col("w1"), lit(0L)).as("w1"),
-            (coalesce(col("w1"), lit(0L)) + coalesce(col("dw"), lit(0L)))
-              .as("w2"))
-          .orderBy("f")
+          .agg(sum(col("c") * coalesce(col("w2"), lit(0L))).as("score"))
+          .select(col("y"),
+            when(col("score") > 0, 1L).otherwise(0L).as("yhat"))
+        val total = scored.agg(count(lit(1)).as("total"))
+        scored.groupBy("y", "yhat").agg(count(lit(1)).as("n"))
+          .crossJoin(broadcast(total))
+          .select(col("y"), col("yhat"), col("n"),
+            expr("(n * 10000) div total").as("share_bp"))
+          .orderBy("y", "yhat")
       },
-      Some("""WITH tok AS (
-             |  SELECT doc_id,
-             |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-             |    unnest(string_split(trim(text), ' ')) AS tok
-             |  FROM documents WHERE trim(text) <> ''),
-             |feats AS (
-             |  SELECT doc_id, y,
-             |    CAST((len(tok) * 31 + ascii(tok)) % 64 AS BIGINT) AS f,
-             |    CAST(count(*) AS BIGINT) AS c
-             |  FROM tok GROUP BY 1, 2, 3),
-             |w1 AS (SELECT f, CAST(sum(c) AS BIGINT) AS w1
-             |       FROM feats WHERE y = 1 GROUP BY f),
-             |sc AS (SELECT fe.doc_id, fe.y,
-             |         CAST(coalesce(sum(fe.c * w1.w1), 0) AS BIGINT)
-             |           AS score
-             |       FROM feats fe LEFT JOIN w1 ON fe.f = w1.f
-             |       GROUP BY 1, 2),
-             |dl AS (SELECT doc_id,
-             |         y - (CASE WHEN score > 0 THEN 1 ELSE 0 END) AS delta
-             |       FROM sc
-             |       WHERE y - (CASE WHEN score > 0 THEN 1 ELSE 0 END) <> 0),
-             |d2 AS (SELECT fe.f, CAST(sum(dl.delta * fe.c) AS BIGINT) AS dw
-             |       FROM feats fe JOIN dl ON fe.doc_id = dl.doc_id
-             |       GROUP BY fe.f)
-             |SELECT fs.f,
-             |  coalesce(w1.w1, 0) AS w1,
-             |  coalesce(w1.w1, 0) + coalesce(d2.dw, 0) AS w2
-             |FROM (SELECT DISTINCT f FROM feats) fs
-             |LEFT JOIN w1 ON fs.f = w1.f
-             |LEFT JOIN d2 ON fs.f = d2.f
-             |ORDER BY fs.f""".stripMargin))
+      Some(ProbeCtes +
+        """,
+          |wt AS (SELECT fs.f,
+          |         coalesce(w1.w1, 0) + coalesce(d2.dw, 0) AS w2
+          |       FROM (SELECT DISTINCT f FROM feats) fs
+          |       LEFT JOIN w1 ON fs.f = w1.f
+          |       LEFT JOIN d2 ON fs.f = d2.f),
+          |ev AS (SELECT fe.doc_id, fe.y,
+          |         CASE WHEN coalesce(sum(fe.c * wt.w2), 0) > 0
+          |              THEN 1 ELSE 0 END AS yhat
+          |       FROM feats fe LEFT JOIN wt ON fe.f = wt.f
+          |       GROUP BY 1, 2),
+          |tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM ev)
+          |SELECT CAST(y AS BIGINT) AS y, CAST(yhat AS BIGINT) AS yhat,
+          |  CAST(count(*) AS BIGINT) AS n,
+          |  CAST((count(*) * 10000) // tot.total AS BIGINT) AS share_bp
+          |FROM ev, tot
+          |GROUP BY y, yhat, tot.total
+          |ORDER BY y, yhat""".stripMargin))
   )
+
+  /** x33/x34 shared DuckDB CTE chain: hashed features + the two
+    * perceptron steps (w1, then d2 = the step-2 update). Kept as one
+    * constant so the train and evaluate oracles can never drift. */
+  private val ProbeCtes: String =
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+      |    unnest(string_split(trim(text), ' ')) AS tok
+      |  FROM documents WHERE trim(text) <> ''),
+      |feats AS (
+      |  SELECT doc_id, y,
+      |    CAST((len(tok) * 31 + ascii(tok)) % 64 AS BIGINT) AS f,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM tok GROUP BY 1, 2, 3),
+      |w1 AS (SELECT f, CAST(sum(c) AS BIGINT) AS w1
+      |       FROM feats WHERE y = 1 GROUP BY f),
+      |sc AS (SELECT fe.doc_id, fe.y,
+      |         CAST(coalesce(sum(fe.c * w1.w1), 0) AS BIGINT)
+      |           AS score
+      |       FROM feats fe LEFT JOIN w1 ON fe.f = w1.f
+      |       GROUP BY 1, 2),
+      |dl AS (SELECT doc_id,
+      |         y - (CASE WHEN score > 0 THEN 1 ELSE 0 END) AS delta
+      |       FROM sc
+      |       WHERE y - (CASE WHEN score > 0 THEN 1 ELSE 0 END) <> 0),
+      |d2 AS (SELECT fe.f, CAST(sum(dl.delta * fe.c) AS BIGINT) AS dw
+      |       FROM feats fe JOIN dl ON fe.doc_id = dl.doc_id
+      |       GROUP BY fe.f)""".stripMargin
+
+  /** x33/x34 shared: the persisted (doc_id, y, f, c) hashed
+    * bag-of-words frame (y = weak lang='en' label). */
+  private def probeFeats(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    Tables.documents(s, d)
+      .select("doc_id", "lang", "text")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"),
+        (col("lang") === "en").cast("long").as("y"),
+        explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), col("y"),
+        ((length(col("tok")) * 31 + ascii(col("tok"))) % 64)
+          .cast("long").as("f"))
+      .groupBy("doc_id", "y", "f").agg(count(lit(1)).as("c"))
+      .transform(graft.Caches.track)
+
+  /** x33/x34 shared: (f, w1, w2) after the two perceptron steps over
+    * a [[probeFeats]]-shaped frame. */
+  private[graft] def probeWeights(feats: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // step 1 from w=0: every score is 0 → ŷ=0 → Δw_f = Σ_{y=1} c
+    val w1 = feats.filter(col("y") === 1)
+      .groupBy("f").agg(sum("c").as("w1"))
+    // step 2: score docs under w1, misclassified docs push ±counts
+    val scored = feats
+      .join(broadcast(w1), Seq("f"), "left")
+      .groupBy("doc_id", "y")
+      .agg(sum(col("c") * coalesce(col("w1"), lit(0L))).as("score"))
+      .select(col("doc_id"),
+        (col("y") - when(col("score") > 0, 1L).otherwise(0L))
+          .as("delta"))
+      .filter(col("delta") =!= 0)
+    val dw = feats.join(broadcast(scored), Seq("doc_id"))
+      .groupBy("f").agg(sum(col("delta") * col("c")).as("dw"))
+    feats.select("f").distinct()
+      .join(broadcast(w1), Seq("f"), "left")
+      .join(broadcast(dw), Seq("f"), "left")
+      .select(col("f"),
+        coalesce(col("w1"), lit(0L)).as("w1"),
+        (coalesce(col("w1"), lit(0L)) + coalesce(col("dw"), lit(0L)))
+          .as("w2"))
+  }
 }
