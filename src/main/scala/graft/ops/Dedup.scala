@@ -804,7 +804,73 @@ object Dedup extends QueryModule {
              |FROM ix JOIN sz sa ON ix.ida = sa.doc_id
              |        JOIN sz sb ON ix.idb = sb.doc_id
              |WHERE c * 1.0 / (sa.s + sb.s - c) >= 0.5
-             |ORDER BY ida, idb""".stripMargin))
+             |ORDER BY ida, idb""".stripMargin)),
+
+    // D16: STORED dedup index — d11 probes a freshly recomputed corpus
+    // index; production ingest probes YESTERDAY'S index from disk.
+    // Here the existing corpus's band signatures are WRITTEN to
+    // parquet, read back, and the new batch joins against the stored
+    // frame — proving (a) the minhash signatures are stable across a
+    // write/read roundtrip (portable longs, no object identity), and
+    // (b) daily ingest never recomputes corpus-side featurization:
+    // probe cost is O(batch + collisions) against an on-disk index
+    // keyed (bid, sig) — the frame a real deployment would bucket by
+    // band on write so probes prune to matching buckets. Exact-Jaccard
+    // verification on the candidate set only, as everywhere.
+    GQuery("d16_stored_index",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_lshidx_").toString
+        val isNewId: Column => Column = c => c % 5 === 4
+        val sh = docShingles(s, d)
+        bandSignatures(sh.filter(!isNewId(col("doc_id"))))
+          .write.mode("overwrite").parquet(s"$dir/index")
+        val idx = s.read.parquet(s"$dir/index")
+          .select(col("bid"), col("sig"), col("doc_id").as("eid"))
+        val nb = bandSignatures(sh.filter(isNewId(col("doc_id"))))
+          .select(col("bid"), col("sig"), col("doc_id").as("nid"))
+        val cand = nb.join(idx, Seq("bid", "sig"))
+          .select("nid", "eid").distinct()
+        val candIds = cand
+          .select(explode(array(col("nid"), col("eid"))).as("doc_id"))
+          .distinct()
+        val shCand = Tables.documents(s, d)
+          .join(candIds, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), tokens(col("text")).as("toks"))
+          .select(col("doc_id"),
+            array_distinct(wordNgrams(col("toks"), 3)).as("sh"))
+          .transform(graft.Caches.track)
+        val pe = cand
+          .join(shCand.select(col("doc_id").as("nid"), col("sh").as("sha")),
+            Seq("nid"))
+          .join(shCand.select(col("doc_id").as("eid"), col("sh").as("shb")),
+            Seq("eid"))
+          .filter(jaccardSim(col("sha"), col("shb")) >= 0.5)
+          .groupBy("nid").agg(min(col("eid")).as("keeper"))
+        sh.filter(isNewId(col("doc_id"))).select("doc_id")
+          .join(pe.select(col("nid").as("doc_id"), col("keeper")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            when(col("keeper").isNotNull, "dup_existing")
+              .otherwise("new").as("status"),
+            col("keeper"))
+          .orderBy("doc_id")
+      },
+      Some(shingleSqlCte +
+        """,
+          |nw AS (SELECT doc_id, sh FROM s WHERE doc_id % 5 = 4),
+          |ex AS (SELECT doc_id, sh FROM s WHERE doc_id % 5 <> 4),
+          |pe AS (SELECT n.doc_id AS nid, min(e.doc_id) AS keeper
+          |       FROM nw n JOIN ex e
+          |       ON len(list_intersect(n.sh, e.sh)) * 1.0 /
+          |          len(list_distinct(n.sh || e.sh)) >= 0.5
+          |       GROUP BY 1)
+          |SELECT nw.doc_id,
+          |  CASE WHEN pe.keeper IS NOT NULL THEN 'dup_existing'
+          |       ELSE 'new' END AS status,
+          |  CAST(pe.keeper AS BIGINT) AS keeper
+          |FROM nw LEFT JOIN pe ON nw.doc_id = pe.nid
+          |ORDER BY nw.doc_id""".stripMargin))
   )
 
   /** d12 core: cluster-assign `vecs` (vec_id, v, nrm) to the broadcast

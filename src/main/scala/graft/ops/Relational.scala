@@ -835,6 +835,32 @@ object Relational extends QueryModule {
              |     EXCEPT SELECT c_nationkey FROM customer))
              |ORDER BY op, nk""".stripMargin)),
 
+    // U6: MULTISET set algebra — exceptAll/intersectAll keep
+    // per-value multiplicity (u4's set forms collapse it): the
+    // difference between "which nation keys appear on both sides" and
+    // "how many surplus suppliers a nation has over customers". Spark
+    // plans these as aggregate-count + generate-replicate (no join
+    // explosion); the count summary per (op, nk) keeps the checked
+    // output compact while still proving the multiplicities.
+    GQuery("u6_multiset_ops",
+      (s, d) => {
+        val sup = Tables.supplier(s, d).select(col("s_nationkey").as("nk"))
+        val cus = Tables.customer(s, d).select(col("c_nationkey").as("nk"))
+        sup.intersectAll(cus).withColumn("op", lit("inter_all"))
+          .unionByName(sup.exceptAll(cus).withColumn("op", lit("exc_all")))
+          .groupBy("op", "nk").agg(count(lit(1)).as("n"))
+          .orderBy("op", "nk")
+      },
+      Some("""SELECT op, nk, count(*) AS n FROM (
+             |  SELECT nk, 'inter_all' AS op FROM
+             |    (SELECT s_nationkey AS nk FROM supplier
+             |     INTERSECT ALL SELECT c_nationkey FROM customer)
+             |  UNION ALL
+             |  SELECT nk, 'exc_all' AS op FROM
+             |    (SELECT s_nationkey AS nk FROM supplier
+             |     EXCEPT ALL SELECT c_nationkey FROM customer))
+             |GROUP BY 1, 2 ORDER BY op, nk""".stripMargin)),
+
     // ---- F: scalar functions ---------------------------------------------
     // F4/F5/F-string: concat_ws, upper, substring, replace, length.
     GQuery("f1_string_funcs",
