@@ -1682,7 +1682,150 @@ object TextAnalysis extends QueryModule {
           |  CAST((count(*) * 10000) // tot.total AS BIGINT) AS share_bp
           |FROM ev, tot
           |GROUP BY y, yhat, tot.total
-          |ORDER BY y, yhat""".stripMargin))
+          |ORDER BY y, yhat""".stripMargin)),
+
+    // X35: deterministic global shuffle + token-balanced shard
+    // assignment — the pretraining shard-writer step (cf. Dolma /
+    // RedPajama): order the corpus by a seeded hash (reproducible
+    // "random" order, no RNG state), then greedily pack docs
+    // doc-atomically into ~4096-token shards in that order. The
+    // scale-critical piece is the GLOBAL cumulative token count
+    // without a global single-task window: a distributed prefix sum —
+    // (1) per-doc cumsum windows partitioned by the 4096-way
+    // order-preserving hash-prefix bucket (parallel), (2) bucket
+    // totals windowed on a frame PROVABLY bounded at 4096 rows
+    // (groupBy output, not data-sized), (3) offsets broadcast back.
+    // Same exactness story as x31: 48-bit md5 keys are tie-free and
+    // integer arithmetic end-to-end. Output is the per-shard manifest
+    // (doc/token counts + hash-key range) — what a writer would fan
+    // out to per-shard tasks.
+    GQuery("x35_shard_shuffle",
+      (s, d) => {
+        val B = 4096L
+        val docs = docsSpread(s, d)
+          .select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("w"))
+          .filter(col("w") > 0)
+          .withColumn("h",
+            conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+              16, 10).cast("long"))
+          .withColumn("b", expr("h div 68719476736"))  // 2^36 → 4096 buckets
+        val inb = org.apache.spark.sql.expressions.Window
+          .partitionBy("b").orderBy("h")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        val wb = org.apache.spark.sql.expressions.Window
+          .orderBy("b")
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, -1)
+        val offs = docs.groupBy("b").agg(sum(col("w")).as("bw"))
+          .withColumn("off", coalesce(sum(col("bw")).over(wb), lit(0L)))
+          .select("b", "off")
+        docs
+          .withColumn("cb_in", coalesce(sum(col("w")).over(inb), lit(0L)))
+          .join(broadcast(offs), Seq("b"))
+          .withColumn("shard", (col("off") + col("cb_in")) / lit(B)
+            cast "long")
+          .groupBy("shard")
+          .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_toks"),
+            min(col("h")).as("h_lo"), max(col("h")).as("h_hi"))
+          .orderBy("shard")
+      },
+      Some("""WITH d AS (
+             |  SELECT doc_id,
+             |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w,
+             |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+             |      ::BIGINT AS h
+             |  FROM documents WHERE trim(text) <> ''),
+             |c AS (SELECT doc_id, w, h,
+             |        CAST(coalesce(sum(w) OVER (ORDER BY h
+             |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+             |          0) AS BIGINT) AS cb
+             |      FROM d),
+             |s AS (SELECT h, w, cb // 4096 AS shard FROM c)
+             |SELECT CAST(shard AS BIGINT) AS shard,
+             |  count(*) AS n_docs, CAST(sum(w) AS BIGINT) AS n_toks,
+             |  CAST(min(h) AS BIGINT) AS h_lo,
+             |  CAST(max(h) AS BIGINT) AS h_hi
+             |FROM s GROUP BY shard ORDER BY shard""".stripMargin)),
+
+    // X36: BM25 top-k retrieval — the LEXICAL retrieval baseline next
+    // to the n-block's ANN (and n9's late-interaction re-rank): score =
+    // Σ_q idf(q) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)), k1=1.2,
+    // b=0.75, idf = ln((N−df+½)/(df+½)+1) (Robertson/Sparck Jones,
+    // always-positive form). The query is itself derived
+    // deterministically from the corpus (df-ranks 10–14 — frequent
+    // enough to hit many docs, below the stopword saturation zone).
+    // Engine exactness: idf micro-quantized at the vocabulary level
+    // (x16's trick) and the length normalization folded into an
+    // integer denominator — per-term scores are exact BIGINT div
+    // arithmetic, identical across engines. Scale posture: tf/dl are
+    // keyed aggregates; the df-rank window runs on the Heaps-law-
+    // bounded vocabulary (x16's broadcast justification); the 5-term
+    // query frame broadcasts; top-10 is TakeOrderedAndProject, never a
+    // global sort.
+    GQuery("x36_bm25",
+      (s, d) => {
+        val tf = docsSpread(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+          .filter(col("tok") =!= "")
+          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+          .transform(graft.Caches.track)
+        val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+        val stats = dl.agg(count(lit(1)).as("n_docs"),
+          round(avg(col("dl")) * 1e3).cast("long").as("avgdl_milli"))
+        val wdf = org.apache.spark.sql.expressions.Window
+          .orderBy(col("df").desc, col("tok"))
+        val q = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+          .withColumn("qrk", row_number().over(wdf))
+          .filter(col("qrk").between(10, 14))
+          .crossJoin(broadcast(stats))
+          .select(col("tok"), col("avgdl_milli"),
+            round(log((col("n_docs") - col("df") + 0.5) /
+              (col("df") + 0.5) + 1.0) * 1e6).cast("long")
+              .as("idf_micro"))
+        tf.join(broadcast(q), Seq("tok"))
+          .join(dl, Seq("doc_id"))
+          .withColumn("denom_micro",
+            col("tf") * 1000000L + 300000L +
+              round(lit(9e8) * col("dl") / col("avgdl_milli"))
+                .cast("long"))
+          .withColumn("term_micro",
+            expr("(idf_micro * tf * 2200000) div denom_micro"))
+          .groupBy("doc_id")
+          .agg(sum(col("term_micro")).as("score_micro"),
+            count(lit(1)).as("n_terms_hit"))
+          .orderBy(col("score_micro").desc, col("doc_id"))
+          .limit(10)
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents WHERE trim(text) <> ''),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf
+             |       FROM t GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |       FROM tf GROUP BY 1),
+             |st AS (SELECT count(*) AS n_docs,
+             |         CAST(round(avg(dl) * 1e3) AS BIGINT) AS avgdl_milli
+             |       FROM dl),
+             |q AS (SELECT tok, avgdl_milli,
+             |        CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             |          * 1e6) AS BIGINT) AS idf_micro
+             |      FROM (SELECT tok, count(*) AS df,
+             |              row_number() OVER (ORDER BY count(*) DESC, tok)
+             |                AS qrk
+             |            FROM tf GROUP BY tok) v CROSS JOIN st
+             |      WHERE qrk BETWEEN 10 AND 14),
+             |sc AS (SELECT tf.doc_id,
+             |         (q.idf_micro * tf.tf * 2200000) //
+             |           (tf.tf * 1000000 + 300000 +
+             |            CAST(round(9e8 * dl.dl / q.avgdl_milli) AS BIGINT))
+             |           AS term_micro
+             |       FROM tf JOIN q USING (tok) JOIN dl USING (doc_id))
+             |SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
+             |  count(*) AS n_terms_hit
+             |FROM sc GROUP BY doc_id
+             |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin))
   )
 
   /** x33/x34 shared DuckDB CTE chain: hashed features + the two

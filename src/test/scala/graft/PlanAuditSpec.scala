@@ -199,4 +199,25 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject") || p.contains("GlobalLimit"),
       s"constant-K centroid limit missing from plan:\n$p")
   }
+
+  test("x35: the doc-level prefix-sum window partitions by bucket; " +
+      "offsets broadcast back") {
+    val p = plan("x35_shard_shuffle")
+    // the data-sized cumsum must run per-bucket (parallel), never as a
+    // global single-task window — only the <=4096-row bucket-offset
+    // frame may window globally
+    assert(p.contains("windowspecdefinition(b#") ||
+      p.contains("windowspecdefinition(b "),
+      s"per-doc window lost its bucket partitioning:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"bucket offsets must join back as a broadcast:\n$p")
+  }
+
+  test("x36: BM25 query terms broadcast; top-10 never plans a global sort") {
+    val p = plan("x36_bm25")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-k fell back to a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"5-term query frame must broadcast into the tf join:\n$p")
+  }
 }
