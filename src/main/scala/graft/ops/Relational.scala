@@ -1562,6 +1562,26 @@ object Relational extends QueryModule {
              |  AND (valid_to IS NULL OR o_orderdate < valid_to)
              |ORDER BY o_orderkey""".stripMargin)),
 
+    // J17: correlated-subquery DECORRELATION — the statement every SQL
+    // user writes and no distributed engine may execute as written: a
+    // correlated scalar subquery (per-nation average balance) plus a
+    // correlated EXISTS, shared VERBATIM with the oracle (s13's
+    // pattern). Catalyst must rewrite both — the scalar into a
+    // per-nation aggregate joined back, the EXISTS into a left-semi
+    // join — or the plan degenerates to one subquery execution per
+    // outer row. PlanAuditSpec locks the rewrite (LeftSemi present,
+    // zero nested-loop/cartesian). Exactness: the threshold compares
+    // integer cents against avg(BIGINT) = exact-integer-sum / count —
+    // one IEEE division, identical in both engines regardless of row
+    // order (a raw avg(double) would depend on summation order).
+    GQuery("j17_decorrelate",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(DecorrelateStatement)
+      },
+      Some(DecorrelateStatement)),
+
     // F13: schema-full JSON parsing — from_json materializes the whole
     // document into a typed struct in ONE parse; f3's per-path
     // get_json_object re-parses the string per extracted field, which
@@ -1604,4 +1624,16 @@ object Relational extends QueryModule {
              |  lang AS q_lang
              |FROM documents ORDER BY doc_id""".stripMargin))
   )
+
+  /** j17's shared statement — run verbatim by spark.sql AND DuckDB. */
+  private val DecorrelateStatement: String =
+    """SELECT c.c_nationkey AS nk, count(*) AS n_above
+      |FROM customer c
+      |WHERE CAST(round(c.c_acctbal * 100) AS BIGINT) >
+      |      (SELECT avg(CAST(round(c2.c_acctbal * 100) AS BIGINT))
+      |       FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+      |  AND EXISTS (SELECT 1 FROM orders o
+      |              WHERE o.o_custkey = c.c_custkey)
+      |GROUP BY c.c_nationkey
+      |ORDER BY nk""".stripMargin
 }

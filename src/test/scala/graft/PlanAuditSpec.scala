@@ -213,6 +213,18 @@ class PlanAuditSpec extends AnyFunSuite {
       s"bucket offsets must join back as a broadcast:\n$p")
   }
 
+  test("j17: both correlated subqueries decorrelate into keyed joins") {
+    val p = plan("j17_decorrelate")
+    // scalar subquery -> per-nation aggregate joined back; EXISTS ->
+    // left semi. Neither may survive as a per-row subquery execution
+    // or a nested loop.
+    assert(p.contains("LeftSemi"), s"EXISTS did not become a semi join:\n$p")
+    assert(!p.contains("NestedLoop"),
+      s"correlated subquery fell back to a nested loop:\n$p")
+    assert(!p.contains("InSubquery") && !p.contains("ScalarSubquery"),
+      s"subquery survived undecorrelated:\n$p")
+  }
+
   test("x36: BM25 query terms broadcast; top-10 never plans a global sort") {
     val p = plan("x36_bm25")
     assert(p.contains("TakeOrderedAndProject"),
