@@ -1700,37 +1700,7 @@ object TextAnalysis extends QueryModule {
     // (doc/token counts + hash-key range) — what a writer would fan
     // out to per-shard tasks.
     GQuery("x35_shard_shuffle",
-      (s, d) => {
-        val B = 4096L
-        val docs = docsSpread(s, d)
-          .select(col("doc_id"),
-            size(tokens(col("text"))).cast("long").as("w"))
-          .filter(col("w") > 0)
-          .withColumn("h",
-            conv(substring(md5(col("doc_id").cast("string")), 1, 12),
-              16, 10).cast("long"))
-          .withColumn("b", expr("h div 68719476736"))  // 2^36 → 4096 buckets
-        val inb = org.apache.spark.sql.expressions.Window
-          .partitionBy("b").orderBy("h")
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, -1)
-        val wb = org.apache.spark.sql.expressions.Window
-          .orderBy("b")
-          .rowsBetween(org.apache.spark.sql.expressions.Window
-            .unboundedPreceding, -1)
-        val offs = docs.groupBy("b").agg(sum(col("w")).as("bw"))
-          .withColumn("off", coalesce(sum(col("bw")).over(wb), lit(0L)))
-          .select("b", "off")
-        docs
-          .withColumn("cb_in", coalesce(sum(col("w")).over(inb), lit(0L)))
-          .join(broadcast(offs), Seq("b"))
-          .withColumn("shard", (col("off") + col("cb_in")) / lit(B)
-            cast "long")
-          .groupBy("shard")
-          .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_toks"),
-            min(col("h")).as("h_lo"), max(col("h")).as("h_hi"))
-          .orderBy("shard")
-      },
+      (s, d) => shardShuffle(docsSpread(s, d), 4096L),
       Some("""WITH d AS (
              |  SELECT doc_id,
              |    CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS w,
@@ -1765,39 +1735,7 @@ object TextAnalysis extends QueryModule {
     // query frame broadcasts; top-10 is TakeOrderedAndProject, never a
     // global sort.
     GQuery("x36_bm25",
-      (s, d) => {
-        val tf = docsSpread(s, d)
-          .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-          .filter(col("tok") =!= "")
-          .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-          .transform(graft.Caches.track)
-        val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-        val stats = dl.agg(count(lit(1)).as("n_docs"),
-          round(avg(col("dl")) * 1e3).cast("long").as("avgdl_milli"))
-        val wdf = org.apache.spark.sql.expressions.Window
-          .orderBy(col("df").desc, col("tok"))
-        val q = tf.groupBy("tok").agg(count(lit(1)).as("df"))
-          .withColumn("qrk", row_number().over(wdf))
-          .filter(col("qrk").between(10, 14))
-          .crossJoin(broadcast(stats))
-          .select(col("tok"), col("avgdl_milli"),
-            round(log((col("n_docs") - col("df") + 0.5) /
-              (col("df") + 0.5) + 1.0) * 1e6).cast("long")
-              .as("idf_micro"))
-        tf.join(broadcast(q), Seq("tok"))
-          .join(dl, Seq("doc_id"))
-          .withColumn("denom_micro",
-            col("tf") * 1000000L + 300000L +
-              round(lit(9e8) * col("dl") / col("avgdl_milli"))
-                .cast("long"))
-          .withColumn("term_micro",
-            expr("(idf_micro * tf * 2200000) div denom_micro"))
-          .groupBy("doc_id")
-          .agg(sum(col("term_micro")).as("score_micro"),
-            count(lit(1)).as("n_terms_hit"))
-          .orderBy(col("score_micro").desc, col("doc_id"))
-          .limit(10)
-      },
+      (s, d) => bm25TopK(docsSpread(s, d), 10, 14, 10),
       Some("""WITH t AS (
              |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
              |  FROM documents WHERE trim(text) <> ''),
@@ -1827,6 +1765,84 @@ object TextAnalysis extends QueryModule {
              |FROM sc GROUP BY doc_id
              |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin))
   )
+
+  /** x36 core over an arbitrary (doc_id, text) frame — see the x36
+    * registry comment for the scoring formula and exactness story.
+    * Query = the tokens at df-ranks [qrkLo, qrkHi]. */
+  private[graft] def bm25TopK(docs: org.apache.spark.sql.DataFrame,
+      qrkLo: Int, qrkHi: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    val tf = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      .transform(graft.Caches.track)
+    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+      round(avg(col("dl")) * 1e3).cast("long").as("avgdl_milli"))
+    // vocab-bounded global window (x16's broadcast justification)
+    val wdf = org.apache.spark.sql.expressions.Window
+      .orderBy(col("df").desc, col("tok"))
+    val q = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .withColumn("qrk", row_number().over(wdf))
+      .filter(col("qrk").between(qrkLo, qrkHi))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"), col("avgdl_milli"),
+        round(log((col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5) + 1.0) * 1e6).cast("long")
+          .as("idf_micro"))
+    tf.join(broadcast(q), Seq("tok"))
+      .join(dl, Seq("doc_id"))
+      .withColumn("denom_micro",
+        col("tf") * 1000000L + 300000L +
+          round(lit(9e8) * col("dl") / col("avgdl_milli"))
+            .cast("long"))
+      .withColumn("term_micro",
+        expr("(idf_micro * tf * 2200000) div denom_micro"))
+      .groupBy("doc_id")
+      .agg(sum(col("term_micro")).as("score_micro"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** x35 core over an arbitrary (doc_id, text) frame: order docs by
+    * the 48-bit md5 of doc_id (deterministic shuffle), pack
+    * doc-atomically into ~`b`-token shards in that order, return the
+    * per-shard manifest. The global token prefix-sum never runs as a
+    * single-task window over the data: per-doc cumsums partition by
+    * the 4096-way order-preserving hash-prefix bucket, only the
+    * ≤4096-row bucket-total frame windows globally, and the resulting
+    * offsets broadcast back. */
+  private[graft] def shardShuffle(docs: org.apache.spark.sql.DataFrame,
+      b: Long): org.apache.spark.sql.DataFrame = {
+    val keyed = docs
+      .select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("w"))
+      .filter(col("w") > 0)
+      .withColumn("h",
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12),
+          16, 10).cast("long"))
+      .withColumn("b", expr("h div 68719476736")) // 2^36 → 4096 buckets
+    val inb = org.apache.spark.sql.expressions.Window
+      .partitionBy("b").orderBy("h")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val wb = org.apache.spark.sql.expressions.Window
+      .orderBy("b")
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val offs = keyed.groupBy("b").agg(sum(col("w")).as("bw"))
+      .withColumn("off", coalesce(sum(col("bw")).over(wb), lit(0L)))
+      .select("b", "off")
+    keyed
+      .withColumn("cb_in", coalesce(sum(col("w")).over(inb), lit(0L)))
+      .join(broadcast(offs), Seq("b"))
+      .withColumn("shard", expr(s"(off + cb_in) div $b"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum(col("w")).as("n_toks"),
+        min(col("h")).as("h_lo"), max(col("h")).as("h_hi"))
+      .orderBy("shard")
+  }
 
   /** x33/x34 shared DuckDB CTE chain: hashed features + the two
     * perceptron steps (w1, then d2 = the step-2 update). Kept as one

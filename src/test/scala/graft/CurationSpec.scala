@@ -343,4 +343,78 @@ class CurationSpec extends AnyFunSuite {
       }.sortBy(r => (r._1, r._2))
     assert(got.toSeq == want, s"got ${got.toSeq}\nwant $want")
   }
+
+  private def md5h48(id: Long): Long = {
+    val hex = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.substring(0, 12)
+    java.lang.Long.parseLong(hex, 16)
+  }
+
+  test("x35 shard manifest equals a driver-side prefix-sum rederivation") {
+    import spark.implicits._
+    // token counts chosen so shards split mid-stream AND one doc
+    // (40 tokens > B=16) spans several budget units doc-atomically
+    val ws = Seq(1L -> 7, 2L -> 5, 3L -> 40, 4L -> 9, 5L -> 3,
+      6L -> 12, 7L -> 1)
+    val docs = ws.map { case (id, n) => (id, Seq.fill(n)("t").mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = ops.TextAnalysis.shardShuffle(docs, 16L).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    // rederive: md5-48 hash order, global cumsum, shard = cumBefore/B
+    val ordered = ws.map { case (id, n) => (md5h48(id), n.toLong) }
+      .sortBy(_._1)
+    val want = ordered.scanLeft(0L)(_ + _._2).zip(ordered)
+      .map { case (cb, (h, w)) => (cb / 16L, h, w) }
+      .groupBy(_._1).toSeq.map { case (shard, rows) =>
+        (shard, rows.size.toLong, rows.map(_._3).sum,
+          rows.map(_._2).min, rows.map(_._2).max)
+      }.sortBy(_._1)
+    assert(got == want, s"got $got\nwant $want")
+    // every doc lands in exactly one shard and token mass is conserved
+    assert(got.map(_._2).sum == ws.size && got.map(_._3).sum == 77L)
+    // degenerate inputs: empty corpus and blank docs produce no shards
+    assert(ops.TextAnalysis.shardShuffle(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 16L).count() == 0)
+    assert(ops.TextAnalysis.shardShuffle(
+      Seq((1L, "   ")).toDF("doc_id", "text"), 16L).count() == 0)
+  }
+
+  test("x36 BM25 equals an integer-exact rederivation; no-hit docs drop") {
+    import spark.implicits._
+    val corpus = Seq(
+      (1L, "a a b c"), (2L, "a b b d"), (3L, "c d e f"))
+    val docs = corpus.toDF("doc_id", "text")
+    val got = ops.TextAnalysis.bm25TopK(docs, 1, 2, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // rederive with the same integer quantization (BigDecimal HALF_UP
+    // mirrors Spark's round()) — df-ranks 1..2 select the query terms
+    def r2l(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val tf = corpus.flatMap { case (id, t) =>
+      t.split("\\s+").map(tok => (id, tok)) }
+      .groupBy(identity).map { case ((id, tok), o) => (id, tok, o.size.toLong) }
+    val dl = tf.groupBy(_._1).map { case (id, o) => id -> o.map(_._3).sum }
+    val n = dl.size
+    val avgdlMilli = r2l(dl.values.sum.toDouble / n * 1e3)
+    val q = tf.groupBy(_._2).map { case (tok, o) => tok -> o.size.toLong }
+      .toSeq.sortBy { case (tok, df) => (-df, tok) }.take(2)
+      .map { case (tok, df) =>
+        tok -> r2l(math.log((n - df + 0.5) / (df + 0.5) + 1.0) * 1e6) }
+      .toMap
+    val want = tf.filter(r => q.contains(r._2)).map { case (id, tok, f) =>
+      val denom = f * 1000000L + 300000L +
+        r2l(9e8 * dl(id) / avgdlMilli)
+      id -> (q(tok) * f * 2200000L) / denom
+    }.groupBy(_._1).toSeq
+      .map { case (id, o) => (id, o.map(_._2).sum, o.size.toLong) }
+      .sortBy { case (id, sc, _) => (-sc, id) }
+    assert(got == want, s"got $got\nwant $want")
+    // doc 3 shares no query term and must be absent, not zero-scored
+    assert(!got.exists(_._1 == 3L))
+    assert(ops.TextAnalysis.bm25TopK(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), 1, 2, 10)
+      .count() == 0)
+  }
 }
