@@ -82,7 +82,7 @@ object Dedup extends QueryModule {
     * sliced into 16 bands of 4 — `mh` is a non-cheap alias referenced
     * by every band slice, so CollapseProject keeps it materialized and
     * the signature computation runs once per doc, not once per band. */
-  private[ops] def bandSignatures(shingles: DataFrame): DataFrame = {
+  private[graft] def bandSignatures(shingles: DataFrame): DataFrame = {
     val mh = shingles
       .select(col("doc_id"),
         graft.plans.NativeFunctions.arrayXxhash64(col("sh")).as("hs"))

@@ -491,4 +491,52 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(fin.size <= k, s"state exceeded k counters: $fin")
     } finally q.stop()
   }
+
+  test("ingestDedup: stored-index probe, within-batch CC, index grows " +
+      "across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ingest_").toString
+    val (idxDir, shDir, outDir) = (s"$base/idx", s"$base/sh", s"$base/out")
+    StreamOps.seedDedupIndex(Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (2L, "one two three four five six seven eight nine ten"))
+      .toDF("doc_id", "text"), idxDir, shDir)
+    val mem = MemoryStream[(Long, Timestamp, String)]
+    val q = StreamOps.ingestDedup(
+      mem.toDF().toDF("doc_id", "ts", "text"), idxDir, shDir, outDir)
+      .start()
+    try {
+      val t = new Timestamp(0L)
+      // 10 = near-copy of seed doc 1 (appended token, J≈0.89);
+      // 11 = fresh; 12 = near-copy of 11 ARRIVING IN THE SAME BATCH
+      mem.addData(
+        (10L, t, "alpha beta gamma delta epsilon zeta eta theta iota " +
+          "kappa extra"),
+        (11L, t, "red orange yellow green blue indigo violet pink " +
+          "brown black"),
+        (12L, t, "red orange yellow green blue indigo violet pink " +
+          "brown black white"))
+      q.processAllAvailable()
+      // 20 = near-copy of 11 — a BATCH-0 survivor, so this probes the
+      // grown index, not the seed; 21 = fresh
+      mem.addData(
+        (20L, t, "red orange yellow green blue indigo violet pink " +
+          "brown black grey"),
+        (21L, t, "lion tiger bear wolf fox deer hawk owl crow swan"))
+      q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+        .select("doc_id", "status", "keeper").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(out == Set(
+        (10L, "dup_existing", 1L), (11L, "kept", 11L),
+        (12L, "dup_new", 11L),
+        (20L, "dup_existing", 11L), (21L, "kept", 21L)), s"got $out")
+      // index = seed docs + per-batch survivors, never the dups
+      val eids = spark.read.parquet(idxDir).select("eid").distinct()
+        .as[Long].collect().toSet
+      assert(eids == Set(1L, 2L, 11L, 21L), s"index holds $eids")
+    } finally q.stop()
+  }
 }
