@@ -49,4 +49,29 @@ class DedupStressSpec extends AnyFunSuite {
     assert(secs < 120, s"LSH path took $secs s at 30k docs")
     Caches.drain()
   }
+
+  test("shardShuffle at 100k docs: near-token-balanced shards, bounded time") {
+    // doc i = 5 + (md5-derived 0..10) tokens — ~1M tokens total; with
+    // B = 4096 every shard's mass must sit within max_doclen of the
+    // budget (doc-atomic packing can overshoot by at most one doc)
+    val n = 100000L
+    val corpus = spark.range(n)
+      .select(col("id").as("doc_id"),
+        expr("array_join(transform(sequence(0, 4 + cast(conv(" +
+          "substr(md5(cast(id as string)), 1, 4), 16, 10) as int) % 11)," +
+          " p -> 't'), ' ')").as("text"))
+    val t0 = System.nanoTime()
+    val m = graft.ops.TextAnalysis.shardShuffle(corpus, 4096L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val secs = (System.nanoTime() - t0) / 1e9
+    val total = m.map(_._3).sum
+    assert(m.map(_._2).sum == n && total > 900000L,
+      s"docs or tokens lost: ${m.map(_._2).sum} docs, $total toks")
+    // shard ids are dense 0..k; every full shard within one doc of B
+    assert(m.map(_._1).toSeq == (0L until m.length).toSeq)
+    val full = m.init
+    assert(full.forall(s => s._3 > 4096 - 15 && s._3 < 4096 + 15),
+      s"unbalanced shard: ${full.filterNot(s => s._3 > 4081 && s._3 < 4111).take(3).toSeq}")
+    assert(secs < 60, s"shard shuffle took $secs s at 100k docs")
+  }
 }
