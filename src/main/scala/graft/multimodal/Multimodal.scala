@@ -451,4 +451,139 @@ object Multimodal {
        |  CASE WHEN e.kind = 'video' THEN e.dur // 500 + 1
        |       ELSE 0 END AS n_frames
        |FROM eff e JOIN hist h USING (id) ORDER BY media_id""".stripMargin
+
+  /** m20 corpus: `nBase` unique 16×16 grayscale PNGs (pixel stream =
+    * md5 raw digests, the m10 trick) plus `nDup` planted near-dups —
+    * id ≥ nBase re-encodes base (id − nBase)'s pixels with the first
+    * FOUR pixels xor'd by 7 (≤2 aHash cells move, so the pair sits at
+    * hamming ≤ a few while unrelated images sit near 32). Everything
+    * derives from md5 → the DuckDB oracle replays pixels, hashes, and
+    * pairs bit-for-bit without decoding a PNG. */
+  def phashCorpus(spark: SparkSession, nBase: Int, nDup: Int)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    spark.range((nBase + nDup).toLong).as[Long].map { id =>
+      val src = if (id < nBase) id else id - nBase
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val px = new Array[Byte](256)
+      var k = 0
+      while (k < 16) {
+        System.arraycopy(md.digest(s"payload_${src}_$k".getBytes("UTF-8")),
+          0, px, k * 16, 16)
+        k += 1
+      }
+      if (id >= nBase) {
+        var p = 0
+        while (p < 4) { px(p) = (px(p) ^ 0x07).toByte; p += 1 }
+      }
+      (id, encodeGray(px, 16, 16))
+    }
+  }
+
+  /** 64-bit average-hash of a decoded grayscale image as FOUR 16-bit
+    * chunk values (the d4 pigeonhole layout: hamming ≤ 3 between two
+    * hashes forces at least one chunk to match exactly). Cell bit =
+    * 64·cellSum ≥ totalSum — pure integer arithmetic, so the oracle's
+    * replay is exact. Requires w, h divisible by 8 (uniform cells). */
+  private[graft] def aHashChunks(px: Array[Byte], w: Int, h: Int)
+      : Array[Long] = {
+    require(w % 8 == 0 && h % 8 == 0, s"dims not 8-divisible: ${w}x$h")
+    val cw = w / 8; val ch = h / 8
+    val cs = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      val cy = (y / ch) * 8
+      var x = 0
+      while (x < w) { cs(cy + x / cw) += px(y * w + x) & 0xff; x += 1 }
+      y += 1
+    }
+    val ts = cs.sum
+    val chunks = new Array[Long](4)
+    var c = 0
+    while (c < 64) {
+      if (64L * cs(c) >= ts) chunks(c / 16) |= 1L << (c % 16)
+      c += 1
+    }
+    chunks
+  }
+
+  /** Perceptual-hash image dedup over a (media_id, bytes) frame: REAL
+    * ImageIO decode → aHash → pigeonhole chunk-bucket join → exact
+    * hamming verify ≤ `maxHam`. Scale posture: the blob column never
+    * shuffles (decode+hash is one narrow mapPartitions); only the
+    * 4-long chunk frame moves, candidates come from the keyed
+    * (chunk_idx, value) equi-join — exact for hamming ≤ 3 by
+    * pigeonhole, never all-pairs — and bit_count verification runs on
+    * candidates only. The image-dataset dedup a 100 TB multimodal
+    * corpus needs. */
+  def imagePhashPairs(media: DataFrame, maxHam: Int = 3): DataFrame = {
+    import media.sparkSession.implicits._
+    val hashes = media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (px, w, h) = decodeGray(bytes)
+          val c = aHashChunks(px, w, h)
+          (id, c(0), c(1), c(2), c(3))
+        }
+      }
+      .toDF("media_id", "c0", "c1", "c2", "c3")
+      .transform(graft.Caches.track)
+    val chunks = hashes.select(col("media_id"),
+        explode(array((0 until 4).map(i =>
+          struct(lit(i).as("ci"), col(s"c$i").as("v"))): _*)).as("k"))
+      .select(col("media_id"), col("k.ci").as("ci"), col("k.v").as("v"))
+    val cand = chunks.select(col("ci"), col("v"), col("media_id").as("da"))
+      .join(chunks.select(col("ci"), col("v"), col("media_id").as("db")),
+        Seq("ci", "v"))
+      .filter(col("da") < col("db"))
+      .select("da", "db").distinct()
+    def side(n: String) = hashes.select(col("media_id").as(n),
+      col("c0").as(s"${n}0"), col("c1").as(s"${n}1"),
+      col("c2").as(s"${n}2"), col("c3").as(s"${n}3"))
+    cand.join(side("da"), Seq("da")).join(side("db"), Seq("db"))
+      .withColumn("ham",
+        expr("bit_count(da0 ^ db0) + bit_count(da1 ^ db1) + " +
+          "bit_count(da2 ^ db2) + bit_count(da3 ^ db3)").cast("long"))
+      .filter(col("ham") <= maxHam)
+      .select("da", "db", "ham")
+      .orderBy("da", "db")
+  }
+
+  /** m20 oracle: replay pixels from md5, aHash in integer arithmetic,
+    * pigeonhole candidates, exact hamming — no PNG decode needed
+    * because the encode/decode roundtrip is byte-exact (proven by the
+    * m10 oracle and MultimodalSpec). */
+  def phashOracleSql(nBase: Int, nDup: Int): String =
+    s"""WITH ids AS (SELECT range AS id FROM range(${nBase + nDup})),
+       |base AS (SELECT id,
+       |    CASE WHEN id < $nBase THEN id ELSE id - $nBase END AS src
+       |  FROM ids),
+       |px AS (SELECT b.id, r.range AS p,
+       |    CASE WHEN b.id >= $nBase AND r.range < 4
+       |      THEN xor(('0x'||substr(md5('payload_'||b.src||'_'||
+       |             (r.range//16)), 1 + CAST(r.range % 16 AS INT)*2,
+       |             2))::INT, 7)
+       |      ELSE ('0x'||substr(md5('payload_'||b.src||'_'||
+       |             (r.range//16)), 1 + CAST(r.range % 16 AS INT)*2,
+       |             2))::INT END AS v
+       |  FROM base b JOIN range(256) r ON true),
+       |cells AS (SELECT id, ((p//16)//2)*8 + (p%16)//2 AS cell,
+       |    sum(v) AS cs
+       |  FROM px GROUP BY 1, 2),
+       |tot AS (SELECT id, sum(cs) AS ts FROM cells GROUP BY 1),
+       |ch AS (SELECT c.id, c.cell//16 AS ci,
+       |    CAST(sum(CASE WHEN 64*c.cs >= t.ts THEN 1 ELSE 0 END
+       |      << (c.cell%16)) AS BIGINT) AS v
+       |  FROM cells c JOIN tot t ON c.id = t.id GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.id AS da, b.id AS db
+       |  FROM ch a JOIN ch b ON a.ci = b.ci AND a.v = b.v
+       |    AND a.id < b.id),
+       |ham AS (SELECT cand.da, cand.db,
+       |    CAST(sum(bit_count(xor(a.v, b.v))) AS BIGINT) AS ham
+       |  FROM cand JOIN ch a ON a.id = cand.da
+       |    JOIN ch b ON b.id = cand.db AND a.ci = b.ci
+       |  GROUP BY 1, 2)
+       |SELECT da, db, ham FROM ham WHERE ham <= 3
+       |ORDER BY da, db""".stripMargin
 }

@@ -387,6 +387,22 @@ object Sources extends QueryModule {
     // a full hash-checked oracle despite there being no parquet input.
     GQuery("m10_multimodal",
       (s, _) => graft.multimodal.Multimodal.pipeline(s, 200),
-      Some(graft.multimodal.Multimodal.pipelineOracleSql(200)))
+      Some(graft.multimodal.Multimodal.pipelineOracleSql(200))),
+
+    // M20: perceptual-hash image dedup — REAL ImageIO decode → 64-bit
+    // average-hash (64·cellSum ≥ totalSum per 8×8 cell, integer-exact)
+    // → d4's pigeonhole chunk buckets (4×16-bit: hamming ≤ 3 forces a
+    // chunk match) → exact bit_count verify on candidates only. The
+    // image-dataset near-dup scrub of a multimodal corpus; blob bytes
+    // never shuffle (hashing is one narrow mapPartitions), only the
+    // 4-long chunk frame joins. 50 planted near-dups (first four
+    // pixels xor'd) among 200 bases; the oracle replays pixels from
+    // md5 without decoding — the PNG roundtrip's byte-exactness is
+    // m10/MultimodalSpec's proven ground.
+    GQuery("m20_image_phash",
+      (s, _) => graft.multimodal.Multimodal.imagePhashPairs(
+        graft.multimodal.Multimodal.phashCorpus(s, 200, 50)
+          .toDF("media_id", "bytes")),
+      Some(graft.multimodal.Multimodal.phashOracleSql(200, 50)))
   )
 }

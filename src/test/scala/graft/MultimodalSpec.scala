@@ -228,4 +228,32 @@ class MultimodalSpec extends AnyFunSuite {
         (0L to vids(id) by 500L).toSeq)
     }
   }
+
+  test("imagePhashPairs: planted near-dups recovered exactly, via real decode") {
+    val nBase = 60; val nDup = 20
+    val pairs = Multimodal.imagePhashPairs(
+      Multimodal.phashCorpus(spark, nBase, nDup).toDF("media_id", "bytes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // every planted (i, i+nBase) pair found and nothing else — the
+    // 4-pixel xor-7 perturbation moves at most a couple of aHash cells
+    // while unrelated md5-random images sit near hamming 32
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      (0 until nDup).map(i => (i.toLong, (i + nBase).toLong)).toSet,
+      s"got ${pairs.toSeq}")
+    assert(pairs.forall(_._3 <= 3))
+    // hash stability: the PNG encode/decode roundtrip yields identical
+    // chunks to hashing the raw pixel stream directly
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val px = new Array[Byte](256)
+    for (k <- 0 until 16)
+      System.arraycopy(md.digest(s"payload_7_$k".getBytes("UTF-8")),
+        0, px, k * 16, 16)
+    val direct = Multimodal.aHashChunks(px, 16, 16).toSeq
+    val viaPng = {
+      val (dec, w, h) = Multimodal.decodeGray(
+        Multimodal.encodeGray(px, 16, 16))
+      Multimodal.aHashChunks(dec, w, h).toSeq
+    }
+    assert(direct == viaPng)
+  }
 }
