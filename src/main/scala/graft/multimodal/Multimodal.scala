@@ -518,7 +518,7 @@ object Multimodal {
     * corpus needs. */
   def imagePhashPairs(media: DataFrame, maxHam: Int = 3): DataFrame = {
     import media.sparkSession.implicits._
-    val hashes = media.select(col("media_id"), col("bytes"))
+    chunkHammingPairs(media.select(col("media_id"), col("bytes"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
@@ -527,8 +527,15 @@ object Multimodal {
           (id, c(0), c(1), c(2), c(3))
         }
       }
-      .toDF("media_id", "c0", "c1", "c2", "c3")
-      .transform(graft.Caches.track)
+      .toDF("media_id", "c0", "c1", "c2", "c3"), maxHam)
+  }
+
+  /** Shared tail of m20/m21: pigeonhole chunk-bucket candidates +
+    * exact bit_count hamming verify over a (media_id, c0..c3) hash
+    * frame. Exact for hamming ≤ 3 (4 chunks); never all-pairs. */
+  private def chunkHammingPairs(hashFrame: DataFrame, maxHam: Int)
+      : DataFrame = {
+    val hashes = graft.Caches.track(hashFrame)
     val chunks = hashes.select(col("media_id"),
         explode(array((0 until 4).map(i =>
           struct(lit(i).as("ci"), col(s"c$i").as("v"))): _*)).as("k"))
@@ -549,6 +556,108 @@ object Multimodal {
       .select("da", "db", "ham")
       .orderBy("da", "db")
   }
+
+  /** m21 corpus: `nBase` unique 8-bit-PCM WAVs of exactly 65 md5
+    * blocks (1040 samples — 65 energy frames → 64 difference bits)
+    * plus `nDup` planted near-dups (first four samples xor'd by 7:
+    * only frame 0's energy moves, so at most difference-bit 0 flips). */
+  def audioFpCorpus(spark: SparkSession, nBase: Int, nDup: Int)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    spark.range((nBase + nDup).toLong).as[Long].map { id =>
+      val src = if (id < nBase) id else id - nBase
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val pcm = new Array[Byte](1040)
+      var k = 0
+      while (k < 65) {
+        System.arraycopy(md.digest(s"payload_${src}_$k".getBytes("UTF-8")),
+          0, pcm, k * 16, 16)
+        k += 1
+      }
+      if (id >= nBase) {
+        var p = 0
+        while (p < 4) { pcm(p) = (pcm(p) ^ 0x07).toByte; p += 1 }
+      }
+      (id, encodeWav(pcm, 8000))
+    }
+  }
+
+  /** Energy-difference audio fingerprint (chromaprint-style core) of
+    * an 8-bit PCM stream as four 16-bit chunks: frame f = 16 samples,
+    * E_f = Σ(s−128)², bit f = E_f ≥ E_{f+1} — the sign of the energy
+    * DERIVATIVE, which survives uniform gain shifts the raw energies
+    * would not. Integer arithmetic throughout → oracle-exact. */
+  private[graft] def audioFpChunks(pcm: Array[Byte]): Array[Long] = {
+    val frames = pcm.length / 16
+    require(frames >= 65, s"need >= 65 frames, got $frames")
+    val e = new Array[Long](frames)
+    var f = 0
+    while (f < frames) {
+      var i = 0; var s = 0L
+      while (i < 16) {
+        val d = (pcm(f * 16 + i) & 0xff) - 128; s += d.toLong * d; i += 1
+      }
+      e(f) = s; f += 1
+    }
+    val chunks = new Array[Long](4)
+    var b = 0
+    while (b < 64) {
+      if (e(b) >= e(b + 1)) chunks(b / 16) |= 1L << (b % 16)
+      b += 1
+    }
+    chunks
+  }
+
+  /** m21: audio near-dup pairs over a (media_id, bytes) WAV frame —
+    * REAL AudioSystem decode → energy-difference fingerprint →
+    * the same pigeonhole bucket join + exact hamming verify as m20. */
+  def audioFingerprintPairs(media: DataFrame, maxHam: Int = 3)
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    chunkHammingPairs(media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val c = audioFpChunks(decodeWav(bytes)._1)
+          (id, c(0), c(1), c(2), c(3))
+        }
+      }
+      .toDF("media_id", "c0", "c1", "c2", "c3"), maxHam)
+  }
+
+  /** m21 oracle: replay PCM from md5, frame energies, difference
+    * bits, chunks, pigeonhole candidates, exact hamming. */
+  def audioFpOracleSql(nBase: Int, nDup: Int): String =
+    s"""WITH ids AS (SELECT range AS id FROM range(${nBase + nDup})),
+       |base AS (SELECT id,
+       |    CASE WHEN id < $nBase THEN id ELSE id - $nBase END AS src
+       |  FROM ids),
+       |px AS (SELECT b.id, r.range AS p,
+       |    CASE WHEN b.id >= $nBase AND r.range < 4
+       |      THEN xor(('0x'||substr(md5('payload_'||b.src||'_'||
+       |             (r.range//16)), 1 + CAST(r.range % 16 AS INT)*2,
+       |             2))::INT, 7)
+       |      ELSE ('0x'||substr(md5('payload_'||b.src||'_'||
+       |             (r.range//16)), 1 + CAST(r.range % 16 AS INT)*2,
+       |             2))::INT END AS v
+       |  FROM base b JOIN range(1040) r ON true),
+       |fr AS (SELECT id, p//16 AS f, sum((v-128)*(v-128)) AS e
+       |  FROM px GROUP BY 1, 2),
+       |ch AS (SELECT a.id, a.f//16 AS ci,
+       |    CAST(sum(CASE WHEN a.e >= n.e THEN 1 ELSE 0 END
+       |      << CAST(a.f%16 AS INT)) AS BIGINT) AS v
+       |  FROM fr a JOIN fr n ON a.id = n.id AND n.f = a.f + 1
+       |  WHERE a.f < 64 GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.id AS da, b.id AS db
+       |  FROM ch a JOIN ch b ON a.ci = b.ci AND a.v = b.v
+       |    AND a.id < b.id),
+       |ham AS (SELECT cand.da, cand.db,
+       |    CAST(sum(bit_count(xor(a.v, b.v))) AS BIGINT) AS ham
+       |  FROM cand JOIN ch a ON a.id = cand.da
+       |    JOIN ch b ON b.id = cand.db AND a.ci = b.ci
+       |  GROUP BY 1, 2)
+       |SELECT da, db, ham FROM ham WHERE ham <= 3
+       |ORDER BY da, db""".stripMargin
 
   /** m20 oracle: replay pixels from md5, aHash in integer arithmetic,
     * pigeonhole candidates, exact hamming — no PNG decode needed

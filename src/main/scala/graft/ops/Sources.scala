@@ -403,6 +403,18 @@ object Sources extends QueryModule {
       (s, _) => graft.multimodal.Multimodal.imagePhashPairs(
         graft.multimodal.Multimodal.phashCorpus(s, 200, 50)
           .toDF("media_id", "bytes")),
-      Some(graft.multimodal.Multimodal.phashOracleSql(200, 50)))
+      Some(graft.multimodal.Multimodal.phashOracleSql(200, 50))),
+
+    // M21: audio near-dup fingerprinting — m20's temporal twin. REAL
+    // AudioSystem WAV decode → energy-difference fingerprint (frame
+    // energy derivative signs, the chromaprint-style core) → the same
+    // pigeonhole chunk buckets + exact hamming verify. Together with
+    // m20 the multimodal dedup story covers both spatial (image) and
+    // temporal (audio) signals with one candidate-generation skeleton.
+    GQuery("m21_audio_fingerprint",
+      (s, _) => graft.multimodal.Multimodal.audioFingerprintPairs(
+        graft.multimodal.Multimodal.audioFpCorpus(s, 200, 50)
+          .toDF("media_id", "bytes")),
+      Some(graft.multimodal.Multimodal.audioFpOracleSql(200, 50)))
   )
 }

@@ -256,4 +256,29 @@ class MultimodalSpec extends AnyFunSuite {
     }
     assert(direct == viaPng)
   }
+
+  test("audioFingerprintPairs: planted near-dups recovered via real WAV decode") {
+    val nBase = 60; val nDup = 20
+    val pairs = Multimodal.audioFingerprintPairs(
+      Multimodal.audioFpCorpus(spark, nBase, nDup)
+        .toDF("media_id", "bytes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // perturbing only frame 0's samples can flip at most difference
+    // bit 0 — every planted pair sits at hamming ≤ 1, nothing else
+    // survives the ≤3 gate
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      (0 until nDup).map(i => (i.toLong, (i + nBase).toLong)).toSet,
+      s"got ${pairs.toSeq}")
+    assert(pairs.forall(_._3 <= 1))
+    // WAV roundtrip is byte-transparent: container decode changes
+    // nothing about the fingerprint
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val pcm = new Array[Byte](1040)
+    for (k <- 0 until 65)
+      System.arraycopy(md.digest(s"payload_3_$k".getBytes("UTF-8")),
+        0, pcm, k * 16, 16)
+    assert(Multimodal.audioFpChunks(pcm).toSeq ==
+      Multimodal.audioFpChunks(
+        Multimodal.decodeWav(Multimodal.encodeWav(pcm, 8000))._1).toSeq)
+  }
 }
