@@ -1763,8 +1763,145 @@ object TextAnalysis extends QueryModule {
              |SELECT doc_id, CAST(sum(term_micro) AS BIGINT) AS score_micro,
              |  count(*) AS n_terms_hit
              |FROM sc GROUP BY doc_id
-             |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin))
+             |ORDER BY score_micro DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // X37: Bradley-Terry preference aggregation — the pairwise-
+    // preference op of an RLHF data pipeline: comparisons (here:
+    // adjacent-doc quality duels between different sources) aggregate
+    // to per-entity strengths via 3 unrolled MM iterations
+    // p_i ← W_i / Σ_j n_ij/(p_i+p_j) (Hunter 2004). Engine exactness:
+    // strengths live in integer micro-units and every iteration step
+    // is BIGINT `div` arithmetic — no float drift across 3 rounds.
+    // Scale posture: the comparison derivation is one data-sized keyed
+    // join; everything after (pair counts, win totals, iterations)
+    // runs on |entities|²-bounded frames that broadcast — the standard
+    // shape when entities ≪ comparisons (RLHF: models/policies vs
+    // millions of human judgments).
+    GQuery("x37_bt_rank",
+      (s, d) => btRank(s, d, iters = 3),
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, source,
+              |    CAST(round(round(least(len(string_split(trim(text), ' '))
+              |        / 60.0, 1.0) * 0.5 +
+              |      (1.0 - ${sqlHits(stopwords)} * 1.0 /
+              |       len(string_split(trim(text), ' '))) * 0.5, 4)
+              |      * 10000) AS BIGINT) AS qm
+              |  FROM documents),
+              |comp AS (
+              |  SELECT a.source AS sa, b.source AS sb,
+              |    CASE WHEN a.qm > b.qm THEN a.source
+              |         WHEN b.qm > a.qm THEN b.source
+              |         ELSE least(a.source, b.source) END AS win
+              |  FROM q a JOIN q b ON b.doc_id = a.doc_id + 1
+              |  WHERE a.source <> b.source),
+              |pair AS (SELECT least(sa, sb) AS u, greatest(sa, sb) AS v,
+              |           CAST(count(*) AS BIGINT) AS n
+              |         FROM comp GROUP BY 1, 2),
+              |edges AS (SELECT u AS i, v AS j, n FROM pair
+              |          UNION ALL SELECT v, u, n FROM pair),
+              |wins AS (SELECT win AS i, CAST(count(*) AS BIGINT) AS w
+              |         FROM comp GROUP BY 1),
+              |p0 AS (SELECT DISTINCT i, CAST(1000000 AS BIGINT) AS pm
+              |       FROM edges),
+              |s1 AS (SELECT e.i, CAST(sum((e.n * 1000000000000)
+              |           // (pi.pm + pj.pm)) AS BIGINT) AS sm
+              |       FROM edges e JOIN p0 pi ON pi.i = e.i
+              |         JOIN p0 pj ON pj.i = e.j GROUP BY 1),
+              |p1 AS (SELECT s1.i,
+              |         (coalesce(w.w, 0) * 1000000000000) // sm AS pm
+              |       FROM s1 LEFT JOIN wins w ON w.i = s1.i),
+              |s2 AS (SELECT e.i, CAST(sum((e.n * 1000000000000)
+              |           // (pi.pm + pj.pm)) AS BIGINT) AS sm
+              |       FROM edges e JOIN p1 pi ON pi.i = e.i
+              |         JOIN p1 pj ON pj.i = e.j GROUP BY 1),
+              |p2 AS (SELECT s2.i,
+              |         (coalesce(w.w, 0) * 1000000000000) // sm AS pm
+              |       FROM s2 LEFT JOIN wins w ON w.i = s2.i),
+              |s3 AS (SELECT e.i, CAST(sum((e.n * 1000000000000)
+              |           // (pi.pm + pj.pm)) AS BIGINT) AS sm
+              |       FROM edges e JOIN p2 pi ON pi.i = e.i
+              |         JOIN p2 pj ON pj.i = e.j GROUP BY 1),
+              |p3 AS (SELECT s3.i,
+              |         (coalesce(w.w, 0) * 1000000000000) // sm AS pm
+              |       FROM s3 LEFT JOIN wins w ON w.i = s3.i)
+              |SELECT p3.i AS source,
+              |  CAST(coalesce(w.w, 0) AS BIGINT) AS wins,
+              |  CAST(p3.pm AS BIGINT) AS strength_micro,
+              |  CAST(row_number() OVER (ORDER BY p3.pm DESC, p3.i)
+              |    AS BIGINT) AS rnk
+              |FROM p3 LEFT JOIN wins w ON w.i = p3.i
+              |ORDER BY rnk""".stripMargin))
   )
+
+  /** x37 core: derive pairwise quality duels (doc d vs d+1, different
+    * sources only; winner = higher x2-quality micro score, source-name
+    * tie-break), then run `iters` Bradley-Terry MM rounds in integer
+    * micro-unit arithmetic. The duel derivation is the only data-sized
+    * stage; pair counts, win totals and every iteration live on
+    * |sources|-bounded broadcast frames. */
+  private[graft] def btRank(s: org.apache.spark.sql.SparkSession,
+      d: String, iters: Int): org.apache.spark.sql.DataFrame = {
+    val toks = tokens(col("text"))
+    val q = graft.Tables.documents(s, d)
+      .select("doc_id", "source", "text")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("source"),
+        size(toks).cast("long").as("n_toks"),
+        hits(toks, stopwords).as("n_stop"))
+      .select(col("doc_id"), col("source"),
+        round(round(least(col("n_toks") / 60.0, lit(1.0)) * 0.5 +
+          (lit(1.0) - col("n_stop") * 1.0 / col("n_toks")) * 0.5, 4)
+          * 10000).cast("long").as("qm"))
+    val comp = graft.Caches.track(q
+      .select(col("doc_id").as("ida"), col("source").as("sa"),
+        col("qm").as("qa"))
+      .join(q.select((col("doc_id") - 1).as("ida"),
+        col("source").as("sb"), col("qm").as("qb")), Seq("ida"))
+      .filter(col("sa") =!= col("sb"))
+      .select(col("sa"), col("sb"),
+        when(col("qa") > col("qb"), col("sa"))
+          .when(col("qb") > col("qa"), col("sb"))
+          .otherwise(least(col("sa"), col("sb"))).as("win")))
+    btFromComparisons(comp, iters)
+  }
+
+  /** x37 MM core over an arbitrary (sa, sb, win) comparison frame —
+    * separated so specs can drive it with planted duel fixtures. */
+  private[graft] def btFromComparisons(
+      comp: org.apache.spark.sql.DataFrame, iters: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val pair = comp
+      .groupBy(least(col("sa"), col("sb")).as("u"),
+        greatest(col("sa"), col("sb")).as("v"))
+      .agg(count(lit(1)).as("n"))
+    val edges = graft.Caches.track(
+      pair.select(col("u").as("i"), col("v").as("j"), col("n"))
+        .union(pair.select(col("v").as("i"), col("u").as("j"), col("n"))))
+    val wins = comp.groupBy(col("win").as("i"))
+      .agg(count(lit(1)).as("w"))
+      .transform(graft.Caches.track)
+    var p = edges.select("i").distinct().withColumn("pm", lit(1000000L))
+    for (_ <- 1 to iters) {
+      val sm = edges
+        .join(broadcast(p), Seq("i"))
+        .join(broadcast(p.select(col("i").as("j"), col("pm").as("pmj"))),
+          Seq("j"))
+        .withColumn("term", expr("(n * 1000000000000) div (pm + pmj)"))
+        .groupBy("i").agg(sum(col("term")).as("sm"))
+      p = sm.join(broadcast(wins), Seq("i"), "left")
+        .select(col("i"),
+          expr("(coalesce(w, 0) * 1000000000000) div sm").as("pm"))
+    }
+    val wr = org.apache.spark.sql.expressions.Window
+      .orderBy(col("strength_micro").desc, col("source"))
+    p.join(broadcast(wins), Seq("i"), "left")
+      .select(col("i").as("source"),
+        coalesce(col("w"), lit(0L)).as("wins"),
+        col("pm").as("strength_micro"))
+      // |sources|-bounded frame — the global rank window is fine
+      .withColumn("rnk", row_number().over(wr).cast("long"))
+      .orderBy("rnk")
+  }
 
   /** x36 core over an arbitrary (doc_id, text) frame — see the x36
     * registry comment for the scoring formula and exactness story.

@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Property specs for the preference/label aggregation operators
+  * (x37 Bradley-Terry ranking) beyond their DuckDB oracle rows: the MM
+  * core must recover planted strength orderings and respect the
+  * model's symmetry.
+  */
+class PreferenceSpec extends AnyFunSuite {
+
+  private lazy val spark = TestSpark.spark
+
+  private def bt(comps: Seq[(String, String, String)], iters: Int = 3) = {
+    import spark.implicits._
+    ops.TextAnalysis.btFromComparisons(
+      comps.toDF("sa", "sb", "win"), iters)
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+  }
+
+  test("x37 BT core recovers a planted transitive ordering") {
+    // A beats B 4:1, B beats C 4:1, A beats C 5:0 — strengths must
+    // order A > B > C regardless of iteration count
+    val duels =
+      Seq.fill(4)(("A", "B", "A")) ++ Seq.fill(1)(("A", "B", "B")) ++
+      Seq.fill(4)(("B", "C", "B")) ++ Seq.fill(1)(("B", "C", "C")) ++
+      Seq.fill(5)(("A", "C", "A"))
+    for (it <- Seq(1, 3, 6)) {
+      val m = bt(duels, it)
+      val (sa, sb, sc) = (m("A")._2, m("B")._2, m("C")._2)
+      assert(sa > sb && sb > sc, s"iters=$it strengths=$m")
+      assert(m("A")._3 == 1L && m("B")._3 == 2L && m("C")._3 == 3L)
+    }
+  }
+
+  test("x37 BT core: symmetric duels give equal strengths") {
+    // every pair splits 1:1 — the MM fixpoint is uniform, and the
+    // integer micro-unit arithmetic must land all three on the SAME
+    // value (any asymmetry would be an arithmetic-order bug)
+    val duels = Seq(
+      ("A", "B", "A"), ("A", "B", "B"),
+      ("B", "C", "B"), ("B", "C", "C"),
+      ("A", "C", "A"), ("A", "C", "C"))
+    val m = bt(duels, 4)
+    val strengths = m.values.map(_._2).toSet
+    assert(strengths.size == 1, s"expected uniform strengths, got $m")
+  }
+
+  test("x37 BT core: zero-win entity drops to strength 0 and last rank") {
+    val duels = Seq(("A", "B", "A"), ("A", "B", "A"), ("B", "C", "B"),
+      ("A", "C", "A"))
+    val m = bt(duels)
+    assert(m("C")._1 == 0L && m("C")._2 == 0L)
+    assert(m("C")._3 == 3L)
+    assert(m("A")._2 > m("B")._2)
+  }
+}
