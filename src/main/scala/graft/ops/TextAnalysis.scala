@@ -1830,8 +1830,86 @@ object TextAnalysis extends QueryModule {
               |  CAST(row_number() OVER (ORDER BY p3.pm DESC, p3.i)
               |    AS BIGINT) AS rnk
               |FROM p3 LEFT JOIN wins w ON w.i = p3.i
-              |ORDER BY rnk""".stripMargin))
+              |ORDER BY rnk""".stripMargin)),
+
+    // X38: majority-vote label aggregation — the labeled-data twin of
+    // x37's pairwise preferences: N noisy annotations per item reduce
+    // to a consensus label plus inter-annotator agreement statistics
+    // (the quality gate every human-labeled training set passes
+    // through before a classifier sees it). Annotators are synthetic
+    // but deterministic (md5-derived, 80% true-label fidelity), so the
+    // oracle replays the identical noise. Scale posture: one explode
+    // (×5) + two keyed aggregates; the per-doc vote window partitions
+    // by doc_id — nothing global, nothing annotator-unbounded.
+    GQuery("x38_label_vote",
+      (s, d) => voteFromAnnotations(annotations(s, d)),
+      Some("""WITH ann AS (
+             |  SELECT d.doc_id, d.lang, d.source,
+             |    CASE WHEN ('0x' || substr(md5('ann_' || r.range || '_'
+             |           || d.doc_id), 1, 8))::BIGINT % 10 < 8
+             |         THEN d.lang ELSE 'xx' END AS lbl
+             |  FROM documents d JOIN range(5) r ON true),
+             |maj AS (
+             |  SELECT doc_id, lang, source, lbl, cnt FROM (
+             |    SELECT doc_id, lang, source, lbl,
+             |      CAST(count(*) AS BIGINT) AS cnt,
+             |      row_number() OVER (PARTITION BY doc_id
+             |        ORDER BY count(*) DESC, lbl) AS rn
+             |    FROM ann GROUP BY 1, 2, 3, 4)
+             |  WHERE rn = 1)
+             |SELECT source, count(*) AS n_docs,
+             |  round(sum(cnt) / (5.0 * count(*)), 4) AS agreement,
+             |  round(sum(CASE WHEN cnt = 5 THEN 1 ELSE 0 END) * 1.0
+             |        / count(*), 4) AS pct_unanimous,
+             |  round(sum(CASE WHEN lbl = lang THEN 1 ELSE 0 END) * 1.0
+             |        / count(*), 4) AS maj_acc
+             |FROM maj GROUP BY source ORDER BY source""".stripMargin))
   )
+
+  /** x38 annotation derivation: 5 synthetic annotators per doc, each
+    * reading the md5 of (annotator, doc) — 80% report the doc's true
+    * lang, 20% the noise label "xx". Deterministic, so the DuckDB
+    * oracle replays the identical annotator behavior. */
+  private def annotations(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    graft.Tables.documents(s, d)
+      .select("doc_id", "lang", "source")
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(col("doc_id"), col("lang"), col("source"),
+        explode(array((0 until 5).map(lit): _*)).as("k"))
+      .withColumn("h", conv(substring(md5(concat(lit("ann_"),
+        col("k").cast("string"), lit("_"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"))
+      .select(col("doc_id"), col("lang"), col("source"),
+        when(col("h") % 10 < 8, col("lang")).otherwise(lit("xx"))
+          .as("lbl"))
+
+  /** x38 vote kernel over an (doc_id, lang, source, lbl) annotation
+    * frame: per-doc majority label ((count desc, label asc) tie-break
+    * — with 5 annotators and 2 candidate labels ties cannot occur, the
+    * ordering just pins determinism), then per-source agreement
+    * rollup. Both stages are keyed aggregates; nothing is bounded by
+    * the annotator count except the explode factor. */
+  private[graft] def voteFromAnnotations(
+      ann: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(col("cnt").desc, col("lbl"))
+    val maj = ann
+      .groupBy("doc_id", "lang", "source", "lbl")
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1)
+    maj.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("cnt")) / (count(lit(1)) * 5.0), 4)
+          .as("agreement"),
+        round(sum(when(col("cnt") === 5, 1L).otherwise(0L)) * 1.0 /
+          count(lit(1)), 4).as("pct_unanimous"),
+        round(sum(when(col("lbl") === col("lang"), 1L).otherwise(0L))
+          * 1.0 / count(lit(1)), 4).as("maj_acc"))
+      .orderBy("source")
+  }
 
   /** x37 core: derive pairwise quality duels (doc d vs d+1, different
     * sources only; winner = higher x2-quality micro score, source-name

@@ -56,4 +56,23 @@ class PreferenceSpec extends AnyFunSuite {
     assert(m("C")._3 == 3L)
     assert(m("A")._2 > m("B")._2)
   }
+
+  test("x38 vote kernel: majority, unanimity, and accuracy on planted annotations") {
+    import spark.implicits._
+    // doc 1: 3×"xx" vs 2×"en" → majority flips AWAY from the true lang;
+    // doc 2: unanimous "en"; doc 3: 4-1 split toward the true lang
+    val ann = (
+      Seq.fill(3)((1L, "en", "s1", "xx")) ++ Seq.fill(2)((1L, "en", "s1", "en")) ++
+      Seq.fill(5)((2L, "en", "s1", "en")) ++
+      Seq.fill(4)((3L, "de", "s2", "de")) ++ Seq.fill(1)((3L, "de", "s2", "xx"))
+    ).toDF("doc_id", "lang", "source", "lbl")
+    val out = ops.TextAnalysis.voteFromAnnotations(ann).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    // s1: agreements 3/5 and 5/5 → 0.8 mean; half unanimous; doc 1's
+    // majority is wrong → accuracy 0.5
+    assert(out("s1") == ((2L, 0.8, 0.5, 0.5)))
+    assert(out("s2") == ((1L, 0.8, 0.0, 1.0)))
+  }
 }
