@@ -839,6 +839,76 @@ object Ann extends QueryModule {
           |       FROM c2, m2)
           |SELECT CAST(pos AS BIGINT) AS pos, CAST(vq AS BIGINT)
           |  AS v_micro
-          |FROM v2 ORDER BY pos""".stripMargin))
+          |FROM v2 ORDER BY pos""".stripMargin)),
+
+    // N11: hard-negative mining — the contrastive-training data op:
+    // for each query, the top-5 most similar DIFFERENT-label vectors,
+    // each flagged `hard` when it sits within a 0.05-cosine margin of
+    // the query's nearest SAME-label positive (the negatives a
+    // contrastive loss actually learns from; easy negatives are
+    // gradient noise). Similarities live in micro-units so the margin
+    // test is integer-exact. Scale posture: n1's shape — a CONSTANT
+    // QueryK broadcast against the streamed corpus, scored ONCE into a
+    // tracked frame that both the positive-floor aggregate and the
+    // negative top-k window consume; per-query windows, no all-pairs.
+    GQuery("n11_hard_negatives",
+      (s, d) => hardNegatives(
+        Tables.embeddings(s, d)
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("vec_id"),
+            transform(col("embedding"), _.cast("double")).as("v"),
+            col("label")),
+        QueryK, 5, 50000L),
+      Some(vCte +
+        s""",
+           |vl AS (SELECT v.vec_id, v.v, e.label
+           |       FROM v JOIN embeddings e USING (vec_id)),
+           |q AS (SELECT vec_id AS qid, v AS qv, label AS qlbl FROM vl
+           |      ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $QueryK),
+           |s AS (SELECT q.qid, q.qlbl, vl.vec_id, vl.label,
+           |        CAST(round(${cosSql("q.qv", "vl.v")} * 1e6) AS BIGINT)
+           |          AS simm
+           |      FROM q JOIN vl ON vl.vec_id <> q.qid),
+           |np AS (SELECT qid, max(simm) AS np_micro FROM s
+           |       WHERE label = qlbl GROUP BY 1),
+           |n AS (SELECT qid, vec_id, simm,
+           |        CAST(row_number() OVER (PARTITION BY qid
+           |          ORDER BY simm DESC, vec_id) AS BIGINT) AS rn
+           |      FROM s WHERE label <> qlbl)
+           |SELECT n.qid, n.rn, n.vec_id AS nbr, n.simm AS sim_micro,
+           |  np.np_micro, (n.simm + 50000 >= np.np_micro) AS hard
+           |FROM n JOIN np USING (qid) WHERE n.rn <= 5
+           |ORDER BY n.qid, n.rn""".stripMargin))
   )
+
+  /** n11 core over an arbitrary (vec_id, v, label) frame: top-`k`
+    * different-label neighbors per md5-ranked query, flagged `hard`
+    * within `marginMicro` cosine of the nearest same-label positive.
+    * Separated so specs can plant labeled geometries. */
+  private[graft] def hardNegatives(base: DataFrame, queryK: Int, k: Int,
+      marginMicro: Long): DataFrame = {
+    val vl = base.select(col("vec_id"), col("v"), col("label"),
+      sqrt(dotCol(col("v"), col("v"))).as("nrm"))
+    val q = vl.orderBy(md5(col("vec_id").cast("string"))).limit(queryK)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("label").as("qlbl"), col("nrm").as("qn"))
+    val scored = graft.Caches.track(
+      vl.join(broadcast(q), col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("qlbl"), col("vec_id"), col("label"),
+          round(simFromNorms(col("qv"), col("v"), col("qn"),
+            col("nrm")) * 1e6).cast("long").as("simm")))
+    val posFloor = scored.filter(col("label") === col("qlbl"))
+      .groupBy("qid").agg(max(col("simm")).as("np_micro"))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("simm").desc, col("vec_id"))
+    scored.filter(col("label") =!= col("qlbl"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .join(broadcast(posFloor), Seq("qid"))
+      .select(col("qid"), col("rn").cast("long").as("rn"),
+        col("vec_id").as("nbr"), col("simm").as("sim_micro"),
+        col("np_micro"),
+        (col("simm") + marginMicro >= col("np_micro")).as("hard"))
+      .orderBy("qid", "rn")
+  }
 }

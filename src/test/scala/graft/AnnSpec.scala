@@ -247,4 +247,33 @@ class AnnSpec extends AnyFunSuite {
         s"off-direction dim $j too large: ${dir(j.toLong)}")
     }
   }
+
+  test("n11 hard negatives: planted impostor is found and flagged, easy negatives are not") {
+    import spark.implicits._
+    // label 0 clusters near e_0; label 1 has ONE impostor near e_0
+    // (the hard negative) and the rest near the orthogonal e_1 (easy).
+    // Margin 0.05: the impostor sits within it, the orthogonals don't.
+    def unit(main: Int, eps: Double, at: Int): Array[Double] = {
+      val v = Array.fill(4)(0.0); v(main) = 1.0; v(at) = eps
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    val rows =
+      (0L until 6L).map(i => (i, unit(0, 0.05 * i, 2), 0)) ++   // label 0 cloud
+      Seq((6L, unit(0, 0.10, 3), 1)) ++                          // impostor
+      (7L until 12L).map(i => (i, unit(1, 0.05 * (i - 7), 2), 1)) // easy negs
+    val out = graft.ops.Ann.hardNegatives(
+      rows.toDF("vec_id", "v", "label"), queryK = 12, k = 3,
+      marginMicro = 50000L).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getBoolean(5)))
+    // for every label-0 query the top negative is the impostor, hard
+    val label0 = (0L until 6L).toSet
+    val top = out.groupBy(_._1).map { case (q2, vs) => q2 -> vs.head }
+    label0.foreach { q2 =>
+      assert(top(q2)._2 == 6L, s"query $q2 top negative: ${top(q2)}")
+      assert(top(q2)._3, s"impostor must be hard for query $q2")
+    }
+    // orthogonal negatives are never hard for label-0 queries
+    out.filter(o => label0(o._1) && o._2 != 6L)
+      .foreach(o => assert(!o._3, s"easy negative flagged hard: $o"))
+  }
 }
