@@ -1863,7 +1863,56 @@ object TextAnalysis extends QueryModule {
              |        / count(*), 4) AS pct_unanimous,
              |  round(sum(CASE WHEN lbl = lang THEN 1 ELSE 0 END) * 1.0
              |        / count(*), 4) AS maj_acc
-             |FROM maj GROUP BY source ORDER BY source""".stripMargin))
+             |FROM maj GROUP BY source ORDER BY source""".stripMargin)),
+
+    // X39: k-anonymity audit + one generalization pass — the privacy
+    // release gate next to x5's PII scrub: rows grouped by their
+    // quasi-identifier tuple (lang, source, length bucket) form
+    // equivalence classes; classes of size < k are re-identification
+    // risks and get ONE attribute generalization (4x coarser length
+    // bucket), after which they either clear k or stay flagged for
+    // suppression. Scale posture: two keyed aggregates — the level-1
+    // regroup runs on the CLASS frame (already aggregated), never
+    // re-touching rows; the class frame is tracked across its two
+    // consumers.
+    GQuery("x39_kanon",
+      (s, d) => {
+        val cls0 = graft.Caches.track(
+          graft.Tables.documents(s, d)
+            .select("lang", "source", "n_chars")
+            .repartition(s.sparkContext.defaultParallelism)
+            .withColumn("b0", expr("n_chars div 100"))
+            .groupBy("lang", "source", "b0")
+            .agg(count(lit(1)).as("n")))
+        val ok = cls0.filter(col("n") >= 5)
+          .select(col("lang"), col("source"), lit(0L).as("lvl"),
+            col("b0").as("bucket"), col("n"), lit(true).as("k_ok"))
+        val gen = cls0.filter(col("n") < 5)
+          .withColumn("b1", expr("b0 div 4"))
+          .groupBy("lang", "source", "b1")
+          .agg(sum(col("n")).as("n"))
+          .select(col("lang"), col("source"), lit(1L).as("lvl"),
+            col("b1").as("bucket"), col("n"),
+            (col("n") >= 5).as("k_ok"))
+        ok.union(gen).orderBy("lang", "source", "lvl", "bucket")
+      },
+      Some("""WITH cls0 AS (
+             |  SELECT lang, source, n_chars // 100 AS b0,
+             |    CAST(count(*) AS BIGINT) AS n
+             |  FROM documents GROUP BY 1, 2, 3),
+             |ok AS (SELECT lang, source, CAST(0 AS BIGINT) AS lvl,
+             |         CAST(b0 AS BIGINT) AS bucket, n, true AS k_ok
+             |       FROM cls0 WHERE n >= 5),
+             |gen AS (SELECT lang, source, CAST(1 AS BIGINT) AS lvl,
+             |          CAST(b0 // 4 AS BIGINT) AS bucket,
+             |          CAST(sum(n) AS BIGINT) AS n
+             |        FROM cls0 WHERE n < 5 GROUP BY 1, 2, 4)
+             |SELECT * FROM (
+             |  SELECT lang, source, lvl, bucket, n, k_ok FROM ok
+             |  UNION ALL
+             |  SELECT lang, source, lvl, bucket, n, n >= 5 AS k_ok
+             |  FROM gen)
+             |ORDER BY lang, source, lvl, bucket""".stripMargin))
   )
 
   /** x38 annotation derivation: 5 synthetic annotators per doc, each

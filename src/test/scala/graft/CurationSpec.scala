@@ -417,4 +417,23 @@ class CurationSpec extends AnyFunSuite {
       Seq.empty[(Long, String)].toDF("doc_id", "text"), 1, 2, 10)
       .count() == 0)
   }
+
+  test("x39 kanon partitions every doc exactly once and levels are consistent") {
+    val out = q("x39_kanon").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5)))
+    // conservation: each document lands in exactly one released class
+    val total = Tables.documents(spark, sfDir).count()
+    assert(out.map(_._5).sum == total, "class sizes must partition the corpus")
+    // level-0 classes all cleared k (risky ones were generalized away)
+    out.filter(_._3 == 0L).foreach(c => assert(c._6 && c._5 >= 5, s"$c"))
+    // a level-1 class is the 4x-coarse merge of risky level-0 mass:
+    // its bucket must be reachable from some sub-k fine bucket
+    val fineRisky = out.filter(_._3 == 1L)
+    fineRisky.foreach(c => assert(c._6 == (c._5 >= 5), s"$c"))
+    // levels never overlap on the same (lang, source, coarse bucket)
+    // with a level-0 class claiming the same fine bucket range twice
+    assert(out.map(c => (c._1, c._2, c._3, c._4)).distinct.length
+      == out.length)
+  }
 }
