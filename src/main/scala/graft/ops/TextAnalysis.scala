@@ -1912,7 +1912,107 @@ object TextAnalysis extends QueryModule {
              |  UNION ALL
              |  SELECT lang, source, lvl, bucket, n, n >= 5 AS k_ok
              |  FROM gen)
-             |ORDER BY lang, source, lvl, bucket""".stripMargin))
+             |ORDER BY lang, source, lvl, bucket""".stripMargin)),
+
+    // X40: hybrid-retrieval fusion — the RAG serving shape: x36's
+    // lexical BM25 list and an embedding-cosine semantic list
+    // (harness embeddings are doc-aligned: vec_id = doc_id) merge by
+    // reciprocal-rank fusion score Σ 1/(60+rank) (Cormack et al.'s
+    // RRF constant), in integer micro-units via BIGINT div so the
+    // fusion is engine-exact. Scale posture: each list is a partial
+    // top-k (TakeOrderedAndProject — never a global sort of scores);
+    // rank windows run on the ≤50-row result frames; the fusion join
+    // is 50x50-bounded; final top-10 is again ordered-limit.
+    GQuery("x40_rrf_fusion",
+      (s, d) => {
+        val wl = org.apache.spark.sql.expressions.Window
+          .orderBy(col("score_micro").desc, col("doc_id"))
+        val lex = bm25TopK(docsSpread(s, d), 10, 14, 50)
+          // ≤50-row frame — the global rank window is bounded
+          .withColumn("lr", row_number().over(wl).cast("long"))
+          .select(col("doc_id"), col("lr"))
+        val vecs = Ann.normedVecs(s, d)
+        val q1 = vecs.orderBy(md5(col("vec_id").cast("string"))).limit(1)
+          .select(col("vec_id").as("qid"), col("v").as("qv"),
+            col("nrm").as("qn"))
+        val ws = org.apache.spark.sql.expressions.Window
+          .orderBy(col("simm").desc, col("vec_id"))
+        val sem = vecs.join(broadcast(q1), col("vec_id") =!= col("qid"))
+          .select(col("vec_id"),
+            round(Ann.simFromNorms(col("qv"), col("v"), col("qn"),
+              col("nrm")) * 1e6).cast("long").as("simm"))
+          .orderBy(col("simm").desc, col("vec_id")).limit(50)
+          .withColumn("sr", row_number().over(ws).cast("long"))
+          .select(col("vec_id").as("doc_id"), col("sr"))
+        lex.join(sem, Seq("doc_id"), "full_outer")
+          .withColumn("rrf_micro",
+            coalesce(expr("1000000 div (60 + lr)"), lit(0L)) +
+              coalesce(expr("1000000 div (60 + sr)"), lit(0L)))
+          .orderBy(col("rrf_micro").desc, col("doc_id"))
+          .limit(10)
+          .select(col("doc_id"), col("lr").as("lex_rank"),
+            col("sr").as("sem_rank"), col("rrf_micro"))
+      },
+      Some("""WITH t AS (
+             |  SELECT doc_id, unnest(string_split(trim(text), ' ')) AS tok
+             |  FROM documents WHERE trim(text) <> ''),
+             |tf AS (SELECT doc_id, tok, count(*) AS tf
+             |       FROM t GROUP BY 1, 2),
+             |dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl
+             |       FROM tf GROUP BY 1),
+             |st AS (SELECT count(*) AS n_docs,
+             |         CAST(round(avg(dl) * 1e3) AS BIGINT) AS avgdl_milli
+             |       FROM dl),
+             |qt AS (SELECT tok, avgdl_milli,
+             |        CAST(round(ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+             |          * 1e6) AS BIGINT) AS idf_micro
+             |      FROM (SELECT tok, count(*) AS df,
+             |              row_number() OVER (ORDER BY count(*) DESC, tok)
+             |                AS qrk
+             |            FROM tf GROUP BY tok) vv CROSS JOIN st
+             |      WHERE qrk BETWEEN 10 AND 14),
+             |sc AS (SELECT tf.doc_id,
+             |         (qt.idf_micro * tf.tf * 2200000) //
+             |           (tf.tf * 1000000 + 300000 +
+             |            CAST(round(9e8 * dl.dl / qt.avgdl_milli) AS BIGINT))
+             |           AS term_micro
+             |       FROM tf JOIN qt USING (tok) JOIN dl USING (doc_id)),
+             |lex AS (SELECT doc_id,
+             |          CAST(row_number() OVER (ORDER BY score_micro DESC,
+             |            doc_id) AS BIGINT) AS lr
+             |        FROM (SELECT doc_id,
+             |                CAST(sum(term_micro) AS BIGINT) AS score_micro
+             |              FROM sc GROUP BY doc_id
+             |              ORDER BY score_micro DESC, doc_id LIMIT 50)),
+             |v AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE)
+             |        AS v FROM embeddings),
+             |q1 AS (SELECT vec_id AS qid, v AS qv FROM v
+             |       ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 1),
+             |sems AS (SELECT v.vec_id,
+             |           CAST(round(
+             |             CASE WHEN sqrt(list_sum(list_transform(q1.qv,
+             |                    x -> x*x))) = 0
+             |                    OR sqrt(list_sum(list_transform(v.v,
+             |                    x -> x*x))) = 0 THEN 0.0
+             |                  ELSE list_sum(list_transform(
+             |                         list_zip(q1.qv, v.v), x -> x[1]*x[2]))
+             |                    / (sqrt(list_sum(list_transform(q1.qv,
+             |                         x -> x*x)))
+             |                       * sqrt(list_sum(list_transform(v.v,
+             |                         x -> x*x))))
+             |             END * 1e6) AS BIGINT) AS simm
+             |         FROM v JOIN q1 ON v.vec_id <> q1.qid),
+             |sem AS (SELECT vec_id AS doc_id,
+             |          CAST(row_number() OVER (ORDER BY simm DESC, vec_id)
+             |            AS BIGINT) AS sr
+             |        FROM (SELECT vec_id, simm FROM sems
+             |              ORDER BY simm DESC, vec_id LIMIT 50))
+             |SELECT doc_id, lex.lr AS lex_rank, sem.sr AS sem_rank,
+             |  CAST(coalesce(1000000 // (60 + lex.lr), 0) +
+             |       coalesce(1000000 // (60 + sem.sr), 0) AS BIGINT)
+             |    AS rrf_micro
+             |FROM lex FULL OUTER JOIN sem USING (doc_id)
+             |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin))
   )
 
   /** x38 annotation derivation: 5 synthetic annotators per doc, each

@@ -436,4 +436,23 @@ class CurationSpec extends AnyFunSuite {
     assert(out.map(c => (c._1, c._2, c._3, c._4)).distinct.length
       == out.length)
   }
+
+  test("x40 RRF fusion: scores recompute from ranks, ordering and arity hold") {
+    val rows = q("x40_rrf_fusion").collect().map(r =>
+      (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)),
+        if (r.isNullAt(2)) None else Some(r.getLong(2)),
+        r.getLong(3)))
+    assert(rows.length == 10)
+    rows.foreach { case (doc, lr, sr, s) =>
+      assert(lr.isDefined || sr.isDefined, s"doc $doc in neither list")
+      val expect = lr.map(x => 1000000L / (60L + x)).getOrElse(0L) +
+        sr.map(x => 1000000L / (60L + x)).getOrElse(0L)
+      assert(s == expect, s"doc $doc rrf $s != $expect from ($lr, $sr)")
+    }
+    // descending fused score; determinism across runs
+    assert(rows.map(_._4).toSeq == rows.map(_._4).sortBy(-_).toSeq)
+    assert(q("x40_rrf_fusion").collect().map(_.getLong(0)).toSeq ==
+      rows.map(_._1).toSeq)
+  }
 }
