@@ -232,4 +232,22 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"),
       s"5-term query frame must broadcast into the tf join:\n$p")
   }
+
+  test("x40: both retrieval lists are partial top-k feeding bounded windows") {
+    val p = plan("x40_rrf_fusion")
+    // the ≥2 TakeOrderedAndProject nodes are the lexical top-50, the
+    // semantic top-50, and the fused top-10 — the corpus-sized score
+    // frames must NEVER sort globally
+    val topk = "TakeOrderedAndProject".r.findAllIn(p).length
+    assert(topk >= 3, s"expected 3 partial top-k nodes, got $topk:\n$p")
+  }
+
+  test("n11: one broadcast scoring pass feeds floor agg and negative top-k") {
+    val p = plan("n11_hard_negatives")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"constant query set must broadcast against the corpus:\n$p")
+    assert(p.contains("InMemoryTableScan"),
+      s"scored frame must be tracked-persisted for its two consumers:\n$p")
+  }
 }
