@@ -659,6 +659,113 @@ object Multimodal {
        |SELECT da, db, ham FROM ham WHERE ham <= 3
        |ORDER BY da, db""".stripMargin
 
+  /** m22 corpus: `nBase` unique 4×4-mono y4m streams of exactly 65
+    * frames (one md5 block per 16-byte luma plane) plus `nDup`
+    * planted near-dups (frame 0's first four luma bytes xor'd by 7:
+    * only frame 0's luma sum moves, so at most difference-bit 0
+    * flips). */
+  def videoFpCorpus(spark: SparkSession, nBase: Int, nDup: Int)
+      : Dataset[(Long, Array[Byte])] = {
+    import spark.implicits._
+    spark.range((nBase + nDup).toLong).as[Long].map { id =>
+      val src = if (id < nBase) id else id - nBase
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val luma = new Array[Byte](1040)
+      var k = 0
+      while (k < 65) {
+        System.arraycopy(
+          md.digest(s"vpayload_${src}_$k".getBytes("UTF-8")),
+          0, luma, k * 16, 16)
+        k += 1
+      }
+      if (id >= nBase) {
+        var p = 0
+        while (p < 4) { luma(p) = (luma(p) ^ 0x07).toByte; p += 1 }
+      }
+      (id, encodeY4m(luma, 4, 4, 65))
+    }
+  }
+
+  /** Temporal video fingerprint of a mono luma stream as four 16-bit
+    * chunks: frame f's brightness B_f = Σ unsigned luma bytes of its
+    * plane, bit f = B_f ≥ B_{f+1} — the sign of the brightness
+    * DERIVATIVE across frames (the scene-transition signature that
+    * survives uniform exposure shifts). Integer arithmetic throughout
+    * → oracle-exact. */
+  private[graft] def videoFpChunks(luma: Array[Byte], plane: Int)
+      : Array[Long] = {
+    val frames = luma.length / plane
+    require(frames >= 65, s"need >= 65 frames, got $frames")
+    val e = new Array[Long](frames)
+    var f = 0
+    while (f < frames) {
+      var i = 0; var s = 0L
+      while (i < plane) { s += (luma(f * plane + i) & 0xff); i += 1 }
+      e(f) = s; f += 1
+    }
+    val chunks = new Array[Long](4)
+    var b = 0
+    while (b < 64) {
+      if (e(b) >= e(b + 1)) chunks(b / 16) |= 1L << (b % 16)
+      b += 1
+    }
+    chunks
+  }
+
+  /** m22: video near-dup pairs over a (media_id, bytes) y4m frame —
+    * REAL container demux → temporal brightness fingerprint → the
+    * same pigeonhole bucket join + exact hamming verify as m20/m21.
+    * Completes the spatial/audio/video dedup triad on one skeleton. */
+  def videoFingerprintPairs(media: DataFrame, maxHam: Int = 3)
+      : DataFrame = {
+    import media.sparkSession.implicits._
+    chunkHammingPairs(media.select(col("media_id"), col("bytes"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (luma, w, h, _) = decodeY4m(bytes)
+          val c = videoFpChunks(luma, w * h)
+          (id, c(0), c(1), c(2), c(3))
+        }
+      }
+      .toDF("media_id", "c0", "c1", "c2", "c3"), maxHam)
+  }
+
+  /** m22 oracle: replay luma planes from md5 (y4m mono planes are
+    * raw, so demux is stream-transparent), frame brightness sums,
+    * difference bits, chunks, pigeonhole candidates, exact hamming. */
+  def videoFpOracleSql(nBase: Int, nDup: Int): String =
+    s"""WITH ids AS (SELECT range AS id FROM range(${nBase + nDup})),
+       |base AS (SELECT id,
+       |    CASE WHEN id < $nBase THEN id ELSE id - $nBase END AS src
+       |  FROM ids),
+       |px AS (SELECT b.id, r.range AS p,
+       |    CASE WHEN b.id >= $nBase AND r.range < 4
+       |      THEN xor(('0x'||substr(md5('vpayload_'||b.src||'_'||
+       |             (r.range//16)), 1 + CAST(r.range % 16 AS INT)*2,
+       |             2))::INT, 7)
+       |      ELSE ('0x'||substr(md5('vpayload_'||b.src||'_'||
+       |             (r.range//16)), 1 + CAST(r.range % 16 AS INT)*2,
+       |             2))::INT END AS v
+       |  FROM base b JOIN range(1040) r ON true),
+       |fr AS (SELECT id, p//16 AS f, sum(v) AS e
+       |  FROM px GROUP BY 1, 2),
+       |ch AS (SELECT a.id, a.f//16 AS ci,
+       |    CAST(sum(CASE WHEN a.e >= n.e THEN 1 ELSE 0 END
+       |      << CAST(a.f%16 AS INT)) AS BIGINT) AS v
+       |  FROM fr a JOIN fr n ON a.id = n.id AND n.f = a.f + 1
+       |  WHERE a.f < 64 GROUP BY 1, 2),
+       |cand AS (SELECT DISTINCT a.id AS da, b.id AS db
+       |  FROM ch a JOIN ch b ON a.ci = b.ci AND a.v = b.v
+       |    AND a.id < b.id),
+       |ham AS (SELECT cand.da, cand.db,
+       |    CAST(sum(bit_count(xor(a.v, b.v))) AS BIGINT) AS ham
+       |  FROM cand JOIN ch a ON a.id = cand.da
+       |    JOIN ch b ON b.id = cand.db AND a.ci = b.ci
+       |  GROUP BY 1, 2)
+       |SELECT da, db, ham FROM ham WHERE ham <= 3
+       |ORDER BY da, db""".stripMargin
+
   /** m20 oracle: replay pixels from md5, aHash in integer arithmetic,
     * pigeonhole candidates, exact hamming — no PNG decode needed
     * because the encode/decode roundtrip is byte-exact (proven by the

@@ -415,6 +415,17 @@ object Sources extends QueryModule {
       (s, _) => graft.multimodal.Multimodal.audioFingerprintPairs(
         graft.multimodal.Multimodal.audioFpCorpus(s, 200, 50)
           .toDF("media_id", "bytes")),
-      Some(graft.multimodal.Multimodal.audioFpOracleSql(200, 50)))
+      Some(graft.multimodal.Multimodal.audioFpOracleSql(200, 50))),
+
+    // M22: video near-dup fingerprinting — completes the multimodal
+    // dedup triad (m20 spatial, m21 audio-temporal, m22 video-
+    // temporal): REAL y4m demux → per-frame brightness-derivative
+    // signs → the same pigeonhole chunk buckets + exact hamming
+    // verify. Three modalities, one candidate-generation skeleton.
+    GQuery("m22_video_fingerprint",
+      (s, _) => graft.multimodal.Multimodal.videoFingerprintPairs(
+        graft.multimodal.Multimodal.videoFpCorpus(s, 200, 50)
+          .toDF("media_id", "bytes")),
+      Some(graft.multimodal.Multimodal.videoFpOracleSql(200, 50)))
   )
 }

@@ -281,4 +281,30 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.audioFpChunks(
         Multimodal.decodeWav(Multimodal.encodeWav(pcm, 8000))._1).toSeq)
   }
+
+  test("videoFingerprintPairs: planted near-dups recovered via real y4m demux") {
+    val nBase = 60; val nDup = 20
+    val pairs = Multimodal.videoFingerprintPairs(
+      Multimodal.videoFpCorpus(spark, nBase, nDup)
+        .toDF("media_id", "bytes"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // perturbing only frame 0's luma can flip at most difference
+    // bit 0 — every planted pair sits at hamming ≤ 1, nothing else
+    // survives the ≤3 gate
+    assert(pairs.map(p => (p._1, p._2)).toSet ==
+      (0 until nDup).map(i => (i.toLong, (i + nBase).toLong)).toSet,
+      s"got ${pairs.toSeq}")
+    assert(pairs.forall(_._3 <= 1))
+    // y4m demux is stream-transparent for mono planes: container
+    // roundtrip changes nothing about the fingerprint
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val luma = new Array[Byte](1040)
+    for (k <- 0 until 65)
+      System.arraycopy(md.digest(s"vpayload_3_$k".getBytes("UTF-8")),
+        0, luma, k * 16, 16)
+    assert(Multimodal.videoFpChunks(luma, 16).toSeq ==
+      Multimodal.videoFpChunks(
+        Multimodal.decodeY4m(Multimodal.encodeY4m(luma, 4, 4, 65))._1,
+        16).toSeq)
+  }
 }
