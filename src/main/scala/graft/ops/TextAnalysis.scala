@@ -2012,7 +2012,134 @@ object TextAnalysis extends QueryModule {
              |       coalesce(1000000 // (60 + sem.sr), 0) AS BIGINT)
              |    AS rrf_micro
              |FROM lex FULL OUTER JOIN sem USING (doc_id)
-             |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin))
+             |ORDER BY rrf_micro DESC, doc_id LIMIT 10""".stripMargin)),
+
+    // X41: DPO pair construction — the preference-dataset builder
+    // downstream of x37/x38: within each group (source = the
+    // "prompt"), the highest- and lowest-reward samples become the
+    // (chosen, rejected) pair, kept only when the reward margin
+    // clears a floor (degenerate near-tie pairs teach a DPO loss
+    // nothing). Reward = the x2 quality score in micro-units; ties
+    // break on doc_id so the pair is unique. Scale posture: ONE
+    // group-keyed window ranks both extremes (min = max of the
+    // reversed order) — no per-group sort materialization, no
+    // self-join of the sample table.
+    GQuery("x41_dpo_pairs",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val scored = graft.Tables.documents(s, d)
+          .select("doc_id", "source", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("source"),
+            size(toks).cast("long").as("n_toks"),
+            hits(toks, stopwords).as("n_stop"))
+          .select(col("doc_id"), col("source"),
+            round(round(least(col("n_toks") / 60.0, lit(1.0)) * 0.5 +
+              (lit(1.0) - col("n_stop") * 1.0 / col("n_toks")) * 0.5, 4)
+              * 10000).cast("long").as("rm"))
+        val wUp = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("rm").desc, col("doc_id"))
+        val wDn = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy(col("rm").asc, col("doc_id").desc)
+        scored
+          .withColumn("rb", row_number().over(wUp))
+          .withColumn("rw", row_number().over(wDn))
+          .filter(col("rb") === 1 || col("rw") === 1)
+          .groupBy("source")
+          .agg(max(when(col("rb") === 1, col("doc_id"))).as("chosen"),
+            max(when(col("rb") === 1, col("rm"))).as("r_chosen"),
+            max(when(col("rw") === 1, col("doc_id"))).as("rejected"),
+            max(when(col("rw") === 1, col("rm"))).as("r_rejected"))
+          .withColumn("margin", col("r_chosen") - col("r_rejected"))
+          .filter(col("margin") >= 500)
+          .select("source", "chosen", "rejected", "r_chosen",
+            "r_rejected", "margin")
+          .orderBy("source")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, source,
+              |    CAST(round(round(least(len(string_split(trim(text), ' '))
+              |        / 60.0, 1.0) * 0.5 +
+              |      (1.0 - ${sqlHits(stopwords)} * 1.0 /
+              |       len(string_split(trim(text), ' '))) * 0.5, 4)
+              |      * 10000) AS BIGINT) AS rm
+              |  FROM documents),
+              |r AS (SELECT doc_id, source, rm,
+              |        row_number() OVER (PARTITION BY source
+              |          ORDER BY rm DESC, doc_id) AS rb,
+              |        row_number() OVER (PARTITION BY source
+              |          ORDER BY rm ASC, doc_id DESC) AS rw
+              |      FROM q),
+              |p AS (SELECT source,
+              |        CAST(max(CASE WHEN rb = 1 THEN doc_id END)
+              |          AS BIGINT) AS chosen,
+              |        CAST(max(CASE WHEN rb = 1 THEN rm END)
+              |          AS BIGINT) AS r_chosen,
+              |        CAST(max(CASE WHEN rw = 1 THEN doc_id END)
+              |          AS BIGINT) AS rejected,
+              |        CAST(max(CASE WHEN rw = 1 THEN rm END)
+              |          AS BIGINT) AS r_rejected
+              |      FROM r WHERE rb = 1 OR rw = 1 GROUP BY source)
+              |SELECT source, chosen, rejected, r_chosen, r_rejected,
+              |  r_chosen - r_rejected AS margin
+              |FROM p WHERE r_chosen - r_rejected >= 500
+              |ORDER BY source""".stripMargin)),
+
+    // X42: group-relative advantage normalization — the GRPO/RLOO
+    // reward-shaping op: within each group the raw reward becomes
+    // (r − mean) / std, computed from the group's THREE integer
+    // sufficient statistics (n, Σr, Σr²) so both engines derive the
+    // identical doubles — one keyed aggregate broadcast back, never
+    // a second pass over samples. Zero-variance groups emit 0 (every
+    // sample at the baseline). Output is per-sample — the shape the
+    // RL trainer consumes.
+    GQuery("x42_group_advantage",
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val scored = graft.Caches.track(graft.Tables.documents(s, d)
+          .select("doc_id", "source", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("doc_id"), col("source"),
+            size(toks).cast("long").as("n_toks"),
+            hits(toks, stopwords).as("n_stop"))
+          .select(col("doc_id"), col("source"),
+            round(round(least(col("n_toks") / 60.0, lit(1.0)) * 0.5 +
+              (lit(1.0) - col("n_stop") * 1.0 / col("n_toks")) * 0.5, 4)
+              * 10000).cast("long").as("rm")))
+        val stats = scored.groupBy("source")
+          .agg(count(lit(1)).as("n"), sum(col("rm")).as("sr"),
+            sum(col("rm") * col("rm")).as("srr"))
+        scored.join(broadcast(stats), Seq("source"))
+          .withColumn("mean", col("sr") / col("n"))
+          .withColumn("varr",
+            (col("srr") - col("sr") * col("sr") / col("n")) / col("n"))
+          .withColumn("adv_micro",
+            when(col("varr") <= 0, lit(0L)).otherwise(
+              round((col("rm") - col("mean")) / sqrt(col("varr")) * 1e6)
+                .cast("long")))
+          .select(col("doc_id"), col("source"), col("rm").as("reward_micro"),
+            col("adv_micro"))
+          .orderBy("doc_id")
+      },
+      Some(s"""WITH q AS (
+              |  SELECT doc_id, source,
+              |    CAST(round(round(least(len(string_split(trim(text), ' '))
+              |        / 60.0, 1.0) * 0.5 +
+              |      (1.0 - ${sqlHits(stopwords)} * 1.0 /
+              |       len(string_split(trim(text), ' '))) * 0.5, 4)
+              |      * 10000) AS BIGINT) AS rm
+              |  FROM documents),
+              |st AS (SELECT source, CAST(count(*) AS BIGINT) AS n,
+              |         CAST(sum(rm) AS BIGINT) AS sr,
+              |         CAST(sum(rm * rm) AS BIGINT) AS srr
+              |       FROM q GROUP BY 1)
+              |SELECT q.doc_id, q.source, q.rm AS reward_micro,
+              |  CASE WHEN (srr - sr * sr / n) / n <= 0 THEN 0
+              |       ELSE CAST(round((q.rm - sr / n) /
+              |              sqrt((srr - sr * sr / n) / n) * 1e6)
+              |            AS BIGINT) END AS adv_micro
+              |FROM q JOIN st ON st.source = q.source
+              |ORDER BY q.doc_id""".stripMargin))
   )
 
   /** x38 annotation derivation: 5 synthetic annotators per doc, each

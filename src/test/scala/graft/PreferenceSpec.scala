@@ -75,4 +75,47 @@ class PreferenceSpec extends AnyFunSuite {
     assert(out("s1") == ((2L, 0.8, 0.5, 0.5)))
     assert(out("s2") == ((1L, 0.8, 0.0, 1.0)))
   }
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def q(name: String) = SparkEntry.queries(name)(spark, sfDir)
+
+  test("x41 DPO pairs are the reward extremes of x42's per-sample frame") {
+    val adv = q("x42_group_advantage").collect()
+      .map(r => (r.getString(1), r.getLong(0), r.getLong(2)))
+    val bySrc = adv.groupBy(_._1)
+    val pairs = q("x41_dpo_pairs").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (src, chosen, rejected, rc, rr, margin) =>
+      assert(chosen != rejected)
+      assert(margin == rc - rr && margin >= 500)
+      // cross-operator consistency: the pair's rewards are the
+      // source's true extremes in the advantage frame
+      val rs = bySrc(src).map(_._3)
+      assert(rc == rs.max, s"$src chosen reward $rc != max ${rs.max}")
+      assert(rr == rs.min, s"$src rejected reward $rr != min ${rs.min}")
+    }
+    // sub-margin sources are absent, not zero-row artifacts
+    bySrc.foreach { case (src, rows) =>
+      val has = pairs.exists(_._1 == src)
+      assert(has == (rows.map(_._3).max - rows.map(_._3).min >= 500),
+        s"margin gate wrong for $src")
+    }
+  }
+
+  test("x42 advantages are zero-mean and reward-monotonic per group") {
+    val adv = q("x42_group_advantage").collect()
+      .map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    adv.groupBy(_._1).foreach { case (src, rows) =>
+      // Σ round(z_i·1e6) stays within n/2 micro of the exact zero sum
+      val mean = rows.map(_._3).sum.toDouble / rows.length
+      assert(math.abs(mean) <= 1.0, s"$src mean adv $mean")
+      // standardization preserves reward order
+      val ordered = rows.sortBy(_._2).map(_._3)
+      ordered.zip(ordered.drop(1)).foreach { case (a, b) =>
+        assert(a <= b, s"$src not monotonic")
+      }
+    }
+  }
 }
