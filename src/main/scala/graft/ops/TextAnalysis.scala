@@ -2139,7 +2139,54 @@ object TextAnalysis extends QueryModule {
               |              sqrt((srr - sr * sr / n) / n) * 1e6)
               |            AS BIGINT) END AS adv_micro
               |FROM q JOIN st ON st.source = q.source
-              |ORDER BY q.doc_id""".stripMargin))
+              |ORDER BY q.doc_id""".stripMargin)),
+
+    // X43: temperature-scaled mixture sampling — the UPWEIGHTING
+    // counterpart of x22's uniform-target capping: sampling
+    // probability p_i ∝ n_i^α flattens the source distribution
+    // (mT5/XLM-R's low-resource boost). α = 1/2 deliberately: n^0.5
+    // is IEEE-sqrt, correctly rounded in BOTH engines (a libm pow at
+    // fractional α is not), and each weight is milli-quantized BEFORE
+    // the normalizing sum so the total and every probability are pure
+    // BIGINT arithmetic — order-independent across partitions and
+    // engines. One corpus pass; everything after runs on the
+    // |sources|-row frame.
+    GQuery("x43_temperature_mix",
+      (s, d) => {
+        val bySrc = Tables.documents(s, d)
+          .select("source", "text")
+          .repartition(s.sparkContext.defaultParallelism)
+          .select(col("source"), size(tokens(col("text"))).cast("long")
+            .as("n_toks"))
+          .groupBy("source").agg(sum("n_toks").as("toks"))
+          .withColumn("w_milli", round(sqrt(col("toks")) * 1e3)
+            .cast("long"))
+        val tot = bySrc.agg(sum(col("toks")).as("total"),
+          sum(col("w_milli")).as("wtot"))
+        bySrc.crossJoin(broadcast(tot))
+          .select(col("source"), col("toks"),
+            round(col("toks") * 1.0 / col("total"), 4).as("nat_share"),
+            expr("(w_milli * 1000000) div wtot").as("p_micro"),
+            expr("(((w_milli * 1000000) div wtot) * total) div toks")
+              .as("boost_micro"))
+          .orderBy("source")
+      },
+      Some("""WITH b AS (
+             |  SELECT source,
+             |    CAST(sum(len(string_split(trim(text), ' '))) AS BIGINT)
+             |      AS toks
+             |  FROM documents GROUP BY 1),
+             |w AS (SELECT source, toks,
+             |        CAST(round(sqrt(toks) * 1e3) AS BIGINT) AS w_milli
+             |      FROM b),
+             |t AS (SELECT CAST(sum(toks) AS BIGINT) AS total,
+             |        CAST(sum(w_milli) AS BIGINT) AS wtot FROM w)
+             |SELECT source, toks,
+             |  round(toks * 1.0 / total, 4) AS nat_share,
+             |  (w_milli * 1000000) // wtot AS p_micro,
+             |  (((w_milli * 1000000) // wtot) * total) // toks
+             |    AS boost_micro
+             |FROM w CROSS JOIN t ORDER BY source""".stripMargin))
   )
 
   /** x38 annotation derivation: 5 synthetic annotators per doc, each

@@ -455,4 +455,23 @@ class CurationSpec extends AnyFunSuite {
     assert(q("x40_rrf_fusion").collect().map(_.getLong(0)).toSeq ==
       rows.map(_._1).toSeq)
   }
+
+  test("x43 temperature mix flattens: probabilities sum to 1, boost anti-monotonic in size") {
+    val rows = q("x43_temperature_mix").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // Σ p_micro = 1e6 minus at most one floor-unit per source
+    val pSum = rows.map(_._3).sum
+    assert(pSum <= 1000000L && pSum >= 1000000L - rows.length,
+      s"p sum $pSum")
+    // α=1/2 boosts small sources over large ones: boost_micro is
+    // non-increasing as token mass grows (ties possible via flooring)
+    val bySize = rows.sortBy(_._2)
+    bySize.zip(bySize.drop(1)).foreach { case (a, b) =>
+      assert(a._4 >= b._4, s"boost not anti-monotonic: $a vs $b")
+    }
+    // every boost stays a genuine reweight: small sources above 1x,
+    // the largest below the mean-preserving line only if some source
+    // sits above it
+    assert(rows.exists(_._4 > 1000000L) && rows.exists(_._4 < 1000000L))
+  }
 }
