@@ -2186,7 +2186,58 @@ object TextAnalysis extends QueryModule {
              |  (w_milli * 1000000) // wtot AS p_micro,
              |  (((w_milli * 1000000) // wtot) * total) // toks
              |    AS boost_micro
-             |FROM w CROSS JOIN t ORDER BY source""".stripMargin))
+             |FROM w CROSS JOIN t ORDER BY source""".stripMargin)),
+
+    // X44: probe calibration table — the reliability diagram behind
+    // x34's confusion matrix: raw integer margin scores under the
+    // trained w2 weights bucket into 10 equi-width bins; per bin the
+    // positive fraction vs the mean score says WHERE the classifier
+    // is over/under-confident (the decision basis for thresholding a
+    // quality gate, not just its aggregate accuracy). Integer bin
+    // math from a broadcast (min, max) row; third consumer of the
+    // persisted feature frame — no new corpus-sized state.
+    GQuery("x44_calibration",
+      (s, d) => {
+        val feats = probeFeats(s, d)
+        val wt = probeWeights(feats).select("f", "w2")
+        val scored = graft.Caches.track(feats
+          .join(broadcast(wt), Seq("f"), "left")
+          .groupBy("doc_id", "y")
+          .agg(sum(col("c") * coalesce(col("w2"), lit(0L)))
+            .as("score")))
+        val ext = scored.agg(min(col("score")).as("mn"),
+          max(col("score")).as("mx"))
+        scored.crossJoin(broadcast(ext))
+          .withColumn("bin",
+            expr("((score - mn) * 10) div (mx - mn + 1)"))
+          .groupBy("bin")
+          .agg(count(lit(1)).as("n"),
+            round(sum(col("y")) * 1.0 / count(lit(1)), 4)
+              .as("frac_pos"),
+            round(sum(col("score")) * 1.0 / count(lit(1)), 4)
+              .as("mean_score"))
+          .orderBy("bin")
+      },
+      Some(ProbeCtes +
+        """,
+          |wt AS (SELECT fs.f,
+          |         coalesce(w1.w1, 0) + coalesce(d2.dw, 0) AS w2
+          |       FROM (SELECT DISTINCT f FROM feats) fs
+          |       LEFT JOIN w1 ON fs.f = w1.f
+          |       LEFT JOIN d2 ON fs.f = d2.f),
+          |sc2 AS (SELECT fe.doc_id, fe.y,
+          |          CAST(coalesce(sum(fe.c * wt.w2), 0) AS BIGINT)
+          |            AS score
+          |        FROM feats fe LEFT JOIN wt ON fe.f = wt.f
+          |        GROUP BY 1, 2),
+          |ext AS (SELECT CAST(min(score) AS BIGINT) AS mn,
+          |          CAST(max(score) AS BIGINT) AS mx FROM sc2)
+          |SELECT ((score - mn) * 10) // (mx - mn + 1) AS bin,
+          |  count(*) AS n,
+          |  round(sum(y) * 1.0 / count(*), 4) AS frac_pos,
+          |  round(sum(score) * 1.0 / count(*), 4) AS mean_score
+          |FROM sc2 CROSS JOIN ext
+          |GROUP BY 1 ORDER BY bin""".stripMargin))
   )
 
   /** x38 annotation derivation: 5 synthetic annotators per doc, each

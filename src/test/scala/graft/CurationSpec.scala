@@ -474,4 +474,22 @@ class CurationSpec extends AnyFunSuite {
     // sits above it
     assert(rows.exists(_._4 > 1000000L) && rows.exists(_._4 < 1000000L))
   }
+
+  test("x44 calibration bins partition the corpus; mean score rises with bin") {
+    val rows = q("x44_calibration").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 9))
+    // equi-width bins over scored docs: counts partition the corpus
+    // (probe features drop blank docs — none in the harness data)
+    val total = Tables.documents(spark, sfDir)
+      .filter(trim(col("text")) =!= "").count()
+    assert(rows.map(_._2).sum == total)
+    assert(rows.forall(r => r._3 >= 0.0 && r._3 <= 1.0))
+    // bins are score ranges in increasing order → per-bin means rise
+    val sorted = rows.sortBy(_._1)
+    sorted.zip(sorted.drop(1)).foreach { case (a, b) =>
+      assert(a._4 < b._4, s"bin means not increasing: $a vs $b")
+    }
+  }
 }
