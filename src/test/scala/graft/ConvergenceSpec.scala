@@ -138,4 +138,31 @@ class ConvergenceSpec extends AnyFunSuite {
       s"3-core must be exactly the K4 at degree 3: $core")
     Caches.drain()
   }
+
+  test("btConverged: MM needs >3 rounds on a skewed ladder, fixpoint is stable") {
+    import spark.implicits._
+    // A dominates B 9:1, B dominates C 9:1, C dominates D 9:1 — the
+    // strength ratios are large, so the MM iteration moves for many
+    // rounds before the micro-unit deltas fall under tolerance
+    def duels(w: String, l: String) =
+      Seq.fill(9)((w, l, w)) ++ Seq.fill(1)((w, l, l))
+    val comp = (duels("A", "B") ++ duels("B", "C") ++ duels("C", "D"))
+      .toDF("sa", "sb", "win")
+    val (p, iters) = ops.TextAnalysis.btConverged(comp, tolMicro = 100L)
+    assert(iters > 3, s"fixture too easy: converged in $iters")
+    // driver-side rounds are microseconds — a deep MM tail (measured
+    // 79 rounds to 100-micro tolerance here) is fine by design
+    assert(iters < 200, s"did not converge in 200: $iters")
+    val m = p.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(m("A") > m("B") && m("B") > m("C") && m("C") > m("D"),
+      s"ordering lost: $m")
+    // fixed-3 x37 and the converged run agree on the ORDERING (the
+    // fixed oracle is a prefix of the same iteration)
+    val fixed = ops.TextAnalysis.btFromComparisons(comp, 3)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val convRank = m.toSeq.sortBy(-_._2).map(_._1)
+    val fixedRank = fixed.toSeq.sortBy(_._2).map(_._1)
+    assert(convRank == fixedRank, s"$convRank vs $fixedRank")
+    Caches.drain()
+  }
 }
