@@ -551,6 +551,50 @@ object Dedup extends QueryModule {
           |       (vx = min(u)) AS is_keeper
           |FROM reach GROUP BY vx ORDER BY doc_id""".stripMargin)),
 
+    // D17: soft dedup by downweighting — the alternative to d6's hard
+    // keeper selection: every member of a near-dup group gets weight
+    // 1/|group| so the group contributes ONE document of training
+    // mass without discarding any variant (the "deduplicate by
+    // reweighting" option when variants carry signal). Same LSH → CC
+    // skeleton as d6 with a group-size join on top; weights in
+    // integer micro-units. At 100 TB the size frame is group-keyed
+    // and the weight join is the CC output re-keyed once.
+    GQuery("d17_dup_downweight",
+      (s, d) => {
+        val pairs = lshPairs(s, d, 0.5)
+          .select(col("da").as("l1"), col("db").as("l2"))
+        val verts = Tables.documents(s, d).select(col("doc_id").as("v"))
+        val cc = graft.Caches.track(
+          graft.cluster.Dbscan.connectedComponents(s, verts, pairs)
+            .select(col("v").as("doc_id"),
+              col("component").as("dup_group")))
+        val sizes = cc.groupBy("dup_group").agg(count(lit(1)).as("gsz"))
+        cc.join(sizes, Seq("dup_group"))
+          .select(col("doc_id"), col("dup_group"), col("gsz"),
+            expr("1000000 div gsz").as("weight_micro"))
+          .orderBy("doc_id")
+      },
+      Some("WITH RECURSIVE " + shingleSqlCte.stripPrefix("WITH ") +
+        """,
+          |p AS (SELECT a.doc_id AS da, b.doc_id AS db
+          |      FROM s a JOIN s b ON a.doc_id < b.doc_id
+          |      WHERE len(list_intersect(a.sh, b.sh)) * 1.0 /
+          |            len(list_distinct(a.sh || b.sh)) >= 0.5),
+          |sym AS (SELECT da AS s0, db AS t0 FROM p
+          |        UNION SELECT db AS s0, da AS t0 FROM p),
+          |verts AS (SELECT doc_id AS vx FROM documents),
+          |reach AS (SELECT vx, vx AS u FROM verts
+          |          UNION
+          |          SELECT r.vx, sym.t0 AS u
+          |          FROM reach r JOIN sym ON r.u = sym.s0),
+          |g AS (SELECT vx AS doc_id, min(u) AS dup_group
+          |      FROM reach GROUP BY vx),
+          |z AS (SELECT dup_group, CAST(count(*) AS BIGINT) AS gsz
+          |      FROM g GROUP BY 1)
+          |SELECT g.doc_id, g.dup_group, z.gsz,
+          |  1000000 // z.gsz AS weight_micro
+          |FROM g JOIN z USING (dup_group) ORDER BY doc_id""".stripMargin)),
+
     // D11 (see [[incrementalDedup]]): batch-incremental dedup against
     // an existing corpus — oracle replays the exact-Jaccard pair sets
     // (valid by the same LSH-recall-1.0 equivalence d3/d6 prove) and

@@ -375,4 +375,25 @@ class DedupSpec extends AnyFunSuite {
     assert(brute.contains((3L, 100L)), "planted exact dup not in truth set")
     assert(brute.contains((5L, 101L)), "planted near dup not in truth set")
   }
+
+  test("d17 downweighting conserves one unit of mass per dup group") {
+    val sfDir = "/root/testdata/sf0.001"
+    val rows = SparkEntry.queries("d17_dup_downweight")(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.length == total, "every doc gets a weight row")
+    rows.groupBy(_._2).foreach { case (g, ms) =>
+      // group size column is consistent and weights are uniform
+      assert(ms.forall(_._3 == ms.length), s"group $g size mismatch")
+      assert(ms.map(_._4).distinct.length == 1)
+      // Σ weights = 1e6 up to |group| floor units — the group counts
+      // as ONE document of training mass
+      val w = ms.map(_._4).sum
+      assert(w <= 1000000L && w > 1000000L - ms.length, s"group $g mass $w")
+    }
+    // singletons keep full weight — downweighting never taxes uniques
+    assert(rows.filter(_._3 == 1L).forall(_._4 == 1000000L))
+    Caches.drain()
+  }
 }
