@@ -61,6 +61,18 @@ final case class AsofOut(
     click_id: Long,     // -1 when no prior click
     click_ms: Long)     // -1 when no prior click
 
+/** One annotation arriving on the labeling stream. */
+final case class AnnRow(doc_id: Long, lang: String, source: String,
+    lbl: String)
+
+/** Per-doc vote tally: label → count, plus the doc's metadata. */
+final case class VoteState(counts: Map[String, Int], lang: String,
+    source: String)
+
+/** Consensus emitted once a doc's annotation quorum is reached. */
+final case class ConsensusOut(doc_id: Long, source: String,
+    maj_lbl: String, n_agree: Long, correct: Boolean)
+
 /** Structured Streaming face of the trace pipeline (SURVEY.md §2.11
   * extension): the reference processes its event log in batch; the same
   * log schema is naturally a stream, so the engine also exposes
@@ -370,6 +382,46 @@ object StreamOps extends Serializable {
     * 100 TB: counters add across batches, executors, and clusters).
     * Expects a `tok` string column; emits (r, c, cnt) in Update mode.
     * Probing stays the batch-side `min` over a token's d cells. */
+  /** Streaming annotation consensus — the stateful twin of batch
+    * `x38_label_vote`'s per-doc stage: annotations for a document
+    * arrive across micro-batches; its tally lives in keyed state and
+    * the consensus row emits EXACTLY ONCE when the quorum-th
+    * annotation lands (then the state clears — state size is
+    * O(docs in flight), not O(annotations)). Tie-break matches the
+    * batch kernel ((count desc, label asc)), so any micro-batch split
+    * of the same annotations yields the same consensus rows
+    * (spec-locked batch parity). */
+  def annotationConsensus(ann: Dataset[AnnRow], quorum: Int)
+      : Dataset[ConsensusOut] = {
+    import ann.sparkSession.implicits._
+
+    def fn(docId: Long, batch: Iterator[AnnRow],
+        state: GroupState[VoteState]): Iterator[ConsensusOut] = {
+      val rows = batch.toSeq
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val prev = state.getOption.getOrElse(
+          VoteState(Map.empty, rows.head.lang, rows.head.source))
+        val counts = rows.foldLeft(prev.counts) { (m, r) =>
+          m.updated(r.lbl, m.getOrElse(r.lbl, 0) + 1)
+        }
+        if (counts.values.sum >= quorum) {
+          state.remove()
+          val (maj, c) = counts.toSeq.minBy { case (l, n) => (-n, l) }
+          Iterator.single(ConsensusOut(docId, prev.source, maj,
+            c.toLong, maj == prev.lang))
+        } else {
+          state.update(VoteState(counts, prev.lang, prev.source))
+          Iterator.empty
+        }
+      }
+    }
+
+    ann.groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
   def countMin(toks: DataFrame, d: Int = 4, w: Int = 512): DataFrame =
     toks
       .select(explode(graft.functions.cmsCells(col("tok"), d, w))

@@ -539,4 +539,42 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(eids == Set(1L, 2L, 11L, 21L), s"index holds $eids")
     } finally q.stop()
   }
+
+  test("annotationConsensus: quorum emit matches the batch vote, split-invariant") {
+    import spark.implicits._
+    import graft.streaming.{AnnRow, ConsensusOut}
+    def run(batches: Seq[Seq[AnnRow]], name: String): Map[Long, (String, Long, Boolean)] = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[AnnRow]
+      val q = StreamOps.annotationConsensus(mem.toDS(), quorum = 5)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.sql(s"SELECT doc_id, maj_lbl, n_agree, correct FROM $name")
+          .collect()
+          .map(r => r.getLong(0) ->
+            (r.getString(1), r.getLong(2), r.getBoolean(3))).toMap
+      } finally q.stop()
+    }
+    // doc 1: 3 "xx" vs 2 "en" → majority flips from truth;
+    // doc 2: unanimous; doc 3: 4-1 toward truth
+    def a(d: Long, lang: String, lbl: String) = AnnRow(d, lang, "s", lbl)
+    val all =
+      Seq(a(1, "en", "xx"), a(1, "en", "xx"), a(1, "en", "en"),
+        a(1, "en", "en"), a(1, "en", "xx")) ++
+      Seq.fill(5)(a(2, "en", "en")) ++
+      (Seq.fill(4)(a(3, "de", "de")) :+ a(3, "de", "xx"))
+    val expect = Map(
+      1L -> ("xx", 3L, false),
+      2L -> ("en", 5L, true),
+      3L -> ("de", 4L, true))
+    // one batch vs a split that severs every doc's annotations
+    // mid-tally — keyed state must carry partial counts across
+    val whole = run(Seq(all), "consensus_a")
+    val split = run(Seq(all.take(4), all.slice(4, 9), all.drop(9)),
+      "consensus_b")
+    assert(whole == expect, s"whole-batch run: $whole")
+    assert(split == expect, s"split run: $split")
+  }
 }
