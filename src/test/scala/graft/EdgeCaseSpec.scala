@@ -224,4 +224,38 @@ class EdgeCaseSpec extends AnyFunSuite {
       !r.getDouble(2).isNaN && !r.getDouble(2).isInfinite),
       "weights must stay finite with an empty target")
   }
+
+  test("btFromComparisons: empty duels and a single one-sided pair stay sane") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String, String)].toDF("sa", "sb", "win")
+    assert(graft.ops.TextAnalysis.btFromComparisons(empty, 3).count() == 0)
+    // one pair, all duels one way: loser holds W=0 → strength 0,
+    // never a division failure
+    val oneWay = Seq.fill(3)(("A", "B", "A")).toDF("sa", "sb", "win")
+    val m = graft.ops.TextAnalysis.btFromComparisons(oneWay, 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(m("A")._1 == 3L && m("B") == ((0L, 0L)), s"$m")
+  }
+
+  test("voteFromAnnotations: empty frame and single annotation") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, String, String, String)]
+      .toDF("doc_id", "lang", "source", "lbl")
+    assert(graft.ops.TextAnalysis.voteFromAnnotations(empty).count() == 0)
+    val one = Seq((1L, "en", "s", "en"))
+      .toDF("doc_id", "lang", "source", "lbl")
+    val r = graft.ops.TextAnalysis.voteFromAnnotations(one).collect()
+    // one annotator: consensus trivially unanimous at n_agree=1 → the
+    // 1/5 agreement denominator still reports its fixed-quorum scale
+    assert(r.length == 1 && r.head.getLong(1) == 1L)
+  }
+
+  test("hardNegatives: all-same-label corpus yields no negatives, no throw") {
+    import spark.implicits._
+    val vecs = (0L until 5L)
+      .map(i => (i, Array.tabulate(4)(j => if (j == i % 4) 1.0 else 0.0), 7))
+      .toDF("vec_id", "v", "label")
+    assert(graft.ops.Ann.hardNegatives(vecs, 5, 3, 50000L).count() == 0)
+  }
 }
