@@ -2237,7 +2237,98 @@ object TextAnalysis extends QueryModule {
           |  round(sum(y) * 1.0 / count(*), 4) AS frac_pos,
           |  round(sum(score) * 1.0 / count(*), 4) AS mean_score
           |FROM sc2 CROSS JOIN ext
-          |GROUP BY 1 ORDER BY bin""".stripMargin))
+          |GROUP BY 1 ORDER BY bin""".stripMargin)),
+
+    // X45: n-gram overlap eval scoring — the generation-eval op
+    // (ROUGE-N recall / clipped BLEU-ish precision) run corpus-wide:
+    // each candidate doc scores against a deterministic reference
+    // partner (doc_id + N/2 mod N — the half-rotation pairing gives
+    // every doc exactly one cand and one ref role). Clipped multiset
+    // intersection Σ_g min(c_cand, c_ref) per n-gram order, in
+    // integer micro-units. Scale posture: gram frames are keyed
+    // aggregates; the cand↔ref match is an equi-join on (ref, gram)
+    // — never doc×doc; N rides a 1-row broadcast.
+    GQuery("x45_ngram_eval",
+      (s, d) => {
+        val docs = docsSpread(s, d)
+        val nRow = docs.agg(count(lit(1)).as("nn"))
+        val pairs = docs.select(col("doc_id").as("cid"))
+          .crossJoin(broadcast(nRow))
+          .select(col("cid"),
+            expr("(cid + nn div 2) % nn").as("rid"))
+        def grams(n: Int) = docs
+          .select(col("doc_id"),
+            explode(wordNgrams(tokens(col("text")), n)).as("g"))
+          .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        def overlap(n: Int, tag: String) = {
+          val gr = graft.Caches.track(grams(n))
+          val tot = gr.groupBy("doc_id").agg(sum(col("c")).as("t"))
+          val inter = pairs
+            .join(gr.select(col("doc_id").as("cid"), col("g"),
+              col("c").as("cc")), Seq("cid"))
+            .join(gr.select(col("doc_id").as("rid"), col("g"),
+              col("c").as("cr")), Seq("rid", "g"))
+            .groupBy("cid", "rid")
+            .agg(sum(least(col("cc"), col("cr"))).as("inter"))
+          pairs
+            .join(inter, Seq("cid", "rid"), "left")
+            .join(tot.select(col("doc_id").as("cid"),
+              col("t").as("tc")), Seq("cid"))
+            .join(tot.select(col("doc_id").as("rid"),
+              col("t").as("tr")), Seq("rid"))
+            .select(col("cid"), col("rid"),
+              expr("(coalesce(inter, 0) * 1000000) div tr")
+                .as(s"r$tag"),
+              expr("(coalesce(inter, 0) * 1000000) div tc")
+                .as(s"p$tag"))
+        }
+        overlap(1, "1_micro")
+          .join(overlap(2, "2_micro"), Seq("cid", "rid"))
+          .orderBy("cid")
+      },
+      Some("""WITH n AS (SELECT count(*) AS nn FROM documents),
+             |pr AS (SELECT doc_id AS cid,
+             |         (doc_id + nn // 2) % nn AS rid
+             |       FROM documents CROSS JOIN n),
+             |tk AS (SELECT doc_id, string_split(trim(text), ' ') AS ts
+             |       FROM documents),
+             |g1 AS (SELECT doc_id, unnest(ts) AS g FROM tk),
+             |c1 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+             |       FROM g1 GROUP BY 1, 2),
+             |t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t
+             |       FROM c1 GROUP BY 1),
+             |i1 AS (SELECT pr.cid, pr.rid,
+             |         CAST(sum(least(a.c, b.c)) AS BIGINT) AS inter
+             |       FROM pr JOIN c1 a ON a.doc_id = pr.cid
+             |         JOIN c1 b ON b.doc_id = pr.rid AND b.g = a.g
+             |       GROUP BY 1, 2),
+             |g2 AS (SELECT doc_id,
+             |         ts[x] || ' ' || ts[x + 1] AS g
+             |       FROM tk JOIN LATERAL (
+             |         SELECT unnest(range(1, len(ts))) AS x) r ON true
+             |       WHERE len(ts) >= 2),
+             |c2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+             |       FROM g2 GROUP BY 1, 2),
+             |t2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t
+             |       FROM c2 GROUP BY 1),
+             |i2 AS (SELECT pr.cid, pr.rid,
+             |         CAST(sum(least(a.c, b.c)) AS BIGINT) AS inter
+             |       FROM pr JOIN c2 a ON a.doc_id = pr.cid
+             |         JOIN c2 b ON b.doc_id = pr.rid AND b.g = a.g
+             |       GROUP BY 1, 2)
+             |SELECT pr.cid, pr.rid,
+             |  (coalesce(i1.inter, 0) * 1000000) // ra.t AS r1_micro,
+             |  (coalesce(i1.inter, 0) * 1000000) // ca.t AS p1_micro,
+             |  (coalesce(i2.inter, 0) * 1000000) // rb.t AS r2_micro,
+             |  (coalesce(i2.inter, 0) * 1000000) // cb.t AS p2_micro
+             |FROM pr
+             |LEFT JOIN i1 ON i1.cid = pr.cid AND i1.rid = pr.rid
+             |LEFT JOIN i2 ON i2.cid = pr.cid AND i2.rid = pr.rid
+             |JOIN t1 ca ON ca.doc_id = pr.cid
+             |JOIN t1 ra ON ra.doc_id = pr.rid
+             |JOIN t2 cb ON cb.doc_id = pr.cid
+             |JOIN t2 rb ON rb.doc_id = pr.rid
+             |ORDER BY pr.cid""".stripMargin))
   )
 
   /** x38 annotation derivation: 5 synthetic annotators per doc, each

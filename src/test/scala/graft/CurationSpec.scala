@@ -492,4 +492,35 @@ class CurationSpec extends AnyFunSuite {
       assert(a._4 < b._4, s"bin means not increasing: $a vs $b")
     }
   }
+
+  test("x45 ngram eval equals a driver-side clipped-overlap rederivation") {
+    val rows = q("x45_ngram_eval").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size, "one row per candidate doc")
+    rows.foreach { r =>
+      assert(Seq(r._3, r._4, r._5, r._6).forall(v => v >= 0 && v <= 1000000))
+    }
+    def counts(id: Long, n: Int): Map[String, Long] = {
+      val t = texts(id).trim.split("\\s+").toSeq
+      t.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).map { case (g, o) => g -> o.length.toLong }
+    }
+    // exact rederivation on 10 spread-out pairs
+    rows.sortBy(_._1).grouped(rows.length / 10 + 1).map(_.head).foreach {
+      case (cid, rid, r1, p1, r2, p2) =>
+        for ((n, er, ep) <- Seq((1, r1, p1), (2, r2, p2))) {
+          val (cc, cr) = (counts(cid, n), counts(rid, n))
+          val inter = cc.keysIterator
+            .map(g => math.min(cc(g), cr.getOrElse(g, 0L))).sum
+          assert(er == inter * 1000000L / math.max(cr.values.sum, 1L),
+            s"recall mismatch pair ($cid,$rid) n=$n")
+          assert(ep == inter * 1000000L / math.max(cc.values.sum, 1L),
+            s"precision mismatch pair ($cid,$rid) n=$n")
+        }
+    }
+  }
 }
