@@ -676,7 +676,93 @@ object Cluster extends QueryModule {
              |    - dc.d_sum * dc.d_sum AS BIGINT) AS contrib_num,
              |  CAST(4 * mm.m * mm.m AS BIGINT) AS q_den
              |FROM dc LEFT JOIN ein ON dc.lbl = ein.lbl CROSS JOIN mm
-             |ORDER BY n_nodes DESC, dc.lbl LIMIT 25""".stripMargin))
+             |ORDER BY n_nodes DESC, dc.lbl LIMIT 25""".stripMargin)),
+
+    // M23: seeded random walks — the DeepWalk/node2vec sampling
+    // primitive: fixed-length walks whose step choices are
+    // hash-derived (md5 of walk id, step, current node), so the
+    // "random" corpus is bit-reproducible across engines and reruns
+    // (exactly how production walk corpora pin their seeds). Graph =
+    // m13's customer↔supplier order graph; walks start at every
+    // 20th node and take 3 steps. Scale posture: each step is TWO
+    // equi-joins keyed on the node — degree attach, then (node, idx)
+    // adjacency probe where idx = hash % degree. The (node, idx)
+    // composite key SHARDS a hub's adjacency list across partitions,
+    // so a 1M-degree hub never concentrates on one task (the naive
+    // src-only join + modulo filter would). Adjacency and degree
+    // frames are built once, persisted, and reused by all 3 hops;
+    // walk count scales with nodes, never quadratic.
+    GQuery("m23_random_walks",
+      (s, d) => {
+        val e = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+        val sym = e.select(col("a").as("src"), col("b").as("dst"))
+          .union(e.select(col("b").as("src"), col("a").as("dst")))
+        val wAdj = org.apache.spark.sql.expressions.Window
+          .partitionBy("src").orderBy("dst")
+        val adj = graft.Caches.track(sym
+          .select(col("src").as("cur"), col("dst"),
+            (row_number().over(wAdj).cast("long") - 1).as("idx")))
+        val deg = graft.Caches.track(sym
+          .groupBy(col("src").as("cur"))
+          .agg(count(lit(1)).cast("long").as("deg")))
+        def hop(w: DataFrame, t: Int): DataFrame =
+          w.join(deg, Seq("cur"))
+            .withColumn("idx",
+              conv(substring(md5(concat(lit("walk_"),
+                col("walk_id").cast("string"), lit(s"_${t}_"),
+                col("cur").cast("string"))), 1, 8), 16, 10)
+                .cast("long") % col("deg"))
+            .join(adj, Seq("cur", "idx"))
+            .select(col("walk_id"), col("dst").as("cur"),
+              concat(col("path"), lit("-"),
+                col("dst").cast("string")).as("path"))
+        val w0 = deg.filter(col("cur") % 20 === 0)
+          .select(col("cur").as("walk_id"), col("cur"),
+            col("cur").cast("string").as("path"))
+        hop(hop(hop(w0, 1), 2), 3)
+          .select(col("walk_id"), col("path"),
+            col("cur").as("end_node"))
+          .orderBy("walk_id")
+      },
+      Some("""WITH e AS (
+             |  SELECT DISTINCT o_custkey * 2 AS a, l_suppkey * 2 + 1 AS b
+             |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+             |sym AS (SELECT a AS src, b AS dst FROM e
+             |        UNION ALL SELECT b, a FROM e),
+             |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+             |        FROM sym GROUP BY 1),
+             |adj AS (SELECT src, dst,
+             |          CAST(row_number() OVER (PARTITION BY src
+             |            ORDER BY dst) - 1 AS BIGINT) AS idx
+             |        FROM sym),
+             |w0 AS (SELECT src AS walk_id, src AS cur,
+             |         CAST(src AS VARCHAR) AS path
+             |       FROM deg WHERE src % 20 = 0),
+             |w1 AS (SELECT w0.walk_id, adj.dst AS cur,
+             |         w0.path || '-' || adj.dst AS path
+             |       FROM w0 JOIN deg ON deg.src = w0.cur
+             |         JOIN adj ON adj.src = w0.cur AND adj.idx =
+             |           ('0x' || substr(md5('walk_' || w0.walk_id ||
+             |             '_1_' || w0.cur), 1, 8))::BIGINT % deg.deg),
+             |w2 AS (SELECT w1.walk_id, adj.dst AS cur,
+             |         w1.path || '-' || adj.dst AS path
+             |       FROM w1 JOIN deg ON deg.src = w1.cur
+             |         JOIN adj ON adj.src = w1.cur AND adj.idx =
+             |           ('0x' || substr(md5('walk_' || w1.walk_id ||
+             |             '_2_' || w1.cur), 1, 8))::BIGINT % deg.deg),
+             |w3 AS (SELECT w2.walk_id, adj.dst AS cur,
+             |         w2.path || '-' || adj.dst AS path
+             |       FROM w2 JOIN deg ON deg.src = w2.cur
+             |         JOIN adj ON adj.src = w2.cur AND adj.idx =
+             |           ('0x' || substr(md5('walk_' || w2.walk_id ||
+             |             '_3_' || w2.cur), 1, 8))::BIGINT % deg.deg)
+             |SELECT walk_id, path, cur AS end_node
+             |FROM w3 ORDER BY walk_id""".stripMargin))
   )
 
   /** Two synchronous label-propagation iterations over an undirected

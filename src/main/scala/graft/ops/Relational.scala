@@ -1622,7 +1622,70 @@ object Relational extends QueryModule {
              |  source || '.example.com' AS host,
              |  '/docs/' || doc_id AS path,
              |  lang AS q_lang
-             |FROM documents ORDER BY doc_id""".stripMargin))
+             |FROM documents ORDER BY doc_id""".stripMargin)),
+
+    // F16: domain-blocklist suffix join — the crawl-curation step
+    // after f12's URL parse: a blocklist rule at ANY depth
+    // ("example.org" bans a whole TLD zone, "src3.example.com" one
+    // site, "de.src7.example.net" one subdomain) must match every
+    // host under it. Each host explodes into its O(depth) suffix
+    // chain (depth ≤ ~6 for real domains — a constant fan-out, not a
+    // blow-up), which turns hierarchical matching into a plain
+    // equi-join against the BROADCAST rule list; the most-specific
+    // match wins via a doc-keyed window. Scale posture: blocklists
+    // are MB-sized (broadcast), the corpus side is one map-side join
+    // — no shuffle of the corpus at all until the tiny hit set.
+    GQuery("f16_domain_blocklist",
+      (s, d) => {
+        import s.implicits._
+        val rules = Seq("example.org", "src3.example.com",
+          "de.src7.example.net", "src11.example.net").toDF("rule")
+        val hosts = Tables.documents(s, d)
+          .select(col("doc_id"), col("lang"), col("source"),
+            element_at(array(lit("com"), lit("org"), lit("net")),
+              (col("doc_id") % 3 + 1).cast("int")).as("tld"))
+          .withColumn("host", concat(col("lang"), lit("."),
+            col("source"), lit(".example."), col("tld")))
+        val sfx = hosts.select(col("doc_id"), col("host"),
+          explode(array(
+            struct(lit(1L).as("lvl"),
+              concat(lit("example."), col("tld")).as("sfx")),
+            struct(lit(2L).as("lvl"),
+              concat(col("source"), lit(".example."), col("tld"))
+                .as("sfx")),
+            struct(lit(3L).as("lvl"), col("host").as("sfx")))).as("x"))
+          .select(col("doc_id"), col("host"),
+            col("x.lvl").as("lvl"), col("x.sfx").as("sfx"))
+        val w = Window.partitionBy("doc_id").orderBy(col("lvl").desc)
+        sfx.join(broadcast(rules), col("sfx") === col("rule"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("doc_id"), col("host"), col("rule"), col("lvl"))
+          .orderBy("doc_id")
+      },
+      Some("""WITH h AS (
+             |  SELECT doc_id,
+             |    lang || '.' || source || '.example.' || tld AS host,
+             |    source, tld
+             |  FROM (SELECT doc_id, lang, source,
+             |          CASE doc_id % 3 WHEN 0 THEN 'com'
+             |            WHEN 1 THEN 'org' ELSE 'net' END AS tld
+             |        FROM documents)),
+             |sfx AS (
+             |  SELECT doc_id, host, CAST(1 AS BIGINT) AS lvl,
+             |    'example.' || tld AS sfx FROM h
+             |  UNION ALL
+             |  SELECT doc_id, host, 2, source || '.example.' || tld FROM h
+             |  UNION ALL
+             |  SELECT doc_id, host, 3, host FROM h),
+             |b(rule) AS (VALUES ('example.org'), ('src3.example.com'),
+             |  ('de.src7.example.net'), ('src11.example.net')),
+             |hit AS (SELECT doc_id, host, rule, lvl,
+             |          row_number() OVER (PARTITION BY doc_id
+             |            ORDER BY lvl DESC) AS rn
+             |        FROM sfx JOIN b ON sfx.sfx = b.rule)
+             |SELECT doc_id, host, rule, lvl
+             |FROM hit WHERE rn = 1 ORDER BY doc_id""".stripMargin))
   )
 
   /** j17's shared statement — run verbatim by spark.sql AND DuckDB. */

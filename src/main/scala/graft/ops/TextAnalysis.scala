@@ -2328,7 +2328,213 @@ object TextAnalysis extends QueryModule {
              |JOIN t1 ra ON ra.doc_id = pr.rid
              |JOIN t2 cb ON cb.doc_id = pr.cid
              |JOIN t2 rb ON rb.doc_id = pr.rid
-             |ORDER BY pr.cid""".stripMargin))
+             |ORDER BY pr.cid""".stripMargin)),
+
+    // X46: pass@k aggregation — the post-training EVAL reduction
+    // (unbiased estimator of Chen et al. 2021, HumanEval): each task
+    // draws n samples, c of which pass; pass@k = 1 − C(n−c,k)/C(n,k).
+    // Tasks here are users, samples their events capped at exactly
+    // n=20 by deterministic md5 rank (real harnesses fix n the same
+    // way), pass flags md5-derived at ~30%. Engine exactness: the
+    // binomial ratio is a falling-factorial BIGINT product (exact —
+    // when failures < k the factor chain crosses 0 and the product
+    // vanishes, giving pass@k = 1 exactly as the estimator demands)
+    // with ONE double division, micro-quantized per task; cohort
+    // means are BIGINT-sum / count with one final rounding. Scale
+    // posture: the sample cap is a user-keyed window (never global),
+    // then two keyed aggregates — eval corpora of any size scale out
+    // on the task key.
+    GQuery("x46_passk",
+      (s, d) => {
+        def fall(k: Int, c: String) =
+          (0 until k).map(i => s"(${20 - i} - $c)").mkString(" * ")
+        def den(k: Int) =
+          (0 until k).map(i => (20 - i).toLong).product
+        def passk(k: Int) =
+          s"cast(round(1e6 * (1.0 - (${fall(k, "c")}) / ${den(k)}.0)) " +
+            "as bigint)"
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(col("hr"), col("event_id"))
+        val per = graft.Tables.events(s, d)
+          .select("event_id", "user_id")
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("hr", conv(substring(md5(concat(lit("smp_"),
+            col("event_id").cast("string"))), 1, 8), 16, 10)
+            .cast("long"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 20)
+          .withColumn("ok",
+            (conv(substring(md5(concat(lit("pass_"),
+              col("event_id").cast("string"))), 1, 8), 16, 10)
+              .cast("long") % 10 < 3).cast("long"))
+          .groupBy("user_id")
+          .agg(count(lit(1)).as("n"), sum("ok").as("c"))
+          .filter(col("n") === 20)
+          .select(col("user_id"), col("c"),
+            expr(passk(1)).as("p1"), expr(passk(5)).as("p5"),
+            expr(passk(10)).as("p10"))
+        per.groupBy((col("user_id") % 4).as("cohort"))
+          .agg(count(lit(1)).as("n_tasks"),
+            expr("cast(round(sum(p1) * 1.0 / count(1)) as bigint)")
+              .as("pass1_micro"),
+            expr("cast(round(sum(p5) * 1.0 / count(1)) as bigint)")
+              .as("pass5_micro"),
+            expr("cast(round(sum(p10) * 1.0 / count(1)) as bigint)")
+              .as("pass10_micro"))
+          .orderBy("cohort")
+      },
+      Some("""WITH r AS (
+             |  SELECT event_id, user_id,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ('0x' || substr(md5('smp_' || event_id), 1, 8))
+             |        ::BIGINT, event_id) AS rn
+             |  FROM events),
+             |k AS (SELECT user_id,
+             |        CASE WHEN ('0x' || substr(md5('pass_' || event_id),
+             |          1, 8))::BIGINT % 10 < 3 THEN 1 ELSE 0 END AS ok
+             |      FROM r WHERE rn <= 20),
+             |t AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n,
+             |        CAST(sum(ok) AS BIGINT) AS c
+             |      FROM k GROUP BY 1),
+             |p AS (SELECT user_id,
+             |        CAST(round(1e6 * (1.0 - ((20 - c)) / 20.0))
+             |          AS BIGINT) AS p1,
+             |        CAST(round(1e6 * (1.0 -
+             |          ((20 - c) * (19 - c) * (18 - c) * (17 - c) *
+             |           (16 - c)) / 1860480.0)) AS BIGINT) AS p5,
+             |        CAST(round(1e6 * (1.0 -
+             |          ((20 - c) * (19 - c) * (18 - c) * (17 - c) *
+             |           (16 - c) * (15 - c) * (14 - c) * (13 - c) *
+             |           (12 - c) * (11 - c)) / 670442572800.0))
+             |          AS BIGINT) AS p10
+             |      FROM t WHERE n = 20)
+             |SELECT user_id % 4 AS cohort, count(*) AS n_tasks,
+             |  CAST(round(sum(p1) * 1.0 / count(*)) AS BIGINT)
+             |    AS pass1_micro,
+             |  CAST(round(sum(p5) * 1.0 / count(*)) AS BIGINT)
+             |    AS pass5_micro,
+             |  CAST(round(sum(p10) * 1.0 / count(*)) AS BIGINT)
+             |    AS pass10_micro
+             |FROM p GROUP BY 1 ORDER BY cohort""".stripMargin)),
+
+    // X47: Fleiss' kappa — chance-corrected inter-annotator agreement
+    // over x38's 5-annotator matrix, the standard quality gate on a
+    // human-labeled corpus BEFORE majority votes become training
+    // labels (x38 reports raw agreement; kappa subtracts what chance
+    // would produce from the label marginals). Engine exactness: with
+    // N docs × n=5 raters, P̄ = (Σ n_ij² − 5N)/(20N) and
+    // P_e = Σ c_j²/(25N²) reduce to κ = (5N(S−5N) − 4C)/(100N² − 4C)
+    // — all-BIGINT sums with ONE double division per output column.
+    // Scale posture: two keyed aggregates per statistic (doc-keyed
+    // then source-keyed); the label-marginal frame is
+    // |sources|×|labels|-bounded. Beyond ~sf3 the micro scaling of
+    // 5N(S−5N) needs 128-bit headroom — at that point drop to the
+    // pbar/pe pair (each safely bounded) and fuse in the report.
+    GQuery("x47_fleiss_kappa",
+      (s, d) => {
+        val cnt = graft.Caches.track(annotations(s, d)
+          .groupBy("source", "doc_id", "lbl")
+          .agg(count(lit(1)).as("nij")))
+        val perSrc = cnt
+          .groupBy("source", "doc_id")
+          .agg(sum(col("nij") * col("nij")).as("s_i"))
+          .groupBy("source")
+          .agg(count(lit(1)).as("n_docs"), sum("s_i").as("s_sum"))
+        val marg = cnt
+          .groupBy("source", "lbl").agg(sum("nij").as("cj"))
+          .groupBy("source").agg(sum(col("cj") * col("cj")).as("c_sq"))
+        perSrc.join(marg, Seq("source"))
+          .select(col("source"), col("n_docs"),
+            expr("cast(round(1e6 * (s_sum - 5 * n_docs) / " +
+              "(20.0 * n_docs)) as bigint)").as("pbar_micro"),
+            expr("cast(round(1e6 * c_sq / (25.0 * n_docs * n_docs)) " +
+              "as bigint)").as("pe_micro"),
+            expr("cast(round(1e6 * (5 * n_docs * (s_sum - 5 * n_docs)" +
+              " - 4 * c_sq) / (100.0 * n_docs * n_docs - 4 * c_sq)) " +
+              "as bigint)").as("kappa_micro"))
+          .orderBy("source")
+      },
+      Some("""WITH ann AS (
+             |  SELECT d.doc_id, d.source,
+             |    CASE WHEN ('0x' || substr(md5('ann_' || r.range || '_'
+             |           || d.doc_id), 1, 8))::BIGINT % 10 < 8
+             |         THEN d.lang ELSE 'xx' END AS lbl
+             |  FROM documents d JOIN range(5) r ON true),
+             |cnt AS (SELECT source, doc_id, lbl,
+             |          CAST(count(*) AS BIGINT) AS nij
+             |        FROM ann GROUP BY 1, 2, 3),
+             |src AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             |          CAST(sum(s_i) AS BIGINT) AS s_sum
+             |        FROM (SELECT source, doc_id,
+             |                CAST(sum(nij * nij) AS BIGINT) AS s_i
+             |              FROM cnt GROUP BY 1, 2)
+             |        GROUP BY 1),
+             |mrg AS (SELECT source, CAST(sum(cj * cj) AS BIGINT) AS c_sq
+             |        FROM (SELECT source, lbl,
+             |                CAST(sum(nij) AS BIGINT) AS cj
+             |              FROM cnt GROUP BY 1, 2)
+             |        GROUP BY 1)
+             |SELECT source, n_docs,
+             |  CAST(round(1e6 * (s_sum - 5 * n_docs) / (20.0 * n_docs))
+             |    AS BIGINT) AS pbar_micro,
+             |  CAST(round(1e6 * c_sq / (25.0 * n_docs * n_docs))
+             |    AS BIGINT) AS pe_micro,
+             |  CAST(round(1e6 * (5 * n_docs * (s_sum - 5 * n_docs)
+             |    - 4 * c_sq) / (100.0 * n_docs * n_docs - 4 * c_sq))
+             |    AS BIGINT) AS kappa_micro
+             |FROM src JOIN mrg USING (source)
+             |ORDER BY source""".stripMargin)),
+
+    // X48: per-user contribution bounding + value clipping — the
+    // deterministic half of differentially-private aggregation (the
+    // DP-SGD / DP-analytics prep step: bound each user to M=10
+    // contributions, clip each to [0, $50], THEN aggregate; the noise
+    // addition that follows at serving time is out of scope for a
+    // correctness gate precisely because it is random). Engine
+    // exactness: cents-quantized BIGINT sums; the M-cap is a
+    // deterministic md5-ranked keep. Scale posture: one user-keyed
+    // window (never global) + one keyed aggregate — sensitivity
+    // bounding at corpus scale is exactly this shape.
+    GQuery("x48_contribution_cap",
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id")
+          .orderBy(conv(substring(md5(col("event_id").cast("string")),
+            1, 8), 16, 10).cast("long"), col("event_id"))
+        graft.Tables.events(s, d)
+          .select("event_id", "user_id", "event_type", "value")
+          .repartition(s.sparkContext.defaultParallelism)
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 10)
+          .withColumn("cents", expr("cast(round(value * 100) as bigint)"))
+          .withColumn("clipped",
+            expr("least(greatest(cast(round(value * 100) as bigint), " +
+              "0L), 5000L)"))
+          .groupBy("event_type")
+          .agg(countDistinct("user_id").as("n_users"),
+            count(lit(1)).as("n_events"),
+            sum("cents").as("raw_cents"),
+            sum("clipped").as("clipped_cents"))
+          .orderBy("event_type")
+      },
+      Some("""WITH r AS (
+             |  SELECT event_id, user_id, event_type, value,
+             |    row_number() OVER (PARTITION BY user_id
+             |      ORDER BY ('0x' || substr(md5(CAST(event_id AS VARCHAR)),
+             |        1, 8))::BIGINT, event_id) AS rn
+             |  FROM events),
+             |k AS (SELECT event_type, user_id,
+             |        CAST(round(value * 100) AS BIGINT) AS cents,
+             |        least(greatest(CAST(round(value * 100) AS BIGINT),
+             |          0), 5000) AS clipped
+             |      FROM r WHERE rn <= 10)
+             |SELECT event_type,
+             |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+             |  count(*) AS n_events,
+             |  CAST(sum(cents) AS BIGINT) AS raw_cents,
+             |  CAST(sum(clipped) AS BIGINT) AS clipped_cents
+             |FROM k GROUP BY 1 ORDER BY event_type""".stripMargin))
   )
 
   /** x38 annotation derivation: 5 synthetic annotators per doc, each
