@@ -2428,9 +2428,9 @@ object TextAnalysis extends QueryModule {
     // — all-BIGINT sums with ONE double division per output column.
     // Scale posture: two keyed aggregates per statistic (doc-keyed
     // then source-keyed); the label-marginal frame is
-    // |sources|×|labels|-bounded. Beyond ~sf3 the micro scaling of
-    // 5N(S−5N) needs 128-bit headroom — at that point drop to the
-    // pbar/pe pair (each safely bounded) and fuse in the report.
+    // |sources|×|labels|-bounded. The regime switching (exact form →
+    // pbar/pe decomposition → loud guard) lives in
+    // [[fleissKappaCaseSql]], identical in both engines.
     GQuery("x47_fleiss_kappa",
       (s, d) => {
         val cnt = graft.Caches.track(annotations(s, d)
@@ -2444,15 +2444,7 @@ object TextAnalysis extends QueryModule {
         val marg = cnt
           .groupBy("source", "lbl").agg(sum("nij").as("cj"))
           .groupBy("source").agg(sum(col("cj") * col("cj")).as("c_sq"))
-        perSrc.join(marg, Seq("source"))
-          .select(col("source"), col("n_docs"),
-            expr("cast(round(1e6 * (s_sum - 5 * n_docs) / " +
-              "(20.0 * n_docs)) as bigint)").as("pbar_micro"),
-            expr("cast(round(1e6 * c_sq / (25.0 * n_docs * n_docs)) " +
-              "as bigint)").as("pe_micro"),
-            expr("cast(round(1e6 * (5 * n_docs * (s_sum - 5 * n_docs)" +
-              " - 4 * c_sq) / (100.0 * n_docs * n_docs - 4 * c_sq)) " +
-              "as bigint)").as("kappa_micro"))
+        fleissKappaReport(perSrc.join(marg, Seq("source")))
           .orderBy("source")
       },
       Some("""WITH ann AS (
@@ -2480,9 +2472,7 @@ object TextAnalysis extends QueryModule {
              |    AS BIGINT) AS pbar_micro,
              |  CAST(round(1e6 * c_sq / (25.0 * n_docs * n_docs))
              |    AS BIGINT) AS pe_micro,
-             |  CAST(round(1e6 * (5 * n_docs * (s_sum - 5 * n_docs)
-             |    - 4 * c_sq) / (100.0 * n_docs * n_docs - 4 * c_sq))
-             |    AS BIGINT) AS kappa_micro
+             |  """.stripMargin + fleissKappaDuckSql + """ AS kappa_micro
              |FROM src JOIN mrg USING (source)
              |ORDER BY source""".stripMargin)),
 
@@ -2541,6 +2531,74 @@ object TextAnalysis extends QueryModule {
     * reading the md5 of (annotator, doc) — 80% report the doc's true
     * lang, 20% the noise label "xx". Deterministic, so the DuckDB
     * oracle replays the identical annotator behavior. */
+  /** x47 regime boundary below which the all-BIGINT kappa form runs:
+    * its numerator term 5N(S−5N) ≤ 100N² stays BIGINT-exact to
+    * N ≈ 3.03e8; 2e8 leaves a 1.5× margin. */
+  private[graft] val FleissExactBelow = 200000000L
+  /** Hard x47 bound past which even c_sq = Σ c_j² (≤ 25N²) can wrap in
+    * the upstream BIGINT sum — no formula rearrangement downstream can
+    * recover exactness, so the query fails LOUDLY here instead of
+    * silently diverging from the (raising) oracle. */
+  private[graft] val FleissCsqBound = 600000000L
+
+  /** x47 kappa expression over (n_docs, s_sum, c_sq), shared by the
+    * registered query and its oracle so the engines can never drift.
+    * Three regimes per source row (CASE branches are lazily evaluated
+    * in both engines, so the overflow-prone arithmetic never runs
+    * outside its safe regime):
+    *  - n_docs < `exactBelow`: single-division all-BIGINT form
+    *    κ = (5N(S−5N) − 4C) / (100N² − 4C);
+    *  - `exactBelow` ≤ n_docs < [[FleissCsqBound]]: the P̄/P_e
+    *    decomposition κ = (P̄ − P_e)/(1 − P_e) with P̄ = (S−5N)/(20N),
+    *    P_e = C/(25N²) — every factor double-safe at any N whose
+    *    BIGINT inputs are still exact;
+    *  - n_docs ≥ [[FleissCsqBound]]: `guard` (Spark assert_true /
+    *    DuckDB error) fails the query loudly (round-7 ADVICE: Spark
+    *    non-ANSI wrapped silently while DuckDB raised).
+    * Perfect agreement (4C = 100N², i.e. P_e = 1) yields NULL via an
+    * explicit branch in BOTH engines — preempting Spark's
+    * divide-by-zero NULL vs DuckDB's non-NULL double division
+    * (round-7 ADVICE). */
+  private[graft] def fleissKappaCaseSql(guard: String,
+      exactBelow: Long = FleissExactBelow): String =
+    s"""case
+       | when n_docs >= $FleissCsqBound then cast($guard as bigint)
+       | when n_docs < $exactBelow then
+       |   case when 100 * n_docs * n_docs = 4 * c_sq
+       |        then cast(null as bigint)
+       |        else cast(round(1e6 * (5 * n_docs * (s_sum - 5 * n_docs)
+       |            - 4 * c_sq) / (100.0 * n_docs * n_docs - 4 * c_sq))
+       |          as bigint) end
+       | else
+       |   case when 25.0 * n_docs * n_docs = cast(c_sq as double)
+       |        then cast(null as bigint)
+       |        else cast(round(1e6 *
+       |            ((s_sum - 5 * n_docs) / (20.0 * n_docs)
+       |              - c_sq / (25.0 * n_docs * n_docs))
+       |            / (1.0 - c_sq / (25.0 * n_docs * n_docs)))
+       |          as bigint) end
+       | end""".stripMargin
+
+  private[graft] def fleissKappaDuckSql: String = fleissKappaCaseSql(
+    "error('x47: n_docs beyond BIGINT-exact c_sq range')")
+
+  /** x47 report columns over a (source, n_docs, s_sum, c_sq) stats
+    * frame — separated so specs can plant adversarial stats rows
+    * (regime boundary, perfect agreement, would-wrap N). */
+  private[graft] def fleissKappaReport(
+      stats: org.apache.spark.sql.DataFrame,
+      exactBelow: Long = FleissExactBelow)
+      : org.apache.spark.sql.DataFrame =
+    stats.select(col("source"), col("n_docs"),
+      expr("cast(round(1e6 * (s_sum - 5 * n_docs) / " +
+        "(20.0 * n_docs)) as bigint)").as("pbar_micro"),
+      expr("cast(round(1e6 * c_sq / (25.0 * n_docs * n_docs)) " +
+        "as bigint)").as("pe_micro"),
+      expr(fleissKappaCaseSql(
+        s"assert_true(n_docs < $FleissCsqBound, " +
+          "'x47: n_docs beyond BIGINT-exact c_sq range')",
+        exactBelow)).as("kappa_micro"))
+
   private def annotations(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
     graft.Tables.documents(s, d)
@@ -2668,6 +2726,36 @@ object TextAnalysis extends QueryModule {
       .orderBy("rnk")
   }
 
+  /** Distinct-pair cap for [[btConverged]]'s edge collect — m8's
+    * `Dbscan.DriverCcMaxEdges` pattern. Under it the whole MM loop runs
+    * on collected arrays (milliseconds); past it the pair frame stays
+    * in Spark and only the ENTITY-sized strength vector round-trips
+    * the driver per round. */
+  private[graft] val BtMaxCollectedPairs = 2000000L
+
+  /** [[btStep]] with the driver loop's exact divide-by-zero guards
+    * (`greatest(·, 1)` twins `math.max(·, 1L)`), so the past-cap Spark
+    * loop reproduces the driver loop's integer sequence bit-for-bit —
+    * ConvergenceSpec asserts the two paths agree on one fixture. Kept
+    * separate from [[btStep]]: x37's oracle replays the UNguarded
+    * arithmetic and must not drift. */
+  private def btStepGuarded(edges: org.apache.spark.sql.DataFrame,
+      wins: org.apache.spark.sql.DataFrame,
+      p: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sm = edges
+      .join(broadcast(p), Seq("i"))
+      .join(broadcast(p.select(col("i").as("j"), col("pm").as("pmj"))),
+        Seq("j"))
+      .withColumn("term",
+        expr("(n * 1000000000000) div greatest(pm + pmj, 1)"))
+      .groupBy("i").agg(sum(col("term")).as("sm"))
+    sm.join(broadcast(wins), Seq("i"), "left")
+      .select(col("i"),
+        expr("(coalesce(w, 0) * 1000000000000) div greatest(sm, 1)")
+          .as("pm"))
+  }
+
   /** Iterate-until-converged Bradley-Terry: the MM step looped until
     * max |Δp| ≤ `tolMicro` (exact integer test) or `maxIters`, with
     * per-round MAX-normalization — the unnormalized MM map is
@@ -2675,51 +2763,76 @@ object TextAnalysis extends QueryModule {
     * the overall scale oscillates and the delta never falls (measured:
     * delta pinned at ~0.75e6 for 25+ rounds on a 4-entity fixture).
     *
-    * Deliberately a DRIVER-side loop over collected entity frames,
-    * unlike `Cluster.pagerankConverged`: BT's contract is entities ≪
-    * comparisons — the strengths frame must broadcast every MM round
-    * anyway, so holding it on the driver is the same memory bound with
-    * none of the per-round scheduling. The data-sized work (duel →
-    * pair-count aggregation) stays in Spark in [[btFrames]]. The
-    * all-DataFrame per-round alternative was measured and REJECTED: a
-    * localCheckpoint-per-round loop whose checkpointed frame is
-    * consumed twice via broadcast hit exponential per-round recompute
-    * (0.3 s/round through round ~15, then ×3/round: 22 s at round 23,
-    * 192 s at round 25 — checkpoint blocks evicted and re-derived
-    * through the whole history) even though the post-checkpoint plan
-    * stayed at one node. Pure integer arithmetic throughout keeps the
-    * loop deterministic. Returns ((i, pm) strengths, iterations). */
+    * The loop is a DRIVER-side iteration either way — BT's contract is
+    * entities ≪ comparisons, so the strength vector is broadcast-class
+    * — but WHAT is collected is size-guarded (round-7 VERDICT): under
+    * [[BtMaxCollectedPairs]] distinct pairs, the pair frame itself is
+    * collected and the whole loop runs on arrays (no per-round
+    * scheduling at all); past the cap only the entity-sized strengths
+    * collect per round, and each MM step is one Spark pass over the
+    * cached pair frame ([[btStepGuarded]]) re-seeded from a literal
+    * frame — O(1) plan depth with no checkpoint lineage. The
+    * all-DataFrame alternative (strengths never touching the driver)
+    * was measured and REJECTED: a localCheckpoint-per-round loop whose
+    * checkpointed frame is consumed twice via broadcast hit
+    * exponential per-round recompute (0.3 s/round through round ~15,
+    * then ×3/round: 22 s at round 23, 192 s at round 25 — checkpoint
+    * blocks evicted and re-derived through the whole history) even
+    * though the post-checkpoint plan stayed at one node. Pure integer
+    * arithmetic throughout keeps both paths deterministic and
+    * identical. Returns ((i, pm) strengths, iterations). */
   private[graft] def btConverged(comp: org.apache.spark.sql.DataFrame,
-      tolMicro: Long, maxIters: Int = 200)
+      tolMicro: Long, maxIters: Int = 200,
+      maxCollectedPairs: Long = BtMaxCollectedPairs)
       : (org.apache.spark.sql.DataFrame, Int) = {
     val (edgesDf, winsDf) = btFrames(comp)
     val sess = comp.sparkSession
     import sess.implicits._
-    val edges = edgesDf.select("i", "j", "n")
-      .as[(String, String, Long)].collect().sorted
-    val wins = winsDf.select("i", "w").as[(String, Long)].collect().toMap
-    val byI = edges.groupBy(_._1)
-    var p: Map[String, Long] =
-      edges.map(_._1).distinct.sorted.map(_ -> 1000000L).toMap
-    var it = 0
-    var delta = Long.MaxValue
-    while (delta > tolMicro && it < maxIters) {
-      val next0 = byI.map { case (i, es) =>
-        val s = es.map { case (_, j, n) =>
-          n * 1000000000000L / math.max(p(i) + p(j), 1L)
-        }.sum
-        i -> wins.getOrElse(i, 0L) * 1000000000000L / math.max(s, 1L)
-      }
+    // normalization + exact delta, shared verbatim by both paths
+    def advance(p: Map[String, Long], next0: Map[String, Long])
+        : (Map[String, Long], Long) = {
       val mx = math.max(next0.values.max, 1L)
       val next =
         if (mx >= 1000000L) next0.map { case (i, v) =>
           i -> v / (mx / 1000000L) }
         else next0.map { case (i, v) => i -> v * 1000000L / mx }
-      delta = next.map { case (i, v) => math.abs(v - p(i)) }.max
-      p = next
-      it += 1
+      (next, next.map { case (i, v) => math.abs(v - p(i)) }.max)
     }
-    (p.toSeq.sortBy(_._1).toDF("i", "pm"), it)
+    var it = 0
+    var delta = Long.MaxValue
+    // btFrames tracks (persists) edges, so the count probe is one
+    // bounded job over cached blocks, not a recompute
+    if (edgesDf.count() <= maxCollectedPairs) {
+      val edges = edgesDf.select("i", "j", "n")
+        .as[(String, String, Long)].collect().sorted
+      val wins = winsDf.select("i", "w").as[(String, Long)].collect().toMap
+      val byI = edges.groupBy(_._1)
+      var p: Map[String, Long] =
+        edges.map(_._1).distinct.sorted.map(_ -> 1000000L).toMap
+      while (delta > tolMicro && it < maxIters) {
+        val next0 = byI.map { case (i, es) =>
+          val s = es.map { case (_, j, n) =>
+            n * 1000000000000L / math.max(p(i) + p(j), 1L)
+          }.sum
+          i -> wins.getOrElse(i, 0L) * 1000000000000L / math.max(s, 1L)
+        }
+        val (np, dl) = advance(p, next0)
+        p = np; delta = dl; it += 1
+      }
+      (p.toSeq.sortBy(_._1).toDF("i", "pm"), it)
+    } else {
+      val edges = edgesDf.select("i", "j", "n")
+      var p: Map[String, Long] = edges.select("i").distinct()
+        .as[String].collect().map(_ -> 1000000L).toMap
+      while (delta > tolMicro && it < maxIters) {
+        val pDf = p.toSeq.toDF("i", "pm")
+        val next0 = btStepGuarded(edges, winsDf, pDf)
+          .as[(String, Long)].collect().toMap
+        val (np, dl) = advance(p, next0)
+        p = np; delta = dl; it += 1
+      }
+      (p.toSeq.sortBy(_._1).toDF("i", "pm"), it)
+    }
   }
 
   /** x36 core over an arbitrary (doc_id, text) frame — see the x36

@@ -165,4 +165,31 @@ class ConvergenceSpec extends AnyFunSuite {
     assert(convRank == fixedRank, s"$convRank vs $fixedRank")
     Caches.drain()
   }
+
+  test("btConverged: past-cap Spark fallback matches the driver loop") {
+    import spark.implicits._
+    // DENSE comparison graph (round-7 VERDICT #6): all 66 pairs of 12
+    // entities duel 3× (lower name wins 2 of 3). maxCollectedPairs=0
+    // forces the past-cap path, where the pair frame never leaves
+    // Spark and only the entity-sized strength vector round-trips the
+    // driver per MM round — the two paths share guard arithmetic
+    // (greatest(·,1) ≙ math.max(·,1)) so their integer sequences must
+    // be IDENTICAL, iteration count included.
+    val ents = (0 until 12).map(i => f"e$i%02d")
+    val comp = (for {
+      a <- ents; b <- ents if a < b
+      k <- 0 until 3
+    } yield (a, b, if (k < 2) a else b)).toDF("sa", "sb", "win")
+    val (pd, itd) = ops.TextAnalysis.btConverged(comp, tolMicro = 100L)
+    val (ps, its) = ops.TextAnalysis.btConverged(comp, tolMicro = 100L,
+      maxCollectedPairs = 0L)
+    assert(itd == its, s"iteration counts diverge: $itd vs $its")
+    val md = pd.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ms = ps.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(md == ms, s"strength vectors diverge:\n$md\n$ms")
+    // e00 wins the most duels; strengths must strictly follow the index
+    val byName = md.toSeq.sortBy(_._1).map(_._2)
+    assert(byName == byName.sorted.reverse, s"ordering lost: $md")
+    Caches.drain()
+  }
 }

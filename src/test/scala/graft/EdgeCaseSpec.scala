@@ -258,4 +258,85 @@ class EdgeCaseSpec extends AnyFunSuite {
       .toDF("vec_id", "v", "label")
     assert(graft.ops.Ann.hardNegatives(vecs, 5, 3, 50000L).count() == 0)
   }
+
+  // ---- x47 Fleiss-kappa regimes (round-7 VERDICT #5 / ADVICE) ----
+
+  private def kappaOf(rows: Seq[(String, Long, Long, Long)],
+      exactBelow: Long): Map[String, Option[Long]] = {
+    import spark.implicits._
+    graft.ops.TextAnalysis.fleissKappaReport(
+        rows.toDF("source", "n_docs", "s_sum", "c_sq"), exactBelow)
+      .collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(4)) None else Some(r.getLong(4)))).toMap
+  }
+
+  test("x47 kappa: exact and pbar/pe forms agree where both are exact") {
+    // planted clean triple: N=1000, S=13000, C=13e6 → κ = −0.25 in
+    // BOTH forms (exact: (40e6−52e6)/(100e6−52e6); decomposed:
+    // (0.4−0.52)/0.48)
+    val clean = Seq(("a", 1000L, 13000L, 13000000L))
+    assert(kappaOf(clean, Long.MaxValue) == Map("a" -> Some(-250000L)))
+    assert(kappaOf(clean, 0L) == Map("a" -> Some(-250000L)))
+    // seeded fuzz across the valid stats space: the two forms may
+    // differ only by double-rounding in the final micro digit
+    val rnd = new scala.util.Random(4711)
+    val rows = (0 until 40).map { k =>
+      val n = 10L + math.abs(rnd.nextLong()) % 1000000L
+      val s = 5 * n + math.abs(rnd.nextLong()) % (20 * n)
+      // below 25N² (perfect agreement) and above the even-spread floor
+      val c = 5 * n * n + math.abs(rnd.nextLong()) % (19 * n * n)
+      (f"s$k%02d", n, s, c)
+    }
+    val exact = kappaOf(rows, Long.MaxValue)
+    val decomposed = kappaOf(rows, 0L)
+    rows.foreach { case (src, _, _, _) =>
+      val (a, b) = (exact(src).get, decomposed(src).get)
+      assert(math.abs(a - b) <= 1L, s"$src: exact=$a decomposed=$b")
+    }
+  }
+
+  test("x47 kappa: perfect agreement yields NULL in both regimes") {
+    // c_sq = 25N² (every annotation the same label) → P_e = 1 → the
+    // chance-corrected denominator vanishes; both engines' branch
+    // emits NULL (round-7 ADVICE: Spark NULL vs DuckDB non-NULL)
+    val perfect = Seq(("p", 100L, 2500L, 250000L))
+    assert(kappaOf(perfect, Long.MaxValue) == Map("p" -> None))
+    assert(kappaOf(perfect, 0L) == Map("p" -> None))
+  }
+
+  test("x47 kappa: past-2e8-docs sources take the no-wrap pbar/pe path") {
+    // N=3.5e8: the exact form's 5N(S−5N) term is 1.04e19 — PAST Long
+    // range (silent wrap in non-ANSI Spark). The default report must
+    // route this row through the decomposition and land within one
+    // micro of the BigInt-exact value.
+    val n = 350000000L
+    val s = 22L * n
+    val c = 1500000000000000000L // 1.5e18 < 25N² = 3.06e18
+    assert(BigInt(5) * n * (s - 5 * n) > BigInt(Long.MaxValue),
+      "fixture must actually overflow the exact form")
+    val pbar = (s - 5.0 * n) / (20.0 * n)
+    val pe = c.toDouble / (25.0 * n.toDouble * n.toDouble)
+    val expected = math.round(1e6 * (pbar - pe) / (1.0 - pe))
+    val got = kappaOf(Seq(("big", n, s, c)),
+      graft.ops.TextAnalysis.FleissExactBelow)("big").get
+    assert(math.abs(got - expected) <= 1L, s"got=$got expected=$expected")
+    // BigInt ground truth: κ = (5N(S−5N) − 4C)/(100N² − 4C)
+    val num = BigInt(5) * n * (s - 5 * n) - BigInt(4) * c
+    val den = BigInt(100) * n * n - BigInt(4) * c
+    val truth =
+      (BigDecimal(num) * 1000000 / BigDecimal(den)).rounded.toLong
+    assert(math.abs(got - truth) <= 1L, s"got=$got truth=$truth")
+  }
+
+  test("x47 kappa: sources beyond the c_sq-exact bound fail LOUDLY") {
+    // N=7e8 exceeds FleissCsqBound: c_sq itself may have wrapped
+    // upstream, so no downstream rearrangement is trustworthy — the
+    // guard branch raises instead of silently diverging from DuckDB
+    val e = intercept[Exception] {
+      kappaOf(Seq(("huge", 700000000L, 3500000000L, 1000L)),
+        graft.ops.TextAnalysis.FleissExactBelow)
+    }
+    assert(e.getMessage != null)
+  }
 }
