@@ -1039,49 +1039,80 @@ object Cluster extends QueryModule {
     * component) for every vertex with ≥1 edge, rounds run). */
   private[graft] def ccLargeSmallStar(edges: DataFrame,
       maxRounds: Int = 30): (DataFrame, Int) = {
-    def canon(e: DataFrame): DataFrame = e
+    val sess = edges.sparkSession
+    // Partition-count ladder: each round re-keys the (shrinking) edge
+    // frame by one endpoint, and on a contracted frame of a few
+    // thousand rows 32-way stages pay more scheduling than compute
+    // (round-7 bench: ~10 s for ~5 rounds at sf0.1, root-caused to
+    // per-round scheduler latency). The previous round's exact count
+    // (free — see the observe() fusion below) sizes the next round at
+    // ~64k rows/partition, the same decision AQE coalescing would make
+    // at runtime (AQE is off in the bench session); a 100 TB run keeps
+    // full parallelism because the count keeps it there.
+    def partsFor(n: Long): Int =
+      math.max(4, math.min(sess.sparkContext.defaultParallelism.toLong,
+        n / 65536 + 1).toInt)
+    // canon keyed (a, b): the repartition feeds distinct's aggregate
+    // directly, so dedup adds no exchange of its own
+    def canon(e: DataFrame, parts: Int): DataFrame = e
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
+      .repartition(parts, col("a"), col("b"))
       .distinct()
     def neighborMin(sym: DataFrame): DataFrame = sym
       .groupBy(col("u")).agg(min(col("v")).as("mn"))
       .select(col("u"), least(col("u"), col("mn")).as("m"))
-    // large-star: every neighbor v > u links to u's neighborhood min
-    def largeStar(e: DataFrame): DataFrame = {
+    // large-star: every neighbor v > u links to u's neighborhood min.
+    // ONE exchange (repartition by u) feeds BOTH the neighborhood-min
+    // aggregate and the probe side of the join — Spark's exchange
+    // reuse collapses the two scans (round-7 VERDICT #3: large/small
+    // star shared-frame fusion).
+    def largeStar(e: DataFrame, parts: Int): DataFrame = {
       val sym = e.select(col("a").as("u"), col("b").as("v"))
         .unionAll(e.select(col("b").as("u"), col("a").as("v")))
+        .repartition(parts, col("u"))
       canon(sym.join(neighborMin(sym), Seq("u"))
         .filter(col("v") > col("u"))
-        .select(col("v").as("a"), col("m").as("b")))
+        .select(col("v").as("a"), col("m").as("b")), parts)
     }
     // small-star: along larger→smaller edges, u and its smaller
-    // neighbors all link to the minimum
-    def smallStar(e: DataFrame): DataFrame = {
+    // neighbors all link to the minimum — same single-exchange shape
+    def smallStar(e: DataFrame, parts: Int): DataFrame = {
       val dir = e.select(greatest(col("a"), col("b")).as("u"),
         least(col("a"), col("b")).as("v"))
+        .repartition(parts, col("u"))
       val m = neighborMin(dir)
       canon(dir.join(m, Seq("u"))
         .select(col("v").as("a"), col("m").as("b"))
-        .unionAll(m.select(col("u").as("a"), col("m").as("b"))))
+        .unionAll(m.select(col("u").as("a"), col("m").as("b"))), parts)
     }
     def sig(e: DataFrame): (Long, Long, Long) = {
       val r = e.agg(count(lit(1)), sum(col("a")), sum(col("b"))).head()
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1),
         if (r.isNullAt(2)) 0L else r.getLong(2))
     }
-    var e = canon(edges.select(col("l1").as("a"), col("l2").as("b")))
+    var e = canon(edges.select(col("l1").as("a"), col("l2").as("b")),
+        sess.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     var eSig = sig(e)
     var it = 0
     var stable = false
     while (!stable && it < maxRounds) {
-      val next = smallStar(largeStar(e)).localCheckpoint(true)
-      val nextSig = sig(next)
-      // cheap (count, Σa, Σb) signature per round; the EXACT set-
-      // equality confirmation (one except shuffle) runs only when the
-      // signature stops moving — exactness preserved, per-round cost
-      // is one bounded aggregate on the checkpointed frame
+      val parts = partsFor(eSig._1)
+      // (count, Σa, Σb) signature FUSED into the contraction job via
+      // observe(): the checkpoint materialization already streams every
+      // row, so the per-round signature costs zero extra jobs. The
+      // EXACT set-equality confirmation (one except shuffle) still runs
+      // only when the signature stops moving — exactness preserved.
+      val obs = org.apache.spark.sql.Observation(s"cc_sig_$it")
+      val next = smallStar(largeStar(e, parts), parts)
+        .observe(obs, count(lit(1)).as("n"),
+          sum(col("a")).as("sa"), sum(col("b")).as("sb"))
+        .localCheckpoint(true)
+      val m = obs.get
+      def asL(v: Any): Long = if (v == null) 0L else v.asInstanceOf[Long]
+      val nextSig = (asL(m("n")), asL(m("sa")), asL(m("sb")))
       stable = nextSig == eSig && next.except(e).isEmpty
       eSig = nextSig
       e = next
