@@ -2840,18 +2840,36 @@ object TextAnalysis extends QueryModule {
     * Query = the tokens at df-ranks [qrkLo, qrkHi]. */
   private[graft] def bm25TopK(docs: org.apache.spark.sql.DataFrame,
       qrkLo: Int, qrkHi: Int, k: Int): org.apache.spark.sql.DataFrame = {
+    // cache-tracked on purpose: dropping the persist in favor of
+    // exchange reuse across the three consumers (dl, q, score join)
+    // was measured SLOWER at sf0.1 (x36 1.33 s → 1.63 s, x40 1.64 s →
+    // 2.10 s) — the reuse doesn't cover all three consumers once the
+    // df-rank window sits between them
     val tf = docs
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
       .transform(graft.Caches.track)
-    val dl = tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+    // dl straight from the doc token arrays: sum(tf) per doc IS the
+    // non-empty token count, so the per-doc length needs neither a
+    // rescan of the (much larger) tf frame nor a doc_id shuffle of it;
+    // token-free docs drop exactly as the tf-derived form dropped them
+    // (they produce no tf rows)
+    val dl = docs
+      .select(col("doc_id"),
+        size(filter(tokens(col("text")), t => t =!= ""))
+          .cast("long").as("dl"))
+      .filter(col("dl") > 0)
     val stats = dl.agg(count(lit(1)).as("n_docs"),
       round(avg(col("dl")) * 1e3).cast("long").as("avgdl_milli"))
-    // vocab-bounded global window (x16's broadcast justification)
+    // partial top-k (TakeOrderedAndProject) bounds the df-rank sort to
+    // qrkHi rows BEFORE the global window runs — the window itself then
+    // ranks a ≤qrkHi-row frame instead of single-partition-sorting the
+    // whole vocabulary (same total order, so ranks are identical)
     val wdf = org.apache.spark.sql.expressions.Window
       .orderBy(col("df").desc, col("tok"))
     val q = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(qrkHi)
       .withColumn("qrk", row_number().over(wdf))
       .filter(col("qrk").between(qrkLo, qrkHi))
       .crossJoin(broadcast(stats))
