@@ -688,10 +688,17 @@ object Cluster extends QueryModule {
     // equi-joins keyed on the node — degree attach, then (node, idx)
     // adjacency probe where idx = hash % degree. The (node, idx)
     // composite key SHARDS a hub's adjacency list across partitions,
-    // so a 1M-degree hub never concentrates on one task (the naive
-    // src-only join + modulo filter would). Adjacency and degree
-    // frames are built once, persisted, and reused by all 3 hops;
-    // walk count scales with nodes, never quadratic.
+    // so a 1M-degree hub never concentrates on one task — and that
+    // holds for the adjacency CONSTRUCTION too (round-7 ADVICE): idx
+    // is ranked within ORDER-PRESERVING dst-range buckets (the x35
+    // shardShuffle pattern) — rank inside (src, bucket) plus a per-src
+    // prefix offset over the bucket-count frame — so a hub's ranking
+    // spreads across ~deg/2^16 tasks instead of one src-partition
+    // window task, while producing idx values IDENTICAL to the
+    // oracle's row_number() OVER (PARTITION BY src ORDER BY dst).
+    // Adjacency and degree frames are built once, persisted, and
+    // reused by all 3 hops; walk count scales with nodes, never
+    // quadratic.
     GQuery("m23_random_walks",
       (s, d) => {
         val e = Tables.lineitem(s, d)
@@ -702,14 +709,15 @@ object Cluster extends QueryModule {
           .distinct()
         val sym = e.select(col("a").as("src"), col("b").as("dst"))
           .union(e.select(col("b").as("src"), col("a").as("dst")))
-        val wAdj = org.apache.spark.sql.expressions.Window
-          .partitionBy("src").orderBy("dst")
-        val adj = graft.Caches.track(sym
-          .select(col("src").as("cur"), col("dst"),
-            (row_number().over(wAdj).cast("long") - 1).as("idx")))
         val deg = graft.Caches.track(sym
           .groupBy(col("src").as("cur"))
           .agg(count(lit(1)).cast("long").as("deg")))
+        // one bounded probe on the persisted degree frame decides the
+        // construction: past the hub cap the sharded ranking runs
+        val maxDegRow = deg.agg(max(col("deg"))).head()
+        val maxDeg = if (maxDegRow.isNullAt(0)) 0L else maxDegRow.getLong(0)
+        val adj = graft.Caches.track(
+          rankAdjacency(sym, sharded = maxDeg > HubRankCap))
         def hop(w: DataFrame, t: Int): DataFrame =
           w.join(deg, Seq("cur"))
             .withColumn("idx",
@@ -1020,6 +1028,53 @@ object Cluster extends QueryModule {
           .groupBy("node").agg(min("dist").as("dist")))
     }
     dist
+  }
+
+  /** Degree bound above which [[rankAdjacency]] shards a source's
+    * ranking across dst-range buckets instead of one per-src window
+    * task. 2^18 rows is comfortably a single window task; past it the
+    * sharded construction's extra aggregate+join pays for itself. */
+  private[graft] val HubRankCap = 262144L
+
+  /** (src, dst) → (cur, dst, idx) adjacency where idx is the per-src
+    * rank of dst (exactly the oracle's `row_number() OVER (PARTITION
+    * BY src ORDER BY dst) - 1`). `sharded = false` ranks with that
+    * window directly — one task per src, fine until a hub approaches
+    * [[HubRankCap]]. `sharded = true` is the hub-safe construction
+    * (round-7 ADVICE): bkt = dst div 2^16 is monotone in dst, so
+    * (rank within (src, bkt)) + (count of earlier buckets) equals the
+    * global per-src rank while a 1M-degree hub spreads over ~deg/2^16
+    * tasks; the per-src prefix window runs on the bucket-COUNT frame,
+    * never the data. Identical output either way (SkewAndBucketSpec
+    * asserts equality on a hub fixture). */
+  private[graft] def rankAdjacency(sym: DataFrame,
+      sharded: Boolean): DataFrame = {
+    if (!sharded) {
+      val wAdj = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy("dst")
+      sym.select(col("src").as("cur"), col("dst"),
+        (row_number().over(wAdj).cast("long") - 1).as("idx"))
+    } else {
+      val wInB = org.apache.spark.sql.expressions.Window
+        .partitionBy("src", "bkt").orderBy("dst")
+      val wOff = org.apache.spark.sql.expressions.Window
+        .partitionBy("src").orderBy("bkt")
+        .rowsBetween(org.apache.spark.sql.expressions.Window
+          .unboundedPreceding, -1)
+      val symB = sym
+        .withColumn("bkt", expr("dst div 65536"))
+        .repartition(col("src"), col("bkt"))
+      val offs = symB
+        .groupBy("src", "bkt").agg(count(lit(1)).as("bn"))
+        .withColumn("off",
+          coalesce(sum(col("bn")).over(wOff), lit(0L)))
+        .select("src", "bkt", "off")
+      symB
+        .withColumn("r", row_number().over(wInB).cast("long") - 1)
+        .join(offs, Seq("src", "bkt"))
+        .select(col("src").as("cur"), col("dst"),
+          (col("r") + col("off")).as("idx"))
+    }
   }
 
   /** Pure-DataFrame connected components — the alternating

@@ -115,4 +115,26 @@ class SkewAndBucketSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("rankAdjacency: sharded hub ranking equals the per-src window") {
+    import spark.implicits._
+    // a hub (src=1) whose dsts straddle several 2^16 dst-range
+    // buckets, plus small srcs — the sharded construction must emit
+    // idx values identical to row_number() OVER (PARTITION BY src
+    // ORDER BY dst) - 1
+    val hub = (0L until 5000L).map(i => (1L, i * 37L + 3L))
+    val rest = (0L until 50L).flatMap(s =>
+      (0L until 7L).map(d => (s + 100L, d * 99991L)))
+    val sym = (hub ++ rest).toDF("src", "dst")
+    def res(sharded: Boolean) =
+      graft.ops.Cluster.rankAdjacency(sym, sharded).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (plain, shard) = (res(false), res(true))
+    assert(plain == shard,
+      s"sharded ranking diverges: ${shard.diff(plain).take(5)} / " +
+        s"${plain.diff(shard).take(5)}")
+    // sanity: the hub's ranks are the dense 0..4999 sequence by dst
+    val hubIdx = plain.filter(_._1 == 1L).toSeq.sortBy(_._2).map(_._3)
+    assert(hubIdx == (0L until 5000L), "hub ranks must be dense in dst order")
+  }
 }
