@@ -60,7 +60,12 @@ def main():
         oracle = {k: v for k, v in oracle.items() if k in only}
     con = duckdb.connect()
     for t in TABLES:
-        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+        # harness tables are single files; ScaleGen (SCALE.md) writes
+        # Spark directory-parquet — glob the part files in that case
+        src = (f"{SF}/{t}.parquet/*.parquet"
+               if Path(f"{SF}/{t}.parquet").is_dir()
+               else f"{SF}/{t}.parquet")
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
     names = sorted(p.name for p in OUT.iterdir() if p.is_dir()
                    and (only is None or p.name in only))
     n_pass = n_fail = 0
