@@ -360,13 +360,7 @@ object Cluster extends QueryModule {
           .withColumn("hour", expr("ts div 3600000000000"))
           .select("user_id", "hour", "event_type").distinct()
           .transform(graft.Caches.track)
-        val e = ue.select(col("hour"), col("event_type"), col("user_id").as("ua"))
-          .join(ue.select(col("hour"), col("event_type"),
-            col("user_id").as("ub")), Seq("hour", "event_type"))
-          .filter(col("ua") < col("ub"))
-          .groupBy("ua", "ub").agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 3)
-          .select(col("ua").as("l1"), col("ub").as("l2"))
+        val e = coActivityEdges(ue, 3)
         val v = ue.select(col("user_id").as("v")).distinct()
         Dbscan.connectedComponents(s, v, e).orderBy("v")
       },
@@ -404,14 +398,7 @@ object Cluster extends QueryModule {
           .withColumn("hour", expr("ts div 3600000000000"))
           .select("user_id", "hour", "event_type").distinct()
           .transform(graft.Caches.track)
-        val e = ue.select(col("hour"), col("event_type"),
-            col("user_id").as("ua"))
-          .join(ue.select(col("hour"), col("event_type"),
-            col("user_id").as("ub")), Seq("hour", "event_type"))
-          .filter(col("ua") < col("ub"))
-          .groupBy("ua", "ub").agg(count(lit(1)).as("n"))
-          .filter(col("n") >= 3)
-          .select(col("ua").as("l1"), col("ub").as("l2"))
+        val e = coActivityEdges(ue, 3)
         val v = ue.select(col("user_id").as("v")).distinct()
         val comp = ccLargeSmallStar(e)._1
         v.join(comp, Seq("v"), "left")
@@ -1028,6 +1015,40 @@ object Cluster extends QueryModule {
           .groupBy("node").agg(min("dist").as("dist")))
     }
     dist
+  }
+
+  /** Co-activity edge generation for m8/m17: users sharing ≥
+    * `minShared` distinct (hour, event_type) activity cells become an
+    * edge. Exact when `hotCap` is None — the registered, oracle-matched
+    * form. The self-join is quadratic in per-cell user count: measured
+    * at sf1 (SCALE.md), 10× users in the same wall-clock window grew
+    * the edge frame ~100× (13.86M edges) — the expected group-size
+    * square, absorbed fine at that scale, but a 100 TB hot cell with
+    * 1M users would contribute 5·10¹¹ pairs. `hotCap = Some(k)` is the
+    * d2 stop-shingle trade for that regime: keep only the k
+    * deterministically md5-ranked users per cell, bounding every
+    * cell's contribution at k²/2 pairs; recall loss is confined to
+    * co-activity INSIDE capped cells (SkewAndBucketSpec pins the
+    * bound, the subset property, and planted-pair survival). */
+  private[graft] def coActivityEdges(ue: DataFrame, minShared: Long,
+      hotCap: Option[Int] = None): DataFrame = {
+    val base = hotCap match {
+      case None => ue
+      case Some(k) =>
+        val wCell = org.apache.spark.sql.expressions.Window
+          .partitionBy("hour", "event_type")
+          .orderBy(conv(substring(md5(col("user_id").cast("string")),
+            1, 8), 16, 10).cast("long"), col("user_id"))
+        ue.withColumn("rk", row_number().over(wCell))
+          .filter(col("rk") <= k).drop("rk")
+    }
+    base.select(col("hour"), col("event_type"), col("user_id").as("ua"))
+      .join(base.select(col("hour"), col("event_type"),
+        col("user_id").as("ub")), Seq("hour", "event_type"))
+      .filter(col("ua") < col("ub"))
+      .groupBy("ua", "ub").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minShared)
+      .select(col("ua").as("l1"), col("ub").as("l2"))
   }
 
   /** Degree bound above which [[rankAdjacency]] shards a source's

@@ -137,4 +137,27 @@ class SkewAndBucketSpec extends AnyFunSuite {
     val hubIdx = plain.filter(_._1 == 1L).toSeq.sortBy(_._2).map(_._3)
     assert(hubIdx == (0L until 5000L), "hub ranks must be dense in dst order")
   }
+
+  test("coActivityEdges: hot-cell cap bounds pairs, keeps planted edges") {
+    import spark.implicits._
+    // one hot cell: 40 users share (hour 0, 'x') → C(40,2)=780 pairs
+    // uncapped; a planted pair (100, 101) co-occurs in 3 quiet cells
+    val hot = (0L until 40L).map(u => (u, 0L, "x"))
+    val planted = (0L until 3L).flatMap(h =>
+      Seq((100L, h, "p"), (101L, h, "p")))
+    val ue = (hot ++ planted).toDF("user_id", "hour", "event_type")
+    def edges(minShared: Long, cap: Option[Int]) =
+      graft.ops.Cluster.coActivityEdges(ue, minShared, cap).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val un1 = edges(1, None)
+    assert(un1.size == 780 + 1, s"uncapped: ${un1.size}")
+    val cap1 = edges(1, Some(8))
+    // hot cell bounded at C(8,2)=28; quiet 2-user cells untouched
+    assert(cap1.size == 28 + 1, s"capped: ${cap1.size}")
+    assert(cap1.subsetOf(un1), "capped edges must be a subset")
+    // the ≥3-shared-cell edge survives the cap (its cells are quiet)
+    assert(edges(3, Some(8)) == Set((100L, 101L)))
+    // and the registered uncapped form agrees
+    assert(edges(3, None) == Set((100L, 101L)))
+  }
 }
