@@ -61,6 +61,14 @@ final case class AsofOut(
     click_id: Long,     // -1 when no prior click
     click_ms: Long)     // -1 when no prior click
 
+/** Per-user accepted-contribution counter for the streaming DP cap. */
+final case class CapState(nAccepted: Long)
+
+/** One bounding decision: accepted iff the user was under the M-cap
+  * when the event arrived; cents clipped to [0, clipCents]. */
+final case class CapOut(user_id: Long, event_id: Long,
+    event_type: String, accepted: Boolean, cents: Long, clipped: Long)
+
 /** One annotation arriving on the labeling stream. */
 final case class AnnRow(doc_id: Long, lang: String, source: String,
     lbl: String)
@@ -418,6 +426,58 @@ object StreamOps extends Serializable {
     }
 
     ann.groupByKey(_.doc_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
+
+  /** First 8 hex chars of md5(id) as an unsigned long — the Scala twin
+    * of the batch expression `conv(substring(md5(cast(id as string)),
+    * 1, 8), 16, 10)` used by x48's deterministic keep rank. */
+  private def md5Rank(id: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+      ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+  }
+
+  /** Streaming per-user contribution bounding + value clipping — the
+    * ONLINE twin of batch `x48_contribution_cap` (DP-ingest at serving
+    * time: every event needs an immediate keep/drop decision, so the
+    * "which M" choice is first-M-by-arrival rather than the batch's
+    * global md5 rank). State per user is ONE counter — the minimal
+    * sensitivity-bounding state a 100 TB live ingest holds per key.
+    * Within a micro-batch, a user's events are processed in the SAME
+    * (md5 rank, event_id) order the batch window sorts by, so a
+    * stream that delivers each user's events in rank order — one
+    * batch, or rank-ordered batches — accepts EXACTLY the batch keep
+    * set and its accepted rows aggregate to x48's report
+    * (StreamOpsSpec locks the parity; out-of-rank delivery is the
+    * documented online divergence, not a bug). Cents use the same
+    * HALF_UP rounding as Spark's `round`. */
+  def contributionCap(events: Dataset[StreamEvent], m: Long = 10L,
+      clipCents: Long = 5000L): Dataset[CapOut] = {
+    import events.sparkSession.implicits._
+
+    def cents(v: Double): Long = java.math.BigDecimal.valueOf(v * 100)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+    def fn(userId: Long, batch: Iterator[StreamEvent],
+        state: GroupState[CapState]): Iterator[CapOut] = {
+      var n = state.getOption.map(_.nAccepted).getOrElse(0L)
+      val out = batch.toSeq
+        .sortBy(e => (md5Rank(e.event_id), e.event_id))
+        .map { e =>
+          val c = cents(e.value)
+          val accepted = n < m
+          if (accepted) n += 1
+          CapOut(userId, e.event_id, e.event_type, accepted, c,
+            math.min(math.max(c, 0L), clipCents))
+        }
+      state.update(CapState(n))
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
   }

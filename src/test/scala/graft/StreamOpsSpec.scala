@@ -577,4 +577,66 @@ class StreamOpsSpec extends AnyFunSuite {
     assert(whole == expect, s"whole-batch run: $whole")
     assert(split == expect, s"split run: $split")
   }
+
+  test("contributionCap: accepted set equals the batch x48 keep, " +
+      "counter carries across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    // 3 users × 15 events: values span negative (clip to 0), mid, and
+    // >$50 (clip to 5000 cents); ids unique across users
+    val fixture = for {
+      u <- 1L to 3L; i <- 0L until 15L
+    } yield StreamEvent(u * 100 + i, u,
+      if (i % 2 == 0) "click" else "purchase",
+      new Timestamp(1000L * i), i match {
+        case 0 => -3.25
+        case 1 => 99.995
+        case k => k * 7.77
+      })
+    // batch truth: x48's exact keep+clip expressions
+    val w = Window.partitionBy("user_id")
+      .orderBy(conv(substring(md5(col("event_id").cast("string")),
+        1, 8), 16, 10).cast("long"), col("event_id"))
+    val kept = fixture.toDF()
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= 10)
+      .withColumn("cents", expr("cast(round(value * 100) as bigint)"))
+      .withColumn("clipped",
+        expr("least(greatest(cast(round(value * 100) as bigint), 0L)," +
+          " 5000L)"))
+      .select("event_id", "cents", "clipped").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    def run(batches: Seq[Seq[StreamEvent]], name: String)
+        : Map[Long, (Long, Long)] = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[StreamEvent]
+      val q = StreamOps.contributionCap(mem.toDS())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.sql(s"SELECT event_id, cents, clipped FROM $name " +
+            "WHERE accepted").collect()
+          .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+      } finally q.stop()
+    }
+    // one batch: the in-batch rank sort reproduces the batch keep
+    val whole = run(Seq(fixture), "cap_whole")
+    assert(whole == kept,
+      s"whole: extra=${whole.keySet.diff(kept.keySet)} " +
+        s"missing=${kept.keySet.diff(whole.keySet)}")
+    // rank-ordered split: the per-user counter must carry so the
+    // SAME events are accepted across micro-batch boundaries
+    val ranked = fixture.sortBy(e =>
+      (e.user_id,
+        java.lang.Long.parseLong(java.security.MessageDigest
+          .getInstance("MD5").digest(e.event_id.toString.getBytes)
+          .take(4).map("%02x".format(_)).mkString, 16),
+        e.event_id))
+    val split = run(Seq(ranked.take(10), ranked.slice(10, 30),
+      ranked.drop(30)), "cap_split")
+    assert(split == kept,
+      s"split: extra=${split.keySet.diff(kept.keySet)} " +
+        s"missing=${kept.keySet.diff(split.keySet)}")
+  }
 }
