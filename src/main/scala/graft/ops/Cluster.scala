@@ -694,6 +694,9 @@ object Cluster extends QueryModule {
           .select((col("o_custkey") * 2).as("a"),
             (col("l_suppkey") * 2 + 1).as("b"))
           .distinct()
+          // persisted: sym's two branches and the deg/adj consumers
+          // would otherwise re-run the scan+join+distinct up to 4×
+          .transform(graft.Caches.track)
         val sym = e.select(col("a").as("src"), col("b").as("dst"))
           .union(e.select(col("b").as("src"), col("a").as("dst")))
         val deg = graft.Caches.track(sym
@@ -953,6 +956,15 @@ object Cluster extends QueryModule {
     * arithmetic, reproducible across engines and partitionings. Returns
     * (node, r) after `iters` Pregel-as-join power iterations. */
   private[graft] def pagerank(edges: DataFrame, iters: Int): DataFrame = {
+    // e deliberately NOT persisted (here and in the sibling loops):
+    // sym's union branches do re-derive it — column pruning splits
+    // them into non-reusable subtrees — but the subtree is one
+    // broadcast join + aggregate, and the sym persist below already
+    // amortizes every iteration. Tracking e as well was measured
+    // SLOWER at sf0.1 (m13 3.27 → 3.69 s, m14 3.47 → 4.35 s:
+    // cache-build cost exceeds the cheap duplicate). m23, whose edge
+    // frame fed FOUR consumers with no sym persist, keeps its track
+    // (5.70 → 4.27 s).
     val e = edges.select(col("a"), col("b")).distinct()
     // ONE explicit exchange on src, persisted: the degree aggregate and
     // every iteration's contribution join all read sym partitioned by
