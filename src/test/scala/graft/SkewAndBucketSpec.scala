@@ -159,5 +159,12 @@ class SkewAndBucketSpec extends AnyFunSuite {
     assert(edges(3, Some(8)) == Set((100L, 101L)))
     // and the registered uncapped form agrees
     assert(edges(3, None) == Set((100L, 101L)))
+    // degenerate inputs: empty frame and a lone user yield no edges
+    val empty = Seq.empty[(Long, Long, String)]
+      .toDF("user_id", "hour", "event_type")
+    val lone = Seq((7L, 0L, "x")).toDF("user_id", "hour", "event_type")
+    for (ue0 <- Seq(empty, lone); cap <- Seq(None, Some(8))) {
+      assert(graft.ops.Cluster.coActivityEdges(ue0, 1, cap).count() == 0)
+    }
   }
 }
