@@ -30,6 +30,15 @@ object Bench {
     // under the exact bench protocol. Unset in driver runs.
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").toSet)
+    // names that match nothing are a silent no-op otherwise — warn so a
+    // typo'd bisect doesn't masquerade as a fast query
+    only.foreach { names =>
+      val unknown = names.diff(SparkEntry.queries.keySet)
+      if (unknown.nonEmpty)
+        System.err.println(
+          s"[bench] WARNING: SPARK_GRAFT_ONLY names not in the " +
+            s"registry: ${unknown.toSeq.sorted.mkString(",")}")
+    }
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.forall(_.contains(q._1)))
     // Warm-up pass at a small SF: first execution of each query pays
