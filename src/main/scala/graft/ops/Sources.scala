@@ -22,6 +22,18 @@ object Sources extends QueryModule {
       |GROUP BY n_name
       |ORDER BY n_name""".stripMargin
 
+  /** s20: verbatim shared-dialect WINDOW statement (see s13). Both
+    * engines parse `row_number() OVER (PARTITION BY … ORDER BY …)`
+    * with a compound deterministic tie-break identically. */
+  private val SqlWindowStatement: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |      ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn = 1 AND o_custkey % 10 = 0
+      |ORDER BY o_custkey""".stripMargin
+
   /** s16's read side over a lang-partitioned documents directory: the
     * lang='en' filter must become a PartitionFilter (plan-locked in
     * SourcesSinksSpec), the aggregate matches the unpartitioned oracle. */
@@ -332,6 +344,21 @@ object Sources extends QueryModule {
         s.sql(SqlFrontendStatement)
       },
       Some(SqlFrontendStatement)),
+
+    // S20: the WINDOW-function extension of s13's verbatim-SQL proof —
+    // the same statement text runs through spark.sql AND the DuckDB
+    // oracle (no dialect translation), so the driver gate itself locks
+    // window semantics (partitioned row_number with a compound
+    // tie-broken ORDER BY) across engines, not just a spec.
+    // SqlFrontendSpec covers the wider Spark-dialect surface; this
+    // pins the shared-dialect core. Raw values only — no arithmetic,
+    // so the hash compare is trivially exact.
+    GQuery("s20_sql_window",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(SqlWindowStatement)
+      },
+      Some(SqlWindowStatement)),
 
     // S19: ANALYZE-style table profiling — per-column row/null/distinct
     // counts and value-length stats in ONE pass, the statistics sweep
