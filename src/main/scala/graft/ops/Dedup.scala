@@ -964,12 +964,31 @@ object Dedup extends QueryModule {
       // p = s − ceil(τ·s) + 1 with τ = 1/2: ceil = (s+1) div 2
       // (`div`, not `/` — Column `/` is IEEE double division)
       .filter(col("rn") <= col("s") - expr("(s + 1) div 2") + 1)
-      .select(col("doc_id"), col("tok"), col("s"))
+      .select(col("doc_id"), col("tok"), col("s"), col("rn"))
+    // PPJoin refinements on the matched prefix rows (Xiao et al.,
+    // "Efficient Similarity Joins for Near Duplicate Detection",
+    // WWW'08) — both provably lossless, both cutting rows BEFORE the
+    // distinct and the intersection join:
+    //  - LENGTH filter: J ≥ 1/2 forces min(sa,sb)/max(sa,sb) ≥ 1/2;
+    //  - POSITIONAL filter: J ≥ 1/2 ⟺ overlap c ≥ ⌈(sa+sb)/3⌉ = α,
+    //    and a common token at rarity ranks (ra, rb) bounds
+    //    c ≤ min(ra−1, rb−1) + 1 + min(sa−ra, sb−rb) — common tokens
+    //    strictly before it rank below ra AND rb (both docs sort by
+    //    the same global (df, tok) total order), common tokens after
+    //    it fit in the shorter remaining suffix. A true-positive pair
+    //    keeps EVERY matched prefix row ≥ α (the bound dominates the
+    //    actual overlap), so filtering per-row drops no pair.
     val cand = prefix
-      .select(col("doc_id").as("ida"), col("tok"), col("s").as("sa"))
+      .select(col("doc_id").as("ida"), col("tok"), col("s").as("sa"),
+        col("rn").as("ra"))
       .join(prefix.select(col("doc_id").as("idb"), col("tok"),
-        col("s").as("sb")), Seq("tok"))
+        col("s").as("sb"), col("rn").as("rb")), Seq("tok"))
       .filter(col("ida") < col("idb"))
+      .filter(greatest(col("sa"), col("sb")) <=
+        least(col("sa"), col("sb")) * 2)
+      .filter(least(col("ra"), col("rb")) +
+        least(col("sa") - col("ra"), col("sb") - col("rb")) >=
+        expr("(sa + sb + 2) div 3"))
       .select("ida", "idb", "sa", "sb").distinct()
     toks.select(col("doc_id").as("ida"), col("tok"))
       .join(cand, Seq("ida"))

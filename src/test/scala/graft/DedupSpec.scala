@@ -358,7 +358,13 @@ class DedupSpec extends AnyFunSuite {
     }
     val planted = Seq(
       100L -> base(3)._2,                          // exact dup of set 3
-      101L -> (base(5)._2 + "tX"))                 // near dup of set 5
+      101L -> (base(5)._2 + "tX"),                 // near dup of set 5
+      // threshold-boundary pair: J = 2/(2+4−2) = 0.5 EXACTLY, with
+      // sizes at the length-filter edge (max = 2·min) and overlap at
+      // the positional bound α = ⌈6/3⌉ = 2 — trips any off-by-one in
+      // the PPJoin length/positional pruning
+      102L -> Set("tB1", "tB2"),
+      103L -> Set("tB1", "tB2", "tB3", "tB4"))
     val all = (base ++ planted).filter(_._2.nonEmpty)
     val toks = all.flatMap { case (id, s) => s.map(id -> _) }
       .toDF("doc_id", "tok")
