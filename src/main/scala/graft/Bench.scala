@@ -4,9 +4,25 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // Opt-in multi-executor mode (round-8 VERDICT #1): SPARK_GRAFT_MASTER=
+    // 'local-cluster[4,8,4096]' runs the identical bench protocol against
+    // a standalone mini-cluster — separate executor JVMs, REAL serialized
+    // exchanges over the wire — the one axis local[32] cannot test. The
+    // library jar must ride along (SPARK_GRAFT_JARS=target/scala-2.13/…jar,
+    // `sbt package`) so executors can deserialize graft classes; executor
+    // memory defaults to 3g to fit the 4096 MiB worker cap. Unset (the
+    // driver protocol) nothing changes: plain local[$cpus].
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
+    val builder =
+      if (master.startsWith("local-cluster")) {
+        val b = builder0.config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
+        sys.env.get("SPARK_GRAFT_JARS").fold(b)(j => b.config("spark.jars", j))
+      } else builder0
+    val spark = builder
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       // AQE default OFF for the BENCH session only (override with

@@ -16,6 +16,10 @@ import org.apache.spark.sql.functions._
   */
 object Cluster extends QueryModule {
 
+  /** Uniquifies [[ccLargeSmallStar]]'s per-round Observation names
+    * across concurrent calls in one session (round-8 ADVICE). */
+  private val CcObsCounter = new java.util.concurrent.atomic.AtomicLong()
+
   /** (user_id, day) sessions with their '-'-joined action path —
     * the process analog fed to the DBSCAN wrappers. */
   private def sessions(s: SparkSession, d: String): DataFrame =
@@ -1193,7 +1197,12 @@ object Cluster extends QueryModule {
       // row, so the per-round signature costs zero extra jobs. The
       // EXACT set-equality confirmation (one except shuffle) still runs
       // only when the signature stops moving — exactness preserved.
-      val obs = org.apache.spark.sql.Observation(s"cc_sig_$it")
+      // per-call unique observation name (round-8 ADVICE): Spark's
+      // Observation listener matches executions by metric name, so two
+      // concurrent CC runs in one session (parallel suites) sharing a
+      // round index could cross-read or block obs.get
+      val obs = org.apache.spark.sql.Observation(
+        s"cc_sig_${CcObsCounter.incrementAndGet()}_$it")
       val next = smallStar(largeStar(e, parts), parts)
         .observe(obs, count(lit(1)).as("n"),
           sum(col("a")).as("sa"), sum(col("b")).as("sb"))

@@ -34,6 +34,67 @@ object Sources extends QueryModule {
       |WHERE rn = 1 AND o_custkey % 10 = 0
       |ORDER BY o_custkey""".stripMargin
 
+  /** s21: verbatim shared-dialect SUBQUERY statement (see s13) — a
+    * correlated EXISTS plus an uncorrelated IN in one predicate. Both
+    * engines plan these as semi-joins; the shared text proves the
+    * subquery surface parses and evaluates identically. */
+  private val SqlSubqueryStatement: String =
+    """SELECT c_custkey, c_name
+      |FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders
+      |              WHERE o_custkey = c_custkey
+      |                AND o_totalprice > 300000)
+      |  AND c_nationkey IN (SELECT n_nationkey FROM nation
+      |                      WHERE n_regionkey IN (0, 2))
+      |ORDER BY c_custkey""".stripMargin
+
+  /** s22: verbatim shared-dialect SET-OPERATION statement — EXCEPT and
+    * INTERSECT (both DISTINCT by default in both engines) over the
+    * same two CTEs, tagged and re-unioned so one ordered result
+    * hash-locks both operators at once. */
+  private val SqlSetOpStatement: String =
+    """WITH big AS (SELECT o_custkey AS k FROM orders
+      |             WHERE o_totalprice > 350000),
+      |     neg AS (SELECT c_custkey AS k FROM customer
+      |             WHERE c_acctbal < 0)
+      |SELECT k, 'only_big' AS tag
+      |FROM (SELECT k FROM big EXCEPT SELECT k FROM neg) AS e
+      |UNION ALL
+      |SELECT k, 'both' AS tag
+      |FROM (SELECT k FROM big INTERSECT SELECT k FROM neg) AS i
+      |ORDER BY k, tag""".stripMargin
+
+  /** s23: verbatim shared-dialect ROLLUP statement. The grouping-set
+    * NULL rows force explicit NULLS FIRST ordering — the one place the
+    * engines' ORDER BY defaults differ (Spark ASC = NULLS FIRST,
+    * DuckDB ASC = NULLS LAST), pinned in the shared text. */
+  private val SqlRollupStatement: String =
+    """SELECT n_regionkey, n_name,
+      |       CAST(count(*) AS BIGINT) AS n_cust,
+      |       CAST(sum(c_custkey) AS BIGINT) AS key_sum
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY ROLLUP (n_regionkey, n_name)
+      |ORDER BY n_regionkey NULLS FIRST, n_name NULLS FIRST""".stripMargin
+
+  /** s24: verbatim shared-dialect CASE statement — searched CASE with
+    * range predicates, simple (value-match) CASE, and a multi-branch
+    * AND-combined CASE in one projection. */
+  private val SqlCaseStatement: String =
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_quantity < 10 THEN 'small'
+      |       WHEN l_quantity < 30 THEN 'mid'
+      |       ELSE 'large' END AS qty_band,
+      |  CASE l_returnflag WHEN 'A' THEN 'accepted'
+      |                    WHEN 'R' THEN 'returned'
+      |                    ELSE 'none' END AS rf,
+      |  CASE WHEN l_discount >= 0.05 AND l_tax >= 0.05 THEN 'dd'
+      |       WHEN l_discount >= 0.05 THEN 'd'
+      |       WHEN l_tax >= 0.05 THEN 't'
+      |       ELSE '' END AS flags
+      |FROM lineitem
+      |WHERE l_orderkey % 500 = 0
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin
+
   /** s16's read side over a lang-partitioned documents directory: the
     * lang='en' filter must become a PartitionFilter (plan-locked in
     * SourcesSinksSpec), the aggregate matches the unpartitioned oracle. */
@@ -359,6 +420,44 @@ object Sources extends QueryModule {
         s.sql(SqlWindowStatement)
       },
       Some(SqlWindowStatement)),
+
+    // S21–S24: the round-8 VERDICT asked for a wider verbatim
+    // shared-dialect surface beyond s13 (aggregate-join) and s20
+    // (window): subqueries, set operations, ROLLUP grouping sets and
+    // CASE projection, each statement running UNMODIFIED through
+    // spark.sql AND the DuckDB oracle so the driver gate itself locks
+    // cross-engine semantics with zero dialect translation.
+    GQuery("s21_sql_subquery",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.nation(s, d).createOrReplaceTempView("nation")
+        s.sql(SqlSubqueryStatement)
+      },
+      Some(SqlSubqueryStatement)),
+
+    GQuery("s22_sql_setops",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        s.sql(SqlSetOpStatement)
+      },
+      Some(SqlSetOpStatement)),
+
+    GQuery("s23_sql_rollup",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.nation(s, d).createOrReplaceTempView("nation")
+        s.sql(SqlRollupStatement)
+      },
+      Some(SqlRollupStatement)),
+
+    GQuery("s24_sql_case",
+      (s, d) => {
+        Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+        s.sql(SqlCaseStatement)
+      },
+      Some(SqlCaseStatement)),
 
     // S19: ANALYZE-style table profiling — per-column row/null/distinct
     // counts and value-length stats in ONE pass, the statistics sweep

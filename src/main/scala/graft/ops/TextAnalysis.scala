@@ -2558,7 +2558,13 @@ object TextAnalysis extends QueryModule {
     * Perfect agreement (4C = 100N², i.e. P_e = 1) yields NULL via an
     * explicit branch in BOTH engines — preempting Spark's
     * divide-by-zero NULL vs DuckDB's non-NULL double division
-    * (round-7 ADVICE). */
+    * (round-7 ADVICE). The decomposed regime guards on the COMPUTED
+    * denominator `1 − c_sq/(25N²) = 0` rather than the algebraic
+    * `25N² = c_sq` (round-8 ADVICE): past 2^53 a c_sq one
+    * representable double under 25N² can miss the algebraic equality
+    * while the P_e division still rounds to exactly 1.0 — guarding on
+    * the denominator itself means the NULL branch and the division can
+    * never disagree. */
   private[graft] def fleissKappaCaseSql(guard: String,
       exactBelow: Long = FleissExactBelow): String =
     s"""case
@@ -2570,7 +2576,7 @@ object TextAnalysis extends QueryModule {
        |            - 4 * c_sq) / (100.0 * n_docs * n_docs - 4 * c_sq))
        |          as bigint) end
        | else
-       |   case when 25.0 * n_docs * n_docs = cast(c_sq as double)
+       |   case when 1.0 - c_sq / (25.0 * n_docs * n_docs) = 0.0
        |        then cast(null as bigint)
        |        else cast(round(1e6 *
        |            ((s_sum - 5 * n_docs) / (20.0 * n_docs)
@@ -2726,9 +2732,13 @@ object TextAnalysis extends QueryModule {
       .orderBy("rnk")
   }
 
-  /** Distinct-pair cap for [[btConverged]]'s edge collect — m8's
-    * `Dbscan.DriverCcMaxEdges` pattern. Under it the whole MM loop runs
-    * on collected arrays (milliseconds); past it the pair frame stays
+  /** DIRECTIONAL-edge-row cap for [[btConverged]]'s edge collect —
+    * m8's `Dbscan.DriverCcMaxEdges` pattern. btFrames emits every
+    * distinct unordered pair in both directions (i→j and j→i), so
+    * this bounds directional rows: the collect path engages up to
+    * ~1M distinct pairs (round-8 ADVICE: the doc previously implied
+    * 2M distinct pairs). Under the cap the whole MM loop runs on
+    * collected arrays (milliseconds); past it the pair frame stays
     * in Spark and only the ENTITY-sized strength vector round-trips
     * the driver per round. */
   private[graft] val BtMaxCollectedPairs = 2000000L
@@ -2766,7 +2776,8 @@ object TextAnalysis extends QueryModule {
     * The loop is a DRIVER-side iteration either way — BT's contract is
     * entities ≪ comparisons, so the strength vector is broadcast-class
     * — but WHAT is collected is size-guarded (round-7 VERDICT): under
-    * [[BtMaxCollectedPairs]] distinct pairs, the pair frame itself is
+    * [[BtMaxCollectedPairs]] directional edge rows (= half that many
+    * distinct unordered pairs), the pair frame itself is
     * collected and the whole loop runs on arrays (no per-round
     * scheduling at all); past the cap only the entity-sized strengths
     * collect per round, and each MM step is one Spark pass over the

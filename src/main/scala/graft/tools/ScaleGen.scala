@@ -29,8 +29,10 @@ import org.apache.spark.sql.functions._
   *    spaces are disjoint, so candidate sets and vocabularies grow
   *    linearly; n_chars is recomputed to keep its length(text)
   *    invariant;
-  *  - embedding vectors get a deterministic hash jitter (±0.005 per
-  *    element, keyed on (vec_id, rep, index)) so replicated vectors
+  *  - embedding vectors get a deterministic hash jitter (±0.01 per
+  *    element — hash % 1000 spans −999..999 over 1e5, round-8 ADVICE
+  *    corrected the previously stated ±0.005 — keyed on
+  *    (vec_id, rep, index)) so replicated vectors
   *    are near but not identical — no degenerate distance ties in the
   *    ANN paths.
   *
