@@ -337,7 +337,18 @@ object Dbscan {
     * the same class of move as broadcasting a dimension table. GraphX's
     * per-iteration scheduling costs ~10s even on a 150-vertex graph;
     * union-find is milliseconds. Past the cap the distributed path runs. */
-  val DriverCcMaxEdges = 2000000L
+  // Overridable (SPARK_GRAFT_CC_CAP) so deployments can move the
+  // regime switch and so the crossover can be MEASURED by pinning each
+  // route on one graph. The 4M default sits on the round-9 measured
+  // curve (PERF.md): with both routes pinned on the same co-activity
+  // graphs, driver union-find beat GraphX at 1.2M edges (3.4 vs 4.9 s)
+  // and 3.5M edges (6.1 vs 7.2 s) but lost at 13.9M (27.8 vs 23.0 s) —
+  // the crossover lies between 3.5M and 13.9M, so 4M keeps the
+  // union-find win everywhere it is measured to win while staying a
+  // bounded driver transfer (4M edge rows = 64 MB, dimension-broadcast
+  // class; the r8 2M default was conservative by half).
+  val DriverCcMaxEdges: Long = sys.env.get("SPARK_GRAFT_CC_CAP")
+    .map(_.toLong).getOrElse(4000000L)
 
   def connectedComponents(spark: SparkSession, vertices: DataFrame,
       edges: DataFrame): DataFrame = {

@@ -342,7 +342,7 @@ object Cluster extends QueryModule {
       Some("""WITH li AS (
              |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
              |  FROM lineitem),
-             |e0 AS (SELECT a.p AS pa, b.p AS pb
+             |e0 AS MATERIALIZED (SELECT a.p AS pa, b.p AS pb
              |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
              |      GROUP BY 1, 2 HAVING count(*) >= 2),
              |""".stripMargin +
@@ -785,12 +785,18 @@ object Cluster extends QueryModule {
 
   /** Oracle fragment: one peeling round `prevE` → `e$i` (degree count,
     * ≥K survivor set, edge filter to both-endpoint survivors). */
+  // AS MATERIALIZED (DuckDB-only syntax — oracles never run through
+  // Spark's parser): each round references its predecessor three times
+  // (twice in the degree union, once in the survivor join), so an
+  // inlining replay recomputes e0 3^rounds times — the reason the sf1
+  // oracle timed out at >5 min in round 8. Materialized, each round is
+  // computed once and the sf1 replay is seconds (round-8 VERDICT #5).
   private def kcoreSqlRound(i: Int, prevE: String): String =
     s"""deg$i AS (SELECT n, count(*) AS dg FROM (
        |  SELECT pa AS n FROM $prevE
        |  UNION ALL SELECT pb FROM $prevE) GROUP BY 1),
        |s$i AS (SELECT n FROM deg$i WHERE dg >= $KcoreK),
-       |e$i AS (SELECT pa, pb FROM $prevE
+       |e$i AS MATERIALIZED (SELECT pa, pb FROM $prevE
        |        JOIN s$i sa ON sa.n = pa
        |        JOIN s$i sb ON sb.n = pb)""".stripMargin
 

@@ -2242,8 +2242,14 @@ object TextAnalysis extends QueryModule {
     // X45: n-gram overlap eval scoring — the generation-eval op
     // (ROUGE-N recall / clipped BLEU-ish precision) run corpus-wide:
     // each candidate doc scores against a deterministic reference
-    // partner (doc_id + N/2 mod N — the half-rotation pairing gives
-    // every doc exactly one cand and one ref role). Clipped multiset
+    // partner (doc_id XOR 1 — adjacency pairing; every doc has exactly
+    // one cand and one ref role; docs whose partner id is absent drop
+    // out in both engines). Round 9 replaced the original
+    // (doc_id + N/2) % N half-rotation: it assumed a DENSE 0..N-1 id
+    // domain and silently degenerated to ZERO pairs on the sparse
+    // replica-shifted sf1 ids — a vacuous both-engines-agree-on-empty
+    // pass. XOR pairing exists at every scale because ids ship in
+    // contiguous even-sized blocks. Clipped multiset
     // intersection Σ_g min(c_cand, c_ref) per n-gram order, in
     // integer micro-units. Scale posture: gram frames are keyed
     // aggregates; the cand↔ref match is an equi-join on (ref, gram)
@@ -2251,11 +2257,8 @@ object TextAnalysis extends QueryModule {
     GQuery("x45_ngram_eval",
       (s, d) => {
         val docs = docsSpread(s, d)
-        val nRow = docs.agg(count(lit(1)).as("nn"))
         val pairs = docs.select(col("doc_id").as("cid"))
-          .crossJoin(broadcast(nRow))
-          .select(col("cid"),
-            expr("(cid + nn div 2) % nn").as("rid"))
+          .select(col("cid"), expr("cid ^ 1").as("rid"))
         def grams(n: Int) = docs
           .select(col("doc_id"),
             explode(wordNgrams(tokens(col("text")), n)).as("g"))
@@ -2286,35 +2289,49 @@ object TextAnalysis extends QueryModule {
           .join(overlap(2, "2_micro"), Seq("cid", "rid"))
           .orderBy("cid")
       },
-      Some("""WITH n AS (SELECT count(*) AS nn FROM documents),
-             |pr AS (SELECT doc_id AS cid,
-             |         (doc_id + nn // 2) % nn AS rid
-             |       FROM documents CROSS JOIN n),
+      // Round-9 oracle reformulation (VERDICT #5): the cand-side gram
+      // frame is staged (AS MATERIALIZED, DuckDB-only syntax) with rid
+      // attached BEFORE the ref-side join, so the only remaining join
+      // is on the composite (doc_id, gram) key — the previous three-way
+      // form let DuckDB's optimizer pick a gram-only hash join across
+      // the pair frame (common tokens × common tokens), which spilled
+      // ~80 GB and aborted at sf1. Same semantics, keyed replay.
+      Some("""WITH pr AS (SELECT doc_id AS cid,
+             |         xor(doc_id, 1) AS rid
+             |       FROM documents),
              |tk AS (SELECT doc_id, string_split(trim(text), ' ') AS ts
              |       FROM documents),
              |g1 AS (SELECT doc_id, unnest(ts) AS g FROM tk),
-             |c1 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+             |c1 AS MATERIALIZED (
+             |       SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
              |       FROM g1 GROUP BY 1, 2),
              |t1 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t
              |       FROM c1 GROUP BY 1),
-             |i1 AS (SELECT pr.cid, pr.rid,
-             |         CAST(sum(least(a.c, b.c)) AS BIGINT) AS inter
-             |       FROM pr JOIN c1 a ON a.doc_id = pr.cid
-             |         JOIN c1 b ON b.doc_id = pr.rid AND b.g = a.g
+             |a1 AS MATERIALIZED (
+             |       SELECT pr.cid, pr.rid, c.g, c.c
+             |       FROM pr JOIN c1 c ON c.doc_id = pr.cid),
+             |i1 AS (SELECT a1.cid, a1.rid,
+             |         CAST(sum(least(a1.c, b.c)) AS BIGINT) AS inter
+             |       FROM a1 JOIN c1 b
+             |         ON b.doc_id = a1.rid AND b.g = a1.g
              |       GROUP BY 1, 2),
              |g2 AS (SELECT doc_id,
              |         ts[x] || ' ' || ts[x + 1] AS g
              |       FROM tk JOIN LATERAL (
              |         SELECT unnest(range(1, len(ts))) AS x) r ON true
              |       WHERE len(ts) >= 2),
-             |c2 AS (SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
+             |c2 AS MATERIALIZED (
+             |       SELECT doc_id, g, CAST(count(*) AS BIGINT) AS c
              |       FROM g2 GROUP BY 1, 2),
              |t2 AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS t
              |       FROM c2 GROUP BY 1),
-             |i2 AS (SELECT pr.cid, pr.rid,
-             |         CAST(sum(least(a.c, b.c)) AS BIGINT) AS inter
-             |       FROM pr JOIN c2 a ON a.doc_id = pr.cid
-             |         JOIN c2 b ON b.doc_id = pr.rid AND b.g = a.g
+             |a2 AS MATERIALIZED (
+             |       SELECT pr.cid, pr.rid, c.g, c.c
+             |       FROM pr JOIN c2 c ON c.doc_id = pr.cid),
+             |i2 AS (SELECT a2.cid, a2.rid,
+             |         CAST(sum(least(a2.c, b.c)) AS BIGINT) AS inter
+             |       FROM a2 JOIN c2 b
+             |         ON b.doc_id = a2.rid AND b.g = a2.g
              |       GROUP BY 1, 2)
              |SELECT pr.cid, pr.rid,
              |  (coalesce(i1.inter, 0) * 1000000) // ra.t AS r1_micro,

@@ -319,6 +319,9 @@ object NativeFunctions {
 
   def nfcNormalize(s: Column): Column =
     B.toColumn(NfcNormalizeExpr(B.toExpression(s)))
+
+  def ngramHash64(tokens: Column, n: Int): Column =
+    B.toColumn(NgramHash64(B.toExpression(tokens), n))
 }
 
 /** Session extension registering the engine's native functions so SQL
@@ -532,5 +535,84 @@ object NfcNormalizeExpr {
     val str = s.toString
     if (Normalizer.isNormalized(str, Normalizer.Form.NFC)) s
     else UTF8String.fromString(Normalizer.normalize(str, Normalizer.Form.NFC))
+  }
+}
+
+/** Fused sliding-window n-gram hashing of a token array: per-token
+  * xxhash64 (seed 42, null element → seed — ArrayXxhash64's
+  * convention) followed by a multiplicative xor-fold + splitmix
+  * finalizer over each window of `n` consecutive token hashes, fully
+  * codegen'd. Semantically a 64-bit fingerprint of the n-gram AS A
+  * TOKEN SEQUENCE — the drop-in replacement for
+  * `xxhash64(array_join(slice(...)))` wherever only n-gram IDENTITY
+  * matters (d15's prefix-filter join): those consumers accept the
+  * same 64-bit-collision trade either way, and the interpreted-HOF
+  * form (`transform` + `slice` + `array_join` building every n-gram
+  * string, then hashing it) measured 39 s of d15's 44 s at sf1 —
+  * string materialization for values that exist only to be hashed. */
+case class NgramHash64(child: Expression, n: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with Serializable {
+  require(n >= 1, s"ngram_hash64 needs n >= 1, got $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "ngram_hash64"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckSuccess
+      case other => TypeCheckFailure(
+        s"ngram_hash64 requires array<string>, got ${other.simpleString}")
+    }
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    NgramHash64.compute(input.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.plans.NgramHash64.compute($a, $n)")
+
+  override protected def withNewChildInternal(newChild: Expression): NgramHash64 =
+    copy(child = newChild)
+}
+
+object NgramHash64 {
+  private val Seed = 42L
+  /** splitmix64 increment — odd, high-entropy multiplier. */
+  private val Mult = -7046029254386353131L
+
+  /** Shared by interpreted eval and generated code. Arrays shorter
+    * than n yield an empty array (wordNgrams' convention). */
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val m = arr.numElements()
+    if (m < n)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        Array.emptyLongArray)
+    val th = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      th(i) =
+        if (arr.isNullAt(i)) Seed
+        else org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUTF8String(arr.getUTF8String(i), Seed)
+      i += 1
+    }
+    val out = new Array[Long](m - n + 1)
+    i = 0
+    while (i <= m - n) {
+      var h = Seed
+      var k = 0
+      while (k < n) { h = (h ^ th(i + k)) * Mult; k += 1 }
+      // splitmix64 finalizer: adjacent windows share n-1 token hashes,
+      // so the fold alone would leave structured low-bit correlation
+      h ^= h >>> 30; h *= -4658895280553007687L
+      h ^= h >>> 27; h *= -7723592293110705685L
+      h ^= h >>> 31
+      out(i) = h
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 }

@@ -26,16 +26,18 @@ object ProfileD15 {
     import graft.ops.Dedup
     import graft.Tables
 
+    // mirrors the registered staging: fused codegen'd ngramHash64
+    // (round-9 — the old transform/slice/array_join + xxhash64 string
+    // path measured 39 s of the 44 s sf1 total in this profiler)
     val toksRaw = Tables.documents(s, d)
       .select(col("doc_id"), col("text"))
       .select(col("doc_id"),
         explode(array_distinct(
-          graft.functions.wordNgrams(graft.functions.tokens(col("text")), 4)))
-          .as("tok"))
+          graft.plans.NativeFunctions.ngramHash64(
+            graft.functions.tokens(col("text")), 4))).as("tok"))
 
     // stage 1: shingle + hash
-    val toks = toksRaw.select(col("doc_id"), xxhash64(col("tok")).as("tok"))
-      .persist()
+    val toks = toksRaw.persist()
     val nToks = time("toks(hash+explode)") { toks.count() }
     println(s"[profile]   rows=$nToks")
 

@@ -1,6 +1,7 @@
 package graft
 
 import graft.ops.Dedup
+import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -401,5 +402,65 @@ class DedupSpec extends AnyFunSuite {
     // singletons keep full weight — downweighting never taxes uniques
     assert(rows.filter(_._3 == 1L).forall(_._4 == 1000000L))
     Caches.drain()
+  }
+
+  // Round-9 d15 staging swap (fused codegen'd ngramHash64 instead of
+  // materialized n-gram strings + xxhash64): prove the swap changes
+  // only the shingle ID SPACE, not d15's output. prefixFilterHalf
+  // accepts either staging (long ids pass through, strings are hashed
+  // in), so the two paths must agree pair-for-pair on the verified
+  // (ida, idb, c, sa, sb, jac) rows — counts, sizes, and Jaccard
+  // micro-units included — as long as neither 64-bit hash collides
+  // inside a candidate pair, the same trade both paths already accept.
+  test("d15 parity: ngramHash64 staging == string-shingle staging " +
+      "on real documents (sf0.001)") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(col("doc_id"), col("text"))
+    def run(tok: Column) = Dedup
+      .prefixFilterHalf(docs.select(col("doc_id"),
+        explode(array_distinct(tok)).as("tok")))
+      .orderBy("ida", "idb")
+      .collect().map(_.toSeq).toSeq
+    val viaStrings = run(
+      graft.functions.wordNgrams(graft.functions.tokens(col("text")), 4))
+    val viaFused = run(
+      graft.plans.NativeFunctions.ngramHash64(
+        graft.functions.tokens(col("text")), 4))
+    assert(viaStrings.nonEmpty, "fixture produced no verified pairs")
+    assert(viaFused == viaStrings)
+    Caches.drain()
+  }
+
+  // ngramHash64 unit semantics: window count parity with wordNgrams,
+  // the short-array empty convention, and distinctness (a fingerprint
+  // that collapsed distinct shingles would silently inflate Jaccard).
+  test("ngramHash64: per-row gram counts match wordNgrams; short " +
+      "arrays yield empty; distinct shingles get distinct hashes") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "a b c d e f g",
+      2L -> "a b c",          // len 3 < n=4 → empty
+      3L -> "x x x x x x",    // repeated token: grams repeat too
+      4L -> "").toDF("doc_id", "text")
+    val both = docs.select(col("doc_id"),
+      graft.functions.wordNgrams(graft.functions.tokens(col("text")), 4)
+        .as("gs"),
+      graft.plans.NativeFunctions.ngramHash64(
+        graft.functions.tokens(col("text")), 4).as("hs"))
+      .collect()
+    both.foreach { r =>
+      val gs = r.getSeq[String](1)
+      val hs = r.getSeq[Long](2)
+      assert(hs.length == gs.length, s"doc ${r.getLong(0)} count")
+      // identical gram strings hash identically, distinct distinctly
+      assert(gs.distinct.length == hs.distinct.length,
+        s"doc ${r.getLong(0)} fingerprint cardinality")
+      // position-wise: equal grams <=> equal hashes
+      for (i <- gs.indices; j <- gs.indices)
+        assert((gs(i) == gs(j)) == (hs(i) == hs(j)),
+          s"doc ${r.getLong(0)} positions $i/$j")
+    }
+    assert(both.find(_.getLong(0) == 2L).get.getSeq[Long](2).isEmpty)
+    assert(both.find(_.getLong(0) == 4L).get.getSeq[Long](2).isEmpty)
   }
 }
