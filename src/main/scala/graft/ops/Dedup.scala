@@ -62,7 +62,18 @@ object Dedup extends QueryModule {
       // PushDownPredicates, inlining the whole shingle expression into
       // the Filter (evaluated 2 extra times per row — measured 3x cost)
       .filter(size(col("toks")) >= 3)
-      .select(col("doc_id"), array_distinct(wordNgrams(col("toks"), 3)).as("sh"))
+      // Shingles are 64-bit FINGERPRINTS (fused codegen'd ngramHash64),
+      // not strings: every consumer of this frame — minhash banding,
+      // inverted-index overlap counts, exact-Jaccard verify — uses
+      // shingle IDENTITY only, and the d15 profile showed the
+      // interpreted transform/slice/array_join string chain was the
+      // dominant corpus-wide cost (39 of 44 s at sf1), strings built
+      // only to be hashed or set-compared. Same 64-bit-collision trade
+      // the downstream join keys always accepted (~1e-11 at this
+      // cardinality); the oracles replay STRING shingles and every
+      // pair set still matches hash-exact (sf0.01 and sf1 gates).
+      .select(col("doc_id"), array_distinct(
+        graft.plans.NativeFunctions.ngramHash64(col("toks"), 3)).as("sh"))
 
   /** Banded-minhash candidate pairs, exact-Jaccard verified at
     * `minSim` — shared by d3 and the M3 neighbor clustering.
@@ -83,9 +94,17 @@ object Dedup extends QueryModule {
     * by every band slice, so CollapseProject keeps it materialized and
     * the signature computation runs once per doc, not once per band. */
   private[graft] def bandSignatures(shingles: DataFrame): DataFrame = {
-    val mh = shingles
-      .select(col("doc_id"),
-        graft.plans.NativeFunctions.arrayXxhash64(col("sh")).as("hs"))
+    // hashed-long shingle frames (shinglesOf) feed minhash directly;
+    // string frames (spec fixtures, ad-hoc callers) hash here first
+    val hashed = shingles.schema("sh").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) =>
+        shingles.select(col("doc_id"), col("sh").as("hs"))
+      case _ =>
+        shingles.select(col("doc_id"),
+          graft.plans.NativeFunctions.arrayXxhash64(col("sh")).as("hs"))
+    }
+    val mh = hashed
       .select(col("doc_id"),
         graft.plans.NativeFunctions.minhash64(col("hs")).as("mh"))
     mh.select(col("doc_id"),
@@ -123,7 +142,8 @@ object Dedup extends QueryModule {
     val shCand = docs
       .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
-      .select(col("doc_id"), array_distinct(wordNgrams(col("toks"), 3)).as("sh"))
+      .select(col("doc_id"), array_distinct(
+        graft.plans.NativeFunctions.ngramHash64(col("toks"), 3)).as("sh"))
       .transform(graft.Caches.track)
     cand
       .join(shCand.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
@@ -249,10 +269,18 @@ object Dedup extends QueryModule {
     val ds = shingles
       .transform(graft.Caches.track)
     // join key is the 64-bit hash of the shingle, not the string —
-    // narrower shuffle; collision odds at this cardinality ~1e-11
-    val invAll = ds.select(col("doc_id"),
+    // narrower shuffle; collision odds at this cardinality ~1e-11.
+    // Hashed-long shingle frames (shinglesOf) pass through unhashed;
+    // string fixtures still hash here.
+    val exploded = ds.select(col("doc_id"),
       size(col("sh")).cast("long").as("n"), explode(col("sh")).as("g0"))
-      .select(col("doc_id"), col("n"), xxhash64(col("g0")).as("g"))
+    val invAll = ds.schema("sh").dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) =>
+        exploded.select(col("doc_id"), col("n"), col("g0").as("g"))
+      case _ =>
+        exploded.select(col("doc_id"), col("n"), xxhash64(col("g0")).as("g"))
+    }
     val inv = maxDocsPerShingle match {
       case None => invAll
       case Some(cap) =>
@@ -916,7 +944,9 @@ object Dedup extends QueryModule {
           .join(candIds, Seq("doc_id"), "left_semi")
           .select(col("doc_id"), tokens(col("text")).as("toks"))
           .select(col("doc_id"),
-            array_distinct(wordNgrams(col("toks"), 3)).as("sh"))
+            array_distinct(
+              graft.plans.NativeFunctions.ngramHash64(col("toks"), 3))
+              .as("sh"))
           .transform(graft.Caches.track)
         val pe = cand
           .join(shCand.select(col("doc_id").as("nid"), col("sh").as("sha")),
@@ -1131,7 +1161,9 @@ object Dedup extends QueryModule {
       .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        array_distinct(wordNgrams(col("toks"), 3)).as("sh"))
+        array_distinct(
+              graft.plans.NativeFunctions.ngramHash64(col("toks"), 3))
+              .as("sh"))
       .transform(graft.Caches.track)
     val verified = cand
       .join(shCand.select(col("doc_id").as("nid"), col("sh").as("sha")),

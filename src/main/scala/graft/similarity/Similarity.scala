@@ -77,11 +77,17 @@ object Similarity {
     // pure filter cost at sf0.1 when df is the shingle frame. The
     // InMemoryRelation is a pushdown barrier, so the guard costs one
     // cached-column size() probe instead.
+    // hashed-long feature arrays (Dedup.shinglesOf's fingerprints) feed
+    // minhash directly; string arrays hash per element first
+    val featHashes = df.schema(featCol).dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.LongType, _) => col(featCol)
+      case _ => graft.plans.NativeFunctions.arrayXxhash64(col(featCol))
+    }
     val base = graft.Caches.track(
       df.select(col(idCol), col(featCol),
         transform(
-          graft.plans.NativeFunctions.minhash64(
-            graft.plans.NativeFunctions.arrayXxhash64(col(featCol))),
+          graft.plans.NativeFunctions.minhash64(featHashes),
           (v, i) => concat_ws(":", i, v)).as("__sk")))
     val featured = tf.transform(base.filter(size(col(featCol)) > 0))
     val mh = new MinHashLSH()
