@@ -1144,16 +1144,25 @@ object Dedup extends QueryModule {
   private[graft] def incrementalDedup(s: SparkSession, d: String,
       minSim: Double): DataFrame = {
     val isNewId: Column => Column = c => c % 5 === 4
-    val sh = docShingles(s, d)
-    val bands = bandSignatures(sh)
-    val nb = bands.filter(isNewId(col("doc_id")))
-      .select(col("bid"), col("sig"), col("doc_id").as("nid"))
-    val ab = bands.select(col("bid"), col("sig"), col("doc_id").as("oid"))
-    val cand = nb.join(ab, Seq("bid", "sig"))
-      .filter(col("oid") =!= col("nid"))
-      // new↔existing pairs in one orientation; new↔new oriented oid<nid
-      .filter(!isNewId(col("oid")) || col("oid") < col("nid"))
-      .select(col("nid"), col("oid")).distinct()
+    val bands = bandSignatures(docShingles(s, d))
+    // Candidates are generated INSIDE each (bid, sig) bucket — the same
+    // one-pass trick lshPairsOf uses — rather than a new-side ⋈ all-side
+    // self-join: the join plan references the bands subtree twice, so
+    // the corpus-wide shingle+minhash featurization evaluated TWICE
+    // (measured 10.3 → ~6 s at sf1 for this query; d3 vs old-d11 showed
+    // the same 3× gap). Orientation inside the bucket: every NEW doc n
+    // pairs with every other member y that is existing, or new with
+    // y < n (each unordered new↔new pair once).
+    val buckets = bands
+      .groupBy("bid", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val cand = buckets.select(explode(flatten(transform(
+        filter(col("ds"), x => isNewId(x)),
+        n => transform(
+          filter(col("ds"), y => y =!= n && (!isNewId(y) || y < n)),
+          y => struct(n.as("nid"), y.as("oid")))))).as("p"))
+      .select(col("p.nid").as("nid"), col("p.oid").as("oid")).distinct()
     val candIds = cand
       .select(explode(array(col("nid"), col("oid"))).as("doc_id")).distinct()
     // same bounded candidate-verify skeleton as lshPairs
@@ -1175,7 +1184,14 @@ object Dedup extends QueryModule {
       .select(col("nid"), col("oid"))
     val dupEx = verified.filter(!isNewId(col("oid")))
       .groupBy("nid").agg(min(col("oid")).as("keeper"))
-    val remaining = sh.filter(isNewId(col("doc_id"))).select(col("doc_id"))
+    // the new-batch id set re-derived from the CHEAP token-count filter
+    // (the same predicate shinglesOf applies) — the previous form read
+    // ids off the shingle frame, re-running the corpus-wide shingle
+    // projection a third time just to enumerate doc_ids
+    val remaining = Tables.documents(s, d)
+      .filter(isNewId(col("doc_id")))
+      .filter(size(tokens(col("text"))) >= 3)
+      .select(col("doc_id"))
       .join(dupEx.select(col("nid").as("doc_id")), Seq("doc_id"),
         "left_anti")
     val nn = verified.filter(isNewId(col("oid")))
