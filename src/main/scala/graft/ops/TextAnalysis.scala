@@ -57,7 +57,8 @@ object TextAnalysis extends QueryModule {
     docs
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 2)
-      .select(col("doc_id"), explode(wordNgrams(col("t"), 2)).as("gram"))
+      .select(col("doc_id"), explode(graft.plans.NativeFunctions
+        .ngramHash64(col("t"), 2)).as("gram"))
       .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(
         sum("c").as("n_grams"),
@@ -84,7 +85,8 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), tokens(col("text")).as("t"))
       .filter(size(col("t")) >= 5)
       .select(col("doc_id"),
-        explode(array_distinct(wordNgrams(col("t"), 5))).as("gram"))
+        explode(array_distinct(graft.plans.NativeFunctions
+          .ngramHash64(col("t"), 5))).as("gram"))
     val bench = grams.filter(isBench)
       .select("gram").distinct().withColumn("inb", lit(1))
     grams.filter(!isBench)
@@ -752,7 +754,8 @@ object TextAnalysis extends QueryModule {
           .select(col("doc_id"), tokens(col("text")).as("t"))
           .filter(size(col("t")) >= 3)
           .select(col("doc_id"),
-            explode(array_distinct(wordNgrams(col("t"), 3))).as("gram"))
+            explode(array_distinct(graft.plans.NativeFunctions
+              .ngramHash64(col("t"), 3))).as("gram"))
         // corpus size folded into the plan as a 1-row broadcast (a
         // driver-side .count() here was a whole extra scan + action)
         val nDocs = Tables.documents(s, d).agg(count(lit(1)).as("n_docs"))
@@ -2259,9 +2262,18 @@ object TextAnalysis extends QueryModule {
         val docs = docsSpread(s, d)
         val pairs = docs.select(col("doc_id").as("cid"))
           .select(col("cid"), expr("cid ^ 1").as("rid"))
+        // grams as 64-bit ngramHash64 fingerprints, not strings: g is
+        // only ever a groupBy/join key (the outputs are clipped COUNTS
+        // in micro-units), the interpreted wordNgrams HOF chain builds
+        // strings just to be aggregated away, and the (doc_id, g)
+        // shuffles move 8-byte longs instead of n-token strings. The
+        // oracle keeps string grams — counts match absent 64-bit
+        // collisions (same trade as the dedup family; hash-green at
+        // sf0.01 and sf1).
         def grams(n: Int) = docs
           .select(col("doc_id"),
-            explode(wordNgrams(tokens(col("text")), n)).as("g"))
+            explode(graft.plans.NativeFunctions.ngramHash64(
+              tokens(col("text")), n)).as("g"))
           .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
         def overlap(n: Int, tag: String) = {
           val gr = graft.Caches.track(grams(n))
