@@ -95,6 +95,64 @@ object Sources extends QueryModule {
       |WHERE l_orderkey % 500 = 0
       |ORDER BY l_orderkey, l_linenumber""".stripMargin
 
+  /** s25: verbatim shared-dialect CORRELATED SCALAR SUBQUERY statement
+    * — two scalar subqueries in the projection, one a count, one a
+    * coalesce'd max (max, not sum: a float max is order-independent,
+    * so it hash-compares exactly across engines where a float sum's
+    * association order could wiggle the last ulp). */
+  private val SqlCorrScalarStatement: String =
+    """SELECT c_custkey,
+      |  (SELECT count(*) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey) AS n_orders,
+      |  (SELECT coalesce(max(o_totalprice), 0.0) FROM orders o
+      |   WHERE o.o_custkey = c.c_custkey
+      |     AND o.o_orderstatus = 'F') AS max_f
+      |FROM customer c
+      |WHERE c_custkey <= 200
+      |ORDER BY c_custkey""".stripMargin
+
+  /** s26: verbatim shared-dialect VALUES inline-table statement — a
+    * literal relation with a column-aliased table alias joined against
+    * a real table (the idiom for small enumerated mappings carried in
+    * the query text itself). */
+  private val SqlValuesStatement: String =
+    """SELECT v.seg AS segment, v.label, count(*) AS n_cust
+      |FROM customer c
+      |JOIN (VALUES ('BUILDING', 'b2b'), ('AUTOMOBILE', 'retail'),
+      |             ('MACHINERY', 'b2b')) AS v(seg, label)
+      |  ON c.c_mktsegment = v.seg
+      |GROUP BY v.seg, v.label
+      |ORDER BY segment""".stripMargin
+
+  /** s27: verbatim shared-dialect RECURSIVE CTE statement — a bounded
+    * counting recursion (anchor + UNION ALL step, the form both
+    * engines accept) joined to a fact table. Spark gained WITH
+    * RECURSIVE in 4.0; the oracles for m6/m8/d6 replay closures as
+    * recursive CTEs on the DuckDB side only — this statement is the
+    * first the two engines run as ONE shared text. */
+  private val SqlRecursiveStatement: String =
+    """WITH RECURSIVE r(n) AS (
+      |  SELECT 1 AS n
+      |  UNION ALL
+      |  SELECT n + 1 FROM r WHERE n < 5
+      |)
+      |SELECT r.n, count(*) AS n_orders
+      |FROM r JOIN orders ON o_orderkey % 5 + 1 = r.n
+      |GROUP BY r.n
+      |ORDER BY r.n""".stripMargin
+
+  /** s28: verbatim shared-dialect LATERAL subquery statement — a
+    * correlated derived table in the FROM clause (comma + LATERAL, the
+    * spelling both engines parse), the per-row-subplan idiom that
+    * decorrelates to a grouped left join in both planners. */
+  private val SqlLateralStatement: String =
+    """SELECT n_name, t.n_cust
+      |FROM nation, LATERAL (
+      |  SELECT count(*) AS n_cust FROM customer
+      |  WHERE c_nationkey = n_nationkey
+      |) AS t
+      |ORDER BY n_name""".stripMargin
+
   /** s16's read side over a lang-partitioned documents directory: the
     * lang='en' filter must become a PartitionFilter (plan-locked in
     * SourcesSinksSpec), the aggregate matches the unpartitioned oracle. */
@@ -458,6 +516,39 @@ object Sources extends QueryModule {
         s.sql(SqlCaseStatement)
       },
       Some(SqlCaseStatement)),
+
+    // S25–S28 (round 9): four more one-text-two-engines statements —
+    // correlated scalar subqueries, VALUES inline table, WITH RECURSIVE
+    // (Spark 4.0+), and a FROM-clause LATERAL subquery.
+    GQuery("s25_sql_corr_scalar",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(SqlCorrScalarStatement)
+      },
+      Some(SqlCorrScalarStatement)),
+
+    GQuery("s26_sql_values",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        s.sql(SqlValuesStatement)
+      },
+      Some(SqlValuesStatement)),
+
+    GQuery("s27_sql_recursive",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(SqlRecursiveStatement)
+      },
+      Some(SqlRecursiveStatement)),
+
+    GQuery("s28_sql_lateral",
+      (s, d) => {
+        Tables.nation(s, d).createOrReplaceTempView("nation")
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        s.sql(SqlLateralStatement)
+      },
+      Some(SqlLateralStatement)),
 
     // S19: ANALYZE-style table profiling — per-column row/null/distinct
     // counts and value-length stats in ONE pass, the statistics sweep
