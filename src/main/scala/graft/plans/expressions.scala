@@ -366,6 +366,18 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[ArrayXxhash64].getName, "array_xxhash64"),
       unary("array_xxhash64", ArrayXxhash64(_))))
     ext.injectFunction((
+      FunctionIdentifier("ngram_hash64"),
+      new ExpressionInfo(classOf[NgramHash64].getName, "ngram_hash64"),
+      binary("ngram_hash64", (a, n) => n match {
+        // n is part of the generated code, so it must be a literal —
+        // same restriction SQL built-ins with codegen'd shape params have
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) => NgramHash64(a, v)
+        case other => throw new IllegalArgumentException(
+          s"ngram_hash64's second argument must be an INT literal, " +
+            s"got $other")
+      })))
+    ext.injectFunction((
       FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinklerExpr].getName, "jaro_winkler"),
       binary("jaro_winkler", JaroWinklerExpr(_, _))))

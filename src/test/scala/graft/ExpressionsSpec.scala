@@ -106,6 +106,26 @@ class ExpressionsSpec extends AnyFunSuite {
         children(0), children(1)))
     val z = spark.sql("SELECT zorder(5L, 3L) AS z").head().getLong(0)
     assert(z == 27L)
+    // ngram_hash64: the n argument folds from an INT literal; SQL-side
+    // values must agree with the Column-DSL NativeFunctions entry
+    reg.registerFunction(
+      FunctionIdentifier("ngram_hash64"),
+      new ExpressionInfo(classOf[graft.plans.NgramHash64].getName,
+        "ngram_hash64"),
+      (children) => children(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int,
+            org.apache.spark.sql.types.IntegerType) =>
+          graft.plans.NgramHash64(children(0), v)
+        case other => throw new IllegalArgumentException(other.toString)
+      })
+    val nh = spark.sql(
+      "SELECT ngram_hash64(array('a','b','c'), 2) AS h").head().getSeq[Long](0)
+    assert(nh.length == 2)
+    val viaDsl = spark.range(1)
+      .select(graft.plans.NativeFunctions.ngramHash64(
+        array(lit("a"), lit("b"), lit("c")), 2).as("h"))
+      .head().getSeq[Long](0)
+    assert(nh == viaDsl)
     // and the extension class itself wires without throwing
     val ext = new org.apache.spark.sql.SparkSessionExtensions
     new GraftExtensions().apply(ext)
