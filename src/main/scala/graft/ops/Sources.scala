@@ -153,6 +153,69 @@ object Sources extends QueryModule {
       |) AS t
       |ORDER BY n_name""".stripMargin
 
+  /** s29: verbatim shared-dialect aggregate FILTER clause — per-group
+    * conditional aggregation without CASE scaffolding. Money lands as
+    * integer cents (`round` is HALF_UP in Spark, half-away-from-zero in
+    * DuckDB — identical on the positive domain), so the filtered sum
+    * hash-compares exactly. */
+  private val SqlFilterAggStatement: String =
+    """SELECT o_orderpriority,
+      |  count(*) AS n_all,
+      |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+      |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+      |       FILTER (WHERE o_totalprice > 100000) AS BIGINT) AS big_cents
+      |FROM orders
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** s30: verbatim shared-dialect GROUPING SETS statement with the
+    * `grouping()` marker function — the explicit-set general form of
+    * s23's ROLLUP, with both markers CAST to INT (Spark returns
+    * TINYINT, DuckDB BIGINT — the one type seam, pinned in the shared
+    * text) and the grouping-set NULLs ordered NULLS FIRST (see s23). */
+  private val SqlGroupingSetsStatement: String =
+    """SELECT n_regionkey, c_mktsegment,
+      |  CAST(grouping(n_regionkey) AS INT) AS g_reg,
+      |  CAST(grouping(c_mktsegment) AS INT) AS g_seg,
+      |  count(*) AS n
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey
+      |GROUP BY GROUPING SETS ((n_regionkey, c_mktsegment),
+      |                        (n_regionkey), ())
+      |ORDER BY g_reg, g_seg, n_regionkey NULLS FIRST,
+      |         c_mktsegment NULLS FIRST""".stripMargin
+
+  /** s31: verbatim shared-dialect named-WINDOW-clause statement — two
+    * window functions sharing one `WINDOW w AS (…)` definition. The
+    * ORDER BY inside `w` is compound-deterministic, so the default
+    * RANGE frame's peer groups (which `count(*) OVER w` exposes
+    * directly) are identical rows in both engines. */
+  private val SqlNamedWindowStatement: String =
+    """SELECT c_custkey, c_nationkey,
+      |  rank() OVER w AS rnk,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_before
+      |FROM customer
+      |WHERE c_custkey <= 500
+      |WINDOW w AS (PARTITION BY c_nationkey
+      |             ORDER BY c_acctbal DESC, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+
+  /** s32: verbatim shared-dialect DATE/INTERVAL arithmetic statement —
+    * `DATE` literal + `INTERVAL n MONTH` range predicate (the TPC-H
+    * Q4 shape) with `extract(year/month FROM …)` group keys, both
+    * CAST BIGINT (Spark extract returns INT, DuckDB BIGINT) and bound
+    * by ordinal GROUP BY — every piece parsed identically from one
+    * text. */
+  private val SqlDateIntervalStatement: String =
+    """SELECT CAST(extract(year FROM o_orderdate) AS BIGINT) AS yr,
+      |  CAST(extract(month FROM o_orderdate) AS BIGINT) AS mon,
+      |  count(*) AS n,
+      |  CAST(min(o_orderkey) AS BIGINT) AS first_key
+      |FROM orders
+      |WHERE o_orderdate >= DATE '1995-01-01'
+      |  AND o_orderdate < DATE '1995-01-01' + INTERVAL 6 MONTH
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin
+
   /** s16's read side over a lang-partitioned documents directory: the
     * lang='en' filter must become a PartitionFilter (plan-locked in
     * SourcesSinksSpec), the aggregate matches the unpartitioned oracle. */
@@ -549,6 +612,39 @@ object Sources extends QueryModule {
         s.sql(SqlLateralStatement)
       },
       Some(SqlLateralStatement)),
+
+    // S29–S32 (round 9 cont.): aggregate FILTER clause, GROUPING SETS +
+    // grouping() markers, named WINDOW clause, and DATE/INTERVAL
+    // arithmetic — each one text running unmodified through both
+    // engines (see s13).
+    GQuery("s29_sql_filter_agg",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(SqlFilterAggStatement)
+      },
+      Some(SqlFilterAggStatement)),
+
+    GQuery("s30_sql_grouping_sets",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        Tables.nation(s, d).createOrReplaceTempView("nation")
+        s.sql(SqlGroupingSetsStatement)
+      },
+      Some(SqlGroupingSetsStatement)),
+
+    GQuery("s31_sql_named_window",
+      (s, d) => {
+        Tables.customer(s, d).createOrReplaceTempView("customer")
+        s.sql(SqlNamedWindowStatement)
+      },
+      Some(SqlNamedWindowStatement)),
+
+    GQuery("s32_sql_date_interval",
+      (s, d) => {
+        Tables.orders(s, d).createOrReplaceTempView("orders")
+        s.sql(SqlDateIntervalStatement)
+      },
+      Some(SqlDateIntervalStatement)),
 
     // S19: ANALYZE-style table profiling — per-column row/null/distinct
     // counts and value-length stats in ONE pass, the statistics sweep

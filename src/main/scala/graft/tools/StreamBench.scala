@@ -1,0 +1,173 @@
+package graft.tools
+
+import java.sql.Timestamp
+import java.util.concurrent.atomic.AtomicLong
+
+import graft.Tables
+import graft.streaming.{StreamEvent, StreamOps}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery}
+
+/** Streaming THROUGHPUT bench — the missing perf axis for the
+  * `streaming/StreamOps` family (StreamOpsSpec proves batch parity and
+  * semantics; this measures events/second under a realistic micro-batch
+  * cadence).
+  *
+  * Protocol, mirroring the batch bench's spirit:
+  *  - input is the harness `events` table (sf dir from
+  *    `SPARK_GRAFT_SF_DIR`, default sf0.1 = 100k events over 30 days,
+  *    1,500 users), replicated `SPARK_GRAFT_STREAM_REPS`× (default 10 →
+  *    1M events) by shifting event/user ids per replica — the SAME
+  *    growth axis ScaleGen uses: the wall-clock window stays fixed and
+  *    the user keyspace grows, which is what a bigger live ingest looks
+  *    like (state size is keyed by user, so this scales the state too);
+  *  - events are delivered in event-time order in
+  *    `SPARK_GRAFT_STREAM_CHUNKS` chunks (default 20), one
+  *    `MemoryStream.addData` + `processAllAvailable()` per chunk → one
+  *    micro-batch per chunk, watermark advancing monotonically ≈1.5
+  *    days per batch. Per-op wall time covers feed + every micro-batch
+  *    + a final empty-batch drain, so per-batch scheduling and state
+  *    store commit overhead are IN the number (that is the point — a
+  *    streaming engine's throughput is dominated by per-batch fixed
+  *    cost at this scale, not per-row cost);
+  *  - output rows are counted through a foreachBatch counter (the
+  *    no-op-sink analog: results materialize, nothing is kept);
+  *  - a JIT warm-up pass runs every op on the first chunk only before
+  *    anything is timed (fresh checkpoint dirs; warm-up outputs are
+  *    discarded).
+  *
+  * Ops measured (one fresh MemoryStream + checkpoint each):
+  *  - windowed_counts  — watermarked sliding-window agg (append)
+  *  - session_window   — native session_window agg
+  *  - sessionize       — flatMapGroupsWithState gap sessionization
+  *  - dedup            — dropDuplicatesWithinWatermark, fed with 10%
+  *                       injected duplicate event_ids
+  *  - contribution_cap — per-user DP bounding (NoTimeout FMGWS state)
+  *  - stream_join      — stream-stream interval join click→purchase
+  *
+  * Prints ONE JSON line:
+  * {"metric":"stream_bench","events":N,"chunks":C,"ops":{name:
+  *   {"wall_s":…,"rows_out":…,"events_per_s":…}}}
+  */
+object StreamBench {
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val reps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "10").toInt
+    val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "20").toInt
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+
+    // ts arrives as epoch NANOS long (Tables.events contract) → Timestamp
+    val base = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("ts"), col("value"))
+      .collect()
+      .map(r => StreamEvent(r.getLong(0), r.getLong(1), r.getString(2),
+        new Timestamp(r.getLong(3) / 1000000L), r.getDouble(4)))
+    // replicate: fixed window, growing id/user keyspace (see Scaladoc)
+    val events: Array[StreamEvent] = (0 until reps).toArray.flatMap { rep =>
+      if (rep == 0) base
+      else base.map(e => e.copy(
+        event_id = e.event_id + rep * 1000000000L,
+        user_id = e.user_id + rep * 10000000L))
+    }.sortBy(_.ts.getTime)
+    val n = events.length
+    val chunked: Array[Array[StreamEvent]] =
+      events.grouped(math.max(1, (n + chunks - 1) / chunks)).toArray
+    // dedup feed: every 10th event re-delivered in the SAME chunk (a
+    // dup arriving within the watermark is exactly what the op evicts)
+    val dupChunked: Array[Array[StreamEvent]] = chunked.map { c =>
+      (c ++ c.zipWithIndex.collect { case (e, i) if i % 10 == 0 => e })
+        .sortBy(_.ts.getTime)
+    }
+
+    /** Runs one op over the feed; returns (wallSec, rowsOut, eventsIn). */
+    def run(feed: Array[Array[StreamEvent]], warm: Boolean)(
+        mk: DataFrame => DataFrame): (Double, Long, Long) = {
+      implicit val sqlCtx = spark.sqlContext
+      val mem = MemoryStream[StreamEvent]
+      val out = new AtomicLong(0L)
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft-streambench").toString
+      val t0 = System.nanoTime()
+      val q: StreamingQuery = mk(mem.toDF())
+        .writeStream
+        .outputMode(OutputMode.Append)
+        .option("checkpointLocation", ckpt)
+        .foreachBatch { (df: DataFrame, _: Long) =>
+          out.addAndGet(df.count()); ()
+        }
+        .start()
+      var fed = 0L
+      try {
+        val use = if (warm) feed.take(1) else feed
+        use.foreach { c =>
+          mem.addData(c.toIndexedSeq)
+          fed += c.length
+          q.processAllAvailable()
+        }
+      } finally q.stop()
+      val wall = (System.nanoTime() - t0) / 1e9
+      org.apache.commons.io.FileUtils
+        .deleteQuietly(new java.io.File(ckpt))
+      (wall, out.get(), fed)
+    }
+
+    def toDs(df: DataFrame) = df.as[StreamEvent]
+
+    val ops: Seq[(String, DataFrame => DataFrame, Array[Array[StreamEvent]])] =
+      Seq(
+        ("windowed_counts",
+          df => StreamOps.windowedTypeCounts(df, "6 hours", "1 hour"),
+          chunked),
+        ("session_window",
+          df => StreamOps.sessionWindowStats(df, gap = "30 minutes",
+            watermark = "1 hour"),
+          chunked),
+        ("sessionize",
+          df => StreamOps.sessionize(toDs(df), gapMs = 30L * 60 * 1000)
+            .toDF(),
+          chunked),
+        ("dedup",
+          df => StreamOps.dedupEvents(df, watermark = "1 hour"),
+          dupChunked),
+        ("contribution_cap",
+          df => StreamOps.contributionCap(toDs(df)).toDF(),
+          chunked),
+        ("stream_join",
+          df => StreamOps.clickToPurchase(
+            df.filter(col("event_type") === "click"),
+            df.filter(col("event_type") === "purchase"),
+            withinSec = 3600L, watermark = "1 hour"),
+          chunked))
+
+    // JIT/codegen warm-up: one chunk through every op, discarded
+    ops.foreach { case (_, mk, feed) => run(feed, warm = true)(mk) }
+
+    val results = ops.map { case (name, mk, feed) =>
+      val (wall, rows, fed) = run(feed, warm = false)(mk)
+      System.err.println(f"[streambench] $name%-17s ${wall}%7.2f s  " +
+        f"rows_out=$rows%9d  ${fed / wall}%,.0f ev/s")
+      name -> (wall, rows, fed)
+    }
+
+    val opsJson = results.map { case (name, (wall, rows, fed)) =>
+      f""""$name":{"wall_s":$wall%.2f,"rows_out":$rows,""" +
+        f""""events_per_s":${fed / wall}%.0f}"""
+    }.mkString(",")
+    println(s"""{"metric":"stream_bench","events":$n,"chunks":$chunks,""" +
+      s""""sf":"${sfDir.split('/').last}","reps":$reps,""" +
+      s""""ops":{$opsJson}}""")
+    spark.stop()
+  }
+}
