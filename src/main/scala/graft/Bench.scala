@@ -10,7 +10,12 @@ object Bench {
     // exchanges over the wire — the one axis local[32] cannot test. The
     // library jar must ride along (SPARK_GRAFT_JARS=target/scala-2.13/…jar,
     // `sbt package`) so executors can deserialize graft classes; executor
-    // memory defaults to 3g to fit the 4096 MiB worker cap. Unset (the
+    // memory defaults to 3g to fit the 4096 MiB worker cap. The process
+    // env must also carry SPARK_HOME=/opt/spark AND
+    // SPARK_SCALA_VERSION=2.13 — worker executor launch goes through
+    // AbstractCommandBuilder.getScalaVersion, which (outside
+    // spark-submit, where load-spark-env.sh would have set it) otherwise
+    // dies with "Cannot find any build directories". Unset (the
     // driver protocol) nothing changes: plain local[$cpus].
     val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
     val builder0 = SparkSession.builder()
