@@ -17,12 +17,24 @@ object ProfileD15 {
 
   def main(args: Array[String]): Unit = {
     val d = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val s = SparkSession.builder().master("local[32]")
+    // honors the Bench local-cluster envs so a multi-executor /
+    // memory-constrained failure can be attributed to a stage too
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[32]")
+    val b0 = SparkSession.builder().master(master)
       .appName("profile-d15")
-      .config("spark.sql.shuffle.partitions", 32)
-      .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val b1 =
+      if (master.startsWith("local-cluster"))
+        b0.config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
+      else b0
+    val s = sys.env.get("SPARK_GRAFT_JARS")
+      .fold(b1)(j => b1.config("spark.jars", j)).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
     import graft.ops.Dedup
     import graft.Tables
 
