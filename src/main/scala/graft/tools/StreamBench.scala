@@ -58,12 +58,24 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "10").toInt
     val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "20").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // SPARK_GRAFT_STATE_STORE=rocksdb swaps the state store provider —
+    // the large-state backend (state spills off-heap to local RocksDB
+    // instead of living in executor heap). At 100 TB-ingest state
+    // sizes this is the production choice; the A/B here measures what
+    // it costs at SMALL state, where the per-batch commit/snapshot
+    // machinery is the whole price.
+    val spark = (sys.env.get("SPARK_GRAFT_STATE_STORE") match {
+      case Some("rocksdb") => builder.config(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state." +
+          "RocksDBStateStoreProvider")
+      case _ => builder
+    }).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
