@@ -58,11 +58,23 @@ object StreamBench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val reps = sys.env.getOrElse("SPARK_GRAFT_STREAM_REPS", "10").toInt
     val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "20").toInt
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
+    // SPARK_GRAFT_MASTER='local-cluster[4,8,4096]' (+ SPARK_HOME,
+    // SPARK_SCALA_VERSION, SPARK_GRAFT_JARS — see Bench.scala) runs the
+    // same protocol against separate executor JVMs: serialized state
+    // store I/O and exchanges, the axis local[n] can't test.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = SparkSession.builder()
+      .master(master)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
+    val builder1 =
+      if (master.startsWith("local-cluster"))
+        builder0.config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
+      else builder0
+    val builder = sys.env.get("SPARK_GRAFT_JARS")
+      .fold(builder1)(j => builder1.config("spark.jars", j))
     // SPARK_GRAFT_STATE_STORE=rocksdb swaps the state store provider —
     // the large-state backend (state spills off-heap to local RocksDB
     // instead of living in executor heap). At 100 TB-ingest state
@@ -163,11 +175,47 @@ object StreamBench {
             withinSec = 3600L, watermark = "1 hour"),
           chunked))
 
+    // SPARK_GRAFT_STREAM_KILL=true (local-cluster only): SIGKILL one
+    // executor process mid-stream during each measured op — the
+    // streaming face of tools/FaultProbe. The state store must reload
+    // from the checkpoint's delta files on the replacement executor and
+    // the retried micro-batch must not double-emit; the dedup op's
+    // exact rows_out (== distinct event count) is the assertion.
+    val killMidStream =
+      sys.env.get("SPARK_GRAFT_STREAM_KILL").contains("true")
+    def executorPids(): Seq[Long] = {
+      import scala.sys.process._
+      Seq("bash", "-c",
+        "ps -eo pid,cmd | grep CoarseGrainedExecutorBackend | grep -v grep")
+        .!!.linesIterator.map(_.trim.split("\\s+")(0).toLong).toSeq
+    }
+    def withKiller[A](body: => A): A =
+      if (!killMidStream) body
+      else {
+        val killer = new Thread(() => {
+          Thread.sleep(
+            sys.env.getOrElse("SPARK_GRAFT_KILL_DELAY_MS", "4000").toLong)
+          executorPids().sorted.headOption.foreach { pid =>
+            System.err.println(s"[streambench] killing executor pid=$pid")
+            Runtime.getRuntime.exec(Array("kill", "-9", pid.toString))
+              .waitFor()
+          }
+        })
+        killer.setDaemon(true); killer.start()
+        val r = body
+        killer.join(1000)
+        var tries = 0
+        while (executorPids().size < 4 && tries < 60) {
+          Thread.sleep(500); tries += 1
+        }
+        r
+      }
+
     // JIT/codegen warm-up: one chunk through every op, discarded
     ops.foreach { case (_, mk, feed) => run(feed, warm = true)(mk) }
 
     val results = ops.map { case (name, mk, feed) =>
-      val (wall, rows, fed) = run(feed, warm = false)(mk)
+      val (wall, rows, fed) = withKiller { run(feed, warm = false)(mk) }
       System.err.println(f"[streambench] $name%-17s ${wall}%7.2f s  " +
         f"rows_out=$rows%9d  ${fed / wall}%,.0f ev/s")
       name -> (wall, rows, fed)
