@@ -38,12 +38,16 @@ import org.apache.spark.sql.functions._
   */
 object FaultProbe {
 
-  private def executorPids(): Seq[Long] = {
+  private def executorPids(appId: String): Seq[Long] = {
     import scala.sys.process._
     // CoarseGrainedExecutorBackend is the executor main class; the
-    // probe's own driver/worker JVMs don't match it
+    // probe's own driver/worker JVMs don't match it. Filter by THIS
+    // app's id (it rides in the executor launch command as --app-id)
+    // so a concurrent Spark application on the host can never lose an
+    // executor to this probe.
     Seq("bash", "-c",
-      "ps -eo pid,cmd | grep CoarseGrainedExecutorBackend | grep -v grep")
+      "ps -eo pid,cmd | grep CoarseGrainedExecutorBackend" +
+        s" | grep -- '$appId' | grep -v grep")
       .!!.linesIterator
       .map(_.trim.split("\\s+")(0).toLong).toSeq
   }
@@ -70,6 +74,20 @@ object FaultProbe {
       .map(_.split(",").toSeq)
       .getOrElse(Seq("m13_pagerank", "m19_modularity", "d15_prefix_filter"))
 
+    val appId = spark.sparkContext.applicationId
+    // executorRemoved observations per measured run: the validity
+    // witness that the kill landed INSIDE the run. A query finishing
+    // before killDelayMs would otherwise record killed_pid>0 +
+    // match=true and report fault tolerance as exercised when the kill
+    // actually landed between queries.
+    val removedCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onExecutorRemoved(
+            e: org.apache.spark.scheduler.SparkListenerExecutorRemoved)
+            : Unit = { removedCount.incrementAndGet(); () }
+      })
+
     def resultHash(name: String): (String, Double) = {
       val t0 = System.nanoTime()
       val rows = graft.SparkEntry.queries(name)(spark, sfDir)
@@ -94,34 +112,48 @@ object FaultProbe {
       @volatile var killed: Long = -1L
       val killer = new Thread(() => {
         Thread.sleep(killDelayMs)
-        executorPids().sorted.headOption.foreach { pid =>
+        executorPids(appId).sorted.headOption.foreach { pid =>
           killed = pid
           Runtime.getRuntime.exec(Array("kill", "-9", pid.toString)).waitFor()
         }
       })
       killer.setDaemon(true)
       killer.start()
+      val removedBefore = removedCount.get()
       val (h1, w1) = resultHash(q)
       killer.join(1000)
+      // the listener event is async — give the removal a moment to post
+      var lTries = 0
+      while (removedCount.get() == removedBefore && lTries < 20) {
+        Thread.sleep(250); lTries += 1
+      }
+      // kill landed inside the run ⇔ the scheduler saw an executor
+      // leave AND the measured wall actually spanned the kill delay
+      val landed =
+        removedCount.get() > removedBefore && w1 * 1000 > killDelayMs
       // wait for the replacement executor so the NEXT query starts at
       // full strength (standalone worker relaunches within ~seconds)
       var tries = 0
-      while (executorPids().size < 4 && tries < 60) {
+      while (executorPids(appId).size < 4 && tries < 60) {
         Thread.sleep(500); tries += 1
       }
       System.err.println(f"[fault] $q%-18s baseline=$w0%6.2f s  " +
-        f"killed-run=$w1%6.2f s  pid_killed=$killed  match=${h0 == h1}")
-      q -> (w0, w1, h0 == h1, killed)
+        f"killed-run=$w1%6.2f s  pid_killed=$killed  landed=$landed  " +
+        f"match=${h0 == h1}")
+      q -> (w0, w1, h0 == h1, killed, landed)
     }
 
-    val json = results.map { case (q, (w0, w1, ok, pid)) =>
+    val json = results.map { case (q, (w0, w1, ok, pid, landed)) =>
       f""""$q":{"baseline_s":$w0%.2f,"killed_s":$w1%.2f,""" +
-        s""""match":$ok,"killed_pid":$pid}"""
+        s""""match":$ok,"killed_pid":$pid,"kill_landed":$landed}"""
     }.mkString(",")
     println(s"""{"metric":"fault_probe","sf":"${sfDir.split('/').last}",""" +
       s""""results":{$json}}""")
-    val allOk = results.forall(_._2._3) && results.forall(_._2._4 > 0)
-    if (!allOk) System.err.println("[fault] FAILURE: mismatch or no kill")
+    val allOk = results.forall(_._2._3) && results.forall(_._2._4 > 0) &&
+      results.forall(_._2._5)
+    if (!allOk)
+      System.err.println("[fault] FAILURE: mismatch, no kill, or the " +
+        "kill did not land inside the measured run")
     spark.stop()
     if (!allOk) sys.exit(1)
   }

@@ -180,13 +180,18 @@ object StreamBench {
     // streaming face of tools/FaultProbe. The state store must reload
     // from the checkpoint's delta files on the replacement executor and
     // the retried micro-batch must not double-emit; the dedup op's
-    // exact rows_out (== distinct event count) is the assertion.
+    // exact rows_out (== distinct event count) is the assertion,
+    // ENFORCED below: a double-emit exits non-zero, not just a number.
     val killMidStream =
       sys.env.get("SPARK_GRAFT_STREAM_KILL").contains("true")
+    val appId = spark.sparkContext.applicationId
     def executorPids(): Seq[Long] = {
       import scala.sys.process._
+      // filter by this app's id (in the executor launch command line as
+      // --app-id) so a concurrent Spark app never loses an executor here
       Seq("bash", "-c",
-        "ps -eo pid,cmd | grep CoarseGrainedExecutorBackend | grep -v grep")
+        "ps -eo pid,cmd | grep CoarseGrainedExecutorBackend" +
+          s" | grep -- '$appId' | grep -v grep")
         .!!.linesIterator.map(_.trim.split("\\s+")(0).toLong).toSeq
     }
     def withKiller[A](body: => A): A =
@@ -228,6 +233,20 @@ object StreamBench {
     println(s"""{"metric":"stream_bench","events":$n,"chunks":$chunks,""" +
       s""""sf":"${sfDir.split('/').last}","reps":$reps,""" +
       s""""ops":{$opsJson}}""")
+    // fault-injection assertion (mirrors FaultProbe): dedup's feed is
+    // the event set with every 10th event re-delivered, so its exact
+    // rows_out is n (the distinct event_id count). Under a mid-stream
+    // executor kill, a retried micro-batch that double-emits — or a
+    // state store that lost its dup registry — changes this count.
+    val dedupBad = killMidStream && results.collectFirst {
+      case ("dedup", (_, rows, _)) if rows != n.toLong => rows
+    }.isDefined
+    if (dedupBad) {
+      val got = results.collectFirst { case ("dedup", (_, r, _)) => r }.get
+      System.err.println(s"[streambench] FAILURE: dedup rows_out=$got " +
+        s"!= distinct event count $n after mid-stream executor kill")
+    }
     spark.stop()
+    if (dedupBad) sys.exit(1)
   }
 }

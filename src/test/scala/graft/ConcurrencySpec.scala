@@ -23,9 +23,10 @@ class ConcurrencySpec extends AnyFunSuite {
 
   private lazy val spark = TestSpark.spark
 
-  /** Path graph a: 0-1-2-...-29 plus isolated pairs; graph b: two
-    * dense blobs. Different shapes → different round counts, so the
-    * concurrent runs' per-round observation indices interleave. */
+  /** Path graph a: 0-1-2-...-29 plus isolated pairs; graph b: a single
+    * dense 12-vertex clique (keys i*7). Different shapes → different
+    * round counts, so the concurrent runs' per-round observation
+    * indices interleave. */
   private def graphA = {
     import spark.implicits._
     ((0L until 29L).map(i => (i, i + 1)) ++

@@ -146,7 +146,7 @@ class DedupParitySpec extends AnyFunSuite {
         assert(jac >= 0.5, s"seed=$seed: pair ($da,$db) below threshold")
       }
       // recall on high-sim planted pairs: compute each planted pair's
-      // exact string-gram Jaccard; if ≥ 0.85, LSH must report it
+      // exact string-gram Jaccard; if ≥ 0.8, LSH must report it
       val exact = Dedup.ngramJaccardPairsOf(stringShingles(docs), 0.0, None)
         .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
         .toMap
