@@ -341,14 +341,30 @@ object Ann extends QueryModule {
 
   /** Exact all-pairs cosine ≥ 0.95 — oracle for `d5_embedding_neardup`
     * (LSH recall at this threshold is ≈1 with 8 tables; on this data the
-    * similarity gap makes the outputs identical). */
+    * similarity gap makes the outputs identical).
+    *
+    * PLANTED DUPLICATES (round-10 vacuity fix): the harness embeddings
+    * carry no organic near-dups below sf1 (measured max pairwise cosine
+    * 0.51 at sf0.01, 0.60 at sf0.1 — only ScaleGen's sf1 replicas reach
+    * 1.0), so the original query hash-matched an EMPTY frame at the
+    * driver's sf0.01 gate — a vacuous pass, the exact x45 failure mode
+    * the round-10 audit exists to catch. Both engines now augment the
+    * corpus with an exact clone of every 10th vector at
+    * vec_id + 1e9 (cosine exactly 1.0, LSH signature identical in
+    * every table → recall is structural, not probabilistic), giving the
+    * detector non-trivial work at every SF while leaving the organic
+    * sf1 replica pairs in place. */
   lazy val neardupOracleSql: String =
     vCte +
-      s"""
+      s""",
+         |vp AS (SELECT vec_id, v FROM v
+         |       UNION ALL
+         |       SELECT vec_id + 1000000000, v FROM v
+         |       WHERE vec_id % 10 = 0)
          |SELECT ida, idb, round(sim, 4) AS sim FROM (
          |  SELECT a.vec_id AS ida, b.vec_id AS idb,
          |         ${cosSql("a.v", "b.v")} AS sim
-         |  FROM v a JOIN v b ON a.vec_id < b.vec_id)
+         |  FROM vp a JOIN vp b ON a.vec_id < b.vec_id)
          |WHERE sim >= 0.95 ORDER BY ida, idb""".stripMargin
 
   override def queries: Seq[GQuery] = Seq(

@@ -244,15 +244,24 @@ object Relational extends QueryModule {
              |  GROUP BY c_custkey)
              |GROUP BY n_orders ORDER BY n_orders""".stripMargin)),
 
-    // J4: left anti join — customers with no orders.
+    // J4: left anti join — customers with no URGENT orders. The right
+    // side is filtered (not the bare orders table) because at sf0.01
+    // every customer has at least one order, so the unfiltered anti
+    // join returned ZERO rows and its driver-gate hash match was
+    // vacuous (round-10 audit finding; measured non-degenerate counts:
+    // 203 / 1,986 / 19,860 at sf0.01 / 0.1 / 1 — growing with scale,
+    // which is what an anti join over a fixed selectivity should do).
     GQuery("j4_join_anti",
       (s, d) => Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"),
-          "left_anti")
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
         .select("c_custkey", "c_mktsegment")
         .orderBy("c_custkey"),
       Some("""SELECT c_custkey, c_mktsegment FROM customer
-             |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+             |WHERE NOT EXISTS (SELECT 1 FROM orders
+             |                  WHERE o_custkey = c_custkey
+             |                    AND o_orderpriority = '1-URGENT')
              |ORDER BY c_custkey""".stripMargin)),
 
     // J4b: left semi join — suppliers that shipped any qty-50 line.

@@ -55,7 +55,9 @@ class SqlFrontendSpec extends AnyFunSuite {
         |GROUP BY n_orders ORDER BY n_orders""".stripMargin,
     "j4_join_anti" ->
       """SELECT c_custkey, c_mktsegment FROM customer
-        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')
         |ORDER BY c_custkey""".stripMargin,
     "j5_join_range" ->
       """SELECT e1.user_id AS u, count(*) AS n_pairs

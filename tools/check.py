@@ -25,6 +25,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # so lint the oracle's result types explicitly.
 BAD_ORACLE_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
 
+# Oracle-vacuity guard (round-10; the x45 lesson generalized): a hash
+# match on an EMPTY frame proves nothing — both engines can agree on an
+# accidentally-degenerate result (x45's half-rotation pairing produced
+# zero pairs at sf1 for a full round). Any query whose Spark result has
+# zero rows FAILS unless it carries a documented legitimate-empty
+# marker here. Keep this list empty-by-default: every entry needs a
+# reason a human can audit.
+EMPTY_OK = {
+    # name: "reason this query is legitimately empty at some SF",
+}
+
 def lint_types(duck):
     return [(c, str(t)) for c, t in zip(duck.columns, duck.types)
             if any(b in str(t).upper() for b in BAD_ORACLE_TYPES)]
@@ -114,6 +125,11 @@ def main():
             print(f"FAIL {name}: values differ at sorted row {bad}:")
             print(f"  spark: {s_rows[bad]}")
             print(f"  duck:  {d_rows[bad]}")
+            n_fail += 1; continue
+        if len(s_rows) == 0 and name not in EMPTY_OK:
+            print(f"FAIL {name}: VACUOUS — both engines agree on an "
+                  f"empty frame, which proves nothing (add an EMPTY_OK "
+                  f"entry with a reason if legitimately empty)")
             n_fail += 1; continue
         print(f"PASS {name} ({len(s_rows)} rows)")
         n_pass += 1
