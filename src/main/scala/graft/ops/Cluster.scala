@@ -354,6 +354,45 @@ object Cluster extends QueryModule {
            |  UNION ALL SELECT pb FROM e$KcoreRounds)
            |GROUP BY 1 ORDER BY node""".stripMargin)),
 
+    // M24: the run-to-CONVERGENCE k-core (what a user actually runs;
+    // m15's fixed 3 rounds exist so the oracle replay depth is pinned)
+    // promoted from spec-gated to first-class (round-10 VERDICT #6).
+    // The oracle replays the same peeling-round CTE chain as m15 but to
+    // a depth that provably reaches the fixpoint on the harness data:
+    // peeling is monotone (each round's edge set ⊆ the previous), and
+    // the measured stabilization is round 4 (sf0.01) / 6 (sf0.1, sf1) —
+    // 8 chained rounds therefore land ON the fixpoint at every measured
+    // SF, verified by diffing the 8- vs 9-round chains (identical at
+    // all three SFs). ConvergenceSpec cross-checks the registered query
+    // against both the library's kcoreConverged and a deep fixed-rounds
+    // peel, so registered == library is a spec invariant, not a reading.
+    GQuery("m24_kcore_converged",
+      (s, d) => {
+        val li = Tables.lineitem(s, d)
+          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+          .distinct()
+        val e = li.select(col("o"), col("p").as("pa"))
+          .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
+          .filter(col("pa") < col("pb"))
+          .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+          .filter(col("w") >= 2).select("pa", "pb")
+        kcoreConverged(e, KcoreK).orderBy("node")
+      },
+      Some("""WITH li AS (
+             |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+             |  FROM lineitem),
+             |e0 AS MATERIALIZED (SELECT a.p AS pa, b.p AS pb
+             |      FROM li a JOIN li b ON a.o = b.o AND a.p < b.p
+             |      GROUP BY 1, 2 HAVING count(*) >= 2),
+             |""".stripMargin +
+        (1 to 8).map(i => kcoreSqlRound(i, s"e${i - 1}"))
+          .mkString(",\n") +
+        s"""
+           |SELECT node, CAST(count(*) AS BIGINT) AS deg FROM (
+           |  SELECT pa AS node FROM e8
+           |  UNION ALL SELECT pb FROM e8)
+           |GROUP BY 1 ORDER BY node""".stripMargin)),
+
     GQuery("m8_connected_components",
       (s, d) => {
         // persisted: the distinct activity-cell summary feeds BOTH sides
@@ -392,10 +431,20 @@ object Cluster extends QueryModule {
     // M17: the SAME component semantics as m8, computed by the pure-
     // DataFrame large-star/small-star contraction instead of
     // union-find/GraphX ([[ccLargeSmallStar]]) — registered first-class
-    // because, unlike the fixed-depth graph queries, a CONVERGED CC has
-    // an exact declarative oracle: the fixpoint is reachability closure,
-    // which the recursive CTE states directly. Proves the GraphX-free
-    // fallback end-to-end on real data, not just on spec fixtures.
+    // because a CONVERGED CC has an exact declarative oracle. Until
+    // round 10 that oracle was the reachability-closure recursive CTE —
+    // correct but quadratic in component size, so the sf1 gate (13.9M
+    // edges, dense blobs) had to exclude it a priori. Replaced by a
+    // BOUNDED min-label propagation with pointer doubling: each chained
+    // MATERIALIZED round sets L(v) = min(L(v), min over in-neighbors
+    // L(u), L(L(v))); the L(L(v)) term squares the effective radius per
+    // round, so 6 rounds cover any component the closure could. Round
+    // sufficiency is not assumed: the 6-round chain was diffed against
+    // the 7-round chain at sf0.01/sf0.1/sf1 (identical → fixpoint ≤6)
+    // and against the old closure oracle where the closure is feasible
+    // (sf0.01/sf0.1, identical). sf1 replay: ~34 s in DuckDB vs the
+    // closure's a-priori-excluded quadratic blowup — this closed the
+    // last top-15 sf1 oracle cell (14/14 → 15/15, SCALE.md round 10).
     GQuery("m17_cc_star",
       (s, d) => {
         val ue = Tables.events(s, d)
@@ -410,23 +459,33 @@ object Cluster extends QueryModule {
             coalesce(col("component"), col("v")).as("component"))
           .orderBy("v")
       },
-      Some("""WITH RECURSIVE
-             |ue AS (SELECT DISTINCT user_id,
-             |         epoch_ns(ts) // 3600000000000 AS hour, event_type
-             |       FROM events),
-             |e AS (SELECT a.user_id AS l1, b.user_id AS l2
-             |      FROM ue a JOIN ue b ON a.hour = b.hour
-             |        AND a.event_type = b.event_type AND a.user_id < b.user_id
-             |      GROUP BY 1, 2 HAVING count(*) >= 3),
-             |sym AS (SELECT l1 AS s, l2 AS t FROM e
-             |        UNION ALL SELECT l2, l1 FROM e),
-             |verts AS (SELECT DISTINCT user_id AS v FROM events),
-             |reach AS (SELECT v, v AS u FROM verts
-             |          UNION
-             |          SELECT r.v, sym.t AS u
-             |          FROM reach r JOIN sym ON r.u = sym.s)
-             |SELECT v, min(u) AS component FROM reach GROUP BY v
-             |ORDER BY v""".stripMargin)),
+      Some {
+        val base =
+          """WITH
+            |ue AS MATERIALIZED (SELECT DISTINCT user_id,
+            |    epoch_ns(ts) // 3600000000000 AS hour, event_type
+            |  FROM events),
+            |e AS MATERIALIZED (SELECT a.user_id AS l1, b.user_id AS l2
+            |  FROM ue a JOIN ue b ON a.hour = b.hour
+            |    AND a.event_type = b.event_type AND a.user_id < b.user_id
+            |  GROUP BY 1, 2 HAVING count(*) >= 3),
+            |sym AS MATERIALIZED (SELECT l1 AS s, l2 AS t FROM e
+            |  UNION ALL SELECT l2, l1 FROM e),
+            |l0 AS MATERIALIZED (
+            |  SELECT DISTINCT user_id AS v, user_id AS l FROM events)""".stripMargin
+        val rounds = (1 to 6).map { i =>
+          val p = s"l${i - 1}"
+          s""",
+             |l$i AS MATERIALIZED (SELECT v, min(l) AS l FROM (
+             |    SELECT v, l FROM $p
+             |    UNION ALL
+             |    SELECT sym.t AS v, $p.l FROM sym JOIN $p ON sym.s = $p.v
+             |    UNION ALL
+             |    SELECT a.v, b.l FROM $p a JOIN $p b ON a.l = b.v
+             |  ) GROUP BY v)""".stripMargin
+        }.mkString
+        base + rounds + "\nSELECT v, l AS component FROM l6 ORDER BY v"
+      }),
 
     // M13: PageRank — two power iterations over the customer↔supplier
     // order graph (nodes disambiguated as 2·custkey / 2·suppkey+1,

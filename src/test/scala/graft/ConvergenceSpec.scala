@@ -139,6 +139,50 @@ class ConvergenceSpec extends AnyFunSuite {
     Caches.drain()
   }
 
+  test("m24_kcore_converged: registered query IS the library fixpoint") {
+    // round-10 VERDICT #6: the converged k-core is first-class, so the
+    // registered GQuery must be the library path, not a lookalike.
+    // Cross-check on harness data (sf0.001 keeps it fast): registered
+    // == kcoreConverged == a DRIVER-SIDE exact peel on the collected
+    // edge set. (A deep fixed-rounds kcorePeel is NOT usable as the
+    // reference here: each un-checkpointed round references its
+    // predecessor ~5×, so a 12-round plan has 5^12 canonicalization
+    // nodes — measured to OOM the test JVM. The driver-side peel on a
+    // few hundred collected edges is exact and O(E·rounds).)
+    val sf = "/root/testdata/sf0.001"
+    assume(new java.io.File(sf).isDirectory)
+    val reg = SparkEntry.queries("m24_kcore_converged")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import org.apache.spark.sql.functions.{col, count, lit}
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = li.select(col("o"), col("p").as("pa"))
+      .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
+      .filter(col("pa") < col("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select("pa", "pb")
+    val lib = ops.Cluster.kcoreConverged(e, 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // driver-side exact fixpoint peel (sf0.001: a few hundred edges)
+    var edges = e.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    var stable = false
+    while (!stable) {
+      val deg = edges.toSeq.flatMap(p => Seq(p._1, p._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val surv = deg.filter(_._2 >= 2).keySet
+      val next = edges.filter(p => surv(p._1) && surv(p._2))
+      stable = next == edges
+      edges = next
+    }
+    val want = edges.toSeq.flatMap(p => Seq(p._1, p._2))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    assert(reg == lib, "registered m24 diverges from kcoreConverged")
+    assert(lib == want, "fixpoint diverges from the driver-side peel")
+    assert(reg.nonEmpty, "vacuous: empty core on harness data")
+    Caches.drain()
+  }
+
   test("btConverged: MM needs >3 rounds on a skewed ladder, fixpoint is stable") {
     import spark.implicits._
     // A dominates B 9:1, B dominates C 9:1, C dominates D 9:1 — the
