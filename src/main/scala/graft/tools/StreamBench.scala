@@ -115,6 +115,17 @@ object StreamBench {
         .sortBy(_.ts.getTime)
     }
 
+    // SPARK_GRAFT_STREAM_MODE=availablenow (round-10 VERDICT #4): the
+    // DRAIN protocol — all chunks visible before the query starts, one
+    // Trigger.AvailableNow run processes them at the engine's own batch
+    // planning (plus the no-data batches that flush watermark-gated
+    // state) and self-terminates. This removes the chunked cadence's
+    // per-micro-batch fixed cost (~0.4 s each, the 1M-event matrix's
+    // known asymptote) and measures what the operator itself can
+    // sustain; the chunked default stays the realistic-ingest number.
+    val availableNow =
+      sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("availablenow")
+
     /** Runs one op over the feed; returns (wallSec, rowsOut, eventsIn). */
     def run(feed: Array[Array[StreamEvent]], warm: Boolean)(
         mk: DataFrame => DataFrame): (Double, Long, Long) = {
@@ -123,24 +134,34 @@ object StreamBench {
       val out = new AtomicLong(0L)
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-streambench").toString
+      val use = if (warm) feed.take(1) else feed
       val t0 = System.nanoTime()
-      val q: StreamingQuery = mk(mem.toDF())
+      var fed = 0L
+      def writer = mk(mem.toDF())
         .writeStream
         .outputMode(OutputMode.Append)
         .option("checkpointLocation", ckpt)
         .foreachBatch { (df: DataFrame, _: Long) =>
           out.addAndGet(df.count()); ()
         }
-        .start()
-      var fed = 0L
-      try {
-        val use = if (warm) feed.take(1) else feed
-        use.foreach { c =>
-          mem.addData(c.toIndexedSeq)
-          fed += c.length
-          q.processAllAvailable()
-        }
-      } finally q.stop()
+      if (availableNow && !warm) {
+        // timed window still covers feed + every batch, same as the
+        // chunked protocol (addData is a driver-side batch append)
+        use.foreach { c => mem.addData(c.toIndexedSeq); fed += c.length }
+        val q = writer
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      } else {
+        val q: StreamingQuery = writer.start()
+        try {
+          use.foreach { c =>
+            mem.addData(c.toIndexedSeq)
+            fed += c.length
+            q.processAllAvailable()
+          }
+        } finally q.stop()
+      }
       val wall = (System.nanoTime() - t0) / 1e9
       org.apache.commons.io.FileUtils
         .deleteQuietly(new java.io.File(ckpt))
@@ -230,15 +251,18 @@ object StreamBench {
       f""""$name":{"wall_s":$wall%.2f,"rows_out":$rows,""" +
         f""""events_per_s":${fed / wall}%.0f}"""
     }.mkString(",")
+    val mode = if (availableNow) "availablenow" else "chunked"
     println(s"""{"metric":"stream_bench","events":$n,"chunks":$chunks,""" +
-      s""""sf":"${sfDir.split('/').last}","reps":$reps,""" +
+      s""""sf":"${sfDir.split('/').last}","reps":$reps,"mode":"$mode",""" +
       s""""ops":{$opsJson}}""")
-    // fault-injection assertion (mirrors FaultProbe): dedup's feed is
-    // the event set with every 10th event re-delivered, so its exact
-    // rows_out is n (the distinct event_id count). Under a mid-stream
-    // executor kill, a retried micro-batch that double-emits — or a
-    // state store that lost its dup registry — changes this count.
-    val dedupBad = killMidStream && results.collectFirst {
+    // dedup's feed is the event set with every 10th event re-delivered,
+    // so its exact rows_out is n (the distinct event_id count) — the
+    // batch-parity invariant of BOTH protocols. Enforced under fault
+    // injection (a retried micro-batch that double-emits, or a state
+    // store that lost its dup registry, changes the count) and in the
+    // availablenow drain (whose different batch boundaries must not
+    // change append-mode semantics).
+    val dedupBad = (killMidStream || availableNow) && results.collectFirst {
       case ("dedup", (_, rows, _)) if rows != n.toLong => rows
     }.isDefined
     if (dedupBad) {

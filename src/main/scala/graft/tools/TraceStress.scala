@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** 10M-process trace stress (round-10 VERDICT #7) — one scale notch
+  * past round 9's 1M-process / 24.96M-event StressSpec run: part1 +
+  * BOTH part2 stages on a generated corpus, with the same invariant
+  * assertions, runnable under local-cluster (the multi-executor axis a
+  * ScalaTest session can't reach without the worker-launch env).
+  *
+  * Feasibility rests on the pipeline's standing scale guards: part1
+  * groups by identical cluster-euler-string (distinct-bounded collect:
+  * groups ≈ templates, not processes), and Dbscan.run collapses
+  * identical values into weighted representatives BEFORE its quadratic
+  * scan — 10M processes over 100 templates cost the scan only ~100
+  * distinct strings. What this run proves is that those guards hold at
+  * 10^7: nothing process-sized crosses the driver, nothing
+  * event-sized is collected, and the generated ~250M events flow
+  * through generation → depth features → euler strings → grouping →
+  * two DBSCAN stages on spill-able keyed shuffles only.
+  *
+  * Env: GRAFT_STRESS_PROCS (default 10000000), SPARK_GRAFT_MASTER
+  * (default local[32]; local-cluster needs SPARK_HOME,
+  * SPARK_SCALA_VERSION=2.13, SPARK_GRAFT_JARS — see Bench.scala),
+  * SPARK_GRAFT_EXEC_MEM, SPARK_GRAFT_CPUS.
+  *
+  * Prints one JSON line:
+  * {"metric":"trace_stress","procs":N,"events":E,"groups":G,
+  *  "part1_s":…, "stage1_s":…, "total_s":…, "ok":true}
+  */
+object TraceStress {
+  def main(args: Array[String]): Unit = {
+    val nProcs = sys.env.getOrElse("GRAFT_STRESS_PROCS", "10000000").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]")
+    val builder0 = org.apache.spark.sql.SparkSession.builder()
+      .master(master)
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      // iterative DBSCAN + two persisted 10^8-row frames: let blocks
+      // age out to disk instead of dying on executor heap
+      .config("spark.memory.storageFraction", "0.3")
+    val builder =
+      if (master.startsWith("local-cluster")) {
+        val b = builder0.config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "3g"))
+        sys.env.get("SPARK_GRAFT_JARS").fold(b)(j => b.config("spark.jars", j))
+      } else builder0
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val TP = graft.trace.TracePipeline
+    val t0 = System.nanoTime()
+
+    val logs = graft.trace.TraceGen.logs(spark,
+      distinctProcess = 100, numProcess = nProcs,
+      numMaxChild = 2, maxDepth = 3, nTasks = 100, nServers = 60,
+      seed = 7L)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nEvents = logs.count()
+    require(nEvents > 10L * nProcs, s"generator too small: $nEvents events")
+    System.err.println(f"[stress] generated $nEvents%,d events " +
+      f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
+
+    val (groups, dedup) = TP.part1(spark, logs)
+    val g = groups.select(col("group_processes_id"),
+      size(col("equal_processes")).as("n")).collect()
+    val nMembers = g.map(_.getInt(1).toLong).sum
+    require(nMembers == nProcs.toLong, s"member total $nMembers != $nProcs")
+    val nGroups = g.length
+    require(nGroups >= 2 && nGroups <= 1000,
+      s"degenerate grouping: $nGroups groups")
+    require(dedup.select("process_id").distinct().count() == nGroups.toLong,
+      "dedup must keep exactly one representative process per group")
+    val tPart1 = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[stress] part1 done: $nGroups groups " +
+      f"($tPart1%.1f s)")
+
+    val dim = TP.serverClusterDim(spark, TP.serverConnections(
+      TP.logsWithDepth(logs, TP.depthFeatures(TP.processes(logs)))))
+    val clogs = TP.clusterLogs(logs, dim)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val stage1 = TP.elementClusters(spark, TP.processElements(clogs))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val comps = stage1.agg(
+      count(lit(1)), sum(when(col("component") >= 0, 1).otherwise(0))).head()
+    require(comps.getLong(0) == nProcs.toLong, s"stage-1 rows ${comps.getLong(0)}")
+    require(comps.getLong(1) > 0L, "stage-1 DBSCAN found no clusters")
+    val tStage1 = (System.nanoTime() - t0) / 1e9
+    System.err.println(f"[stress] stage1 done ($tStage1%.1f s)")
+
+    val cprocs = TP.processes(clogs, from = "cluster_from", to = "cluster_to")
+    val fine = TP.refineClusters(spark, cprocs, stage1)
+    val fstats = fine.agg(count(lit(1)),
+      sum(when(col("fine_component") >= 0, 1).otherwise(0))).head()
+    require(fstats.getLong(0) == nProcs.toLong, s"stage-2 rows ${fstats.getLong(0)}")
+    require(fstats.getLong(1) <= comps.getLong(1),
+      "fine clusters leaked outside stage-1 components")
+    val leaked = fine.select("process_id", "fine_component")
+      .join(stage1.select("process_id", "component"), Seq("process_id"))
+      .filter(col("component") < 0 && col("fine_component") >= 0).count()
+    require(leaked == 0L, s"$leaked unclustered processes got fine labels")
+
+    logs.unpersist(); clogs.unpersist(); stage1.unpersist()
+    graft.Caches.drain(spark, blocking = true)
+    val total = (System.nanoTime() - t0) / 1e9
+    println(f"""{"metric":"trace_stress","procs":$nProcs,""" +
+      f""""events":$nEvents,"groups":$nGroups,"part1_s":$tPart1%.1f,""" +
+      f""""stage1_s":$tStage1%.1f,"total_s":$total%.1f,"ok":true}""")
+    spark.stop()
+  }
+}
