@@ -36,9 +36,11 @@ def main():
             obs.setdefault(q, []).append(min(p[q] for p in passes if q in p))
     bands = {q: {"lo": round(min(v), 3), "hi": round(max(v), 3)}
              for q, v in sorted(obs.items())}
+    # compact one-line objects — Bench.scala parses {"hi":…,"lo":…}
+    # with a regex, so no whitespace inside the per-query object
     out.write_text(json.dumps(
         {"sf": sfs.pop(), "runs": len(details), "bands": bands},
-        indent=0, sort_keys=True) + "\n")
+        separators=(",", ":"), sort_keys=True) + "\n")
     print(f"{len(bands)} bands from {len(details)} runs -> {out}")
 
 
