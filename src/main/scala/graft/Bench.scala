@@ -162,19 +162,43 @@ object Bench {
     // returns nothing also "improves").
     val bandsFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_BANDS",
       "BENCH_BANDS.json")
-    val bands: Map[String, (Double, Double)] = try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get(bandsFile)), "UTF-8")
-      val sfOk = {
-        val m = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt)
-        m.exists(_.group(1) == sfName)
+    // A disabled guard must be VISIBLE at measurement time (round-10
+    // ADVICE): when the file exists but yields zero usable bands —
+    // wrong sf, reformatted JSON the regex no longer matches, or a
+    // read error — say so on stderr instead of silently flagging
+    // nothing. Only a genuinely absent file (fresh checkout) is quiet.
+    val bands: Map[String, (Double, Double)] = {
+      val path = java.nio.file.Paths.get(bandsFile)
+      if (!java.nio.file.Files.exists(path)) Map.empty
+      else try {
+        val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
+        val sfIn = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))
+        if (!sfIn.contains(sfName)) {
+          System.err.println(s"[bench-bands] WARNING: $bandsFile is for " +
+            s"sf=${sfIn.getOrElse("<none>")} but this run is sf=$sfName " +
+            "- out-of-band guard DISABLED")
+          Map.empty
+        } else {
+          val parsed =
+            """"([a-zA-Z0-9_]+)":\{"hi":([0-9.]+),"lo":([0-9.]+)\}""".r
+              .findAllMatchIn(txt)
+              .map(m => m.group(1) ->
+                (m.group(3).toDouble, m.group(2).toDouble))
+              .toMap
+          if (parsed.isEmpty)
+            System.err.println(s"[bench-bands] WARNING: $bandsFile " +
+              "parsed to ZERO bands (format drift?) - out-of-band guard " +
+              "DISABLED")
+          parsed
+        }
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench-bands] WARNING: failed to read " +
+            s"$bandsFile (${t.getClass.getSimpleName}: ${t.getMessage}) " +
+            "- out-of-band guard DISABLED")
+          Map.empty
       }
-      if (!sfOk) Map.empty
-      else """"([a-zA-Z0-9_]+)":\{"hi":([0-9.]+),"lo":([0-9.]+)\}""".r
-        .findAllMatchIn(txt)
-        .map(m => m.group(1) -> (m.group(3).toDouble, m.group(2).toDouble))
-        .toMap
-    } catch { case _: Throwable => Map.empty }
+    }
     val flagged: Seq[(String, Double, String)] = results.flatMap {
       case (k, v) => bands.get(k).flatMap { case (lo, hi) =>
         if (v > hi * 1.3 + 0.2) Some((k, v, f"above [$lo%.2f,$hi%.2f]"))

@@ -79,13 +79,20 @@ object FaultProbe {
     // witness that the kill landed INSIDE the run. A query finishing
     // before killDelayMs would otherwise record killed_pid>0 +
     // match=true and report fault tolerance as exercised when the kill
-    // actually landed between queries.
-    val removedCount = new java.util.concurrent.atomic.AtomicLong(0L)
+    // actually landed between queries. The listener records each
+    // event's own removal TIMESTAMP (epoch ms, stamped by the
+    // scheduler at removal, not at async listener delivery), so each
+    // query checks for a removal inside ITS [start, end] wall-clock
+    // window — a global counter would let a late-posting removal from
+    // the previous query satisfy the next one's witness (round-10
+    // ADVICE).
+    val removedTimes =
+      new java.util.concurrent.ConcurrentLinkedQueue[Long]()
     spark.sparkContext.addSparkListener(
       new org.apache.spark.scheduler.SparkListener {
         override def onExecutorRemoved(
             e: org.apache.spark.scheduler.SparkListenerExecutorRemoved)
-            : Unit = { removedCount.incrementAndGet(); () }
+            : Unit = { removedTimes.add(e.time); () }
       })
 
     def resultHash(name: String): (String, Double) = {
@@ -119,18 +126,28 @@ object FaultProbe {
       })
       killer.setDaemon(true)
       killer.start()
-      val removedBefore = removedCount.get()
+      val runStartMs = System.currentTimeMillis()
       val (h1, w1) = resultHash(q)
+      val runEndMs = System.currentTimeMillis()
       killer.join(1000)
-      // the listener event is async — give the removal a moment to post
+      def removalInWindow: Boolean = {
+        val it = removedTimes.iterator()
+        var found = false
+        while (!found && it.hasNext) {
+          val t = it.next()
+          found = t >= runStartMs && t <= runEndMs
+        }
+        found
+      }
+      // listener delivery is async — give the removal a moment to post
       var lTries = 0
-      while (removedCount.get() == removedBefore && lTries < 20) {
+      while (!removalInWindow && lTries < 20) {
         Thread.sleep(250); lTries += 1
       }
-      // kill landed inside the run ⇔ the scheduler saw an executor
-      // leave AND the measured wall actually spanned the kill delay
-      val landed =
-        removedCount.get() > removedBefore && w1 * 1000 > killDelayMs
+      // kill landed inside the run ⇔ the scheduler stamped an executor
+      // removal within THIS run's window AND the measured wall actually
+      // spanned the kill delay
+      val landed = removalInWindow && w1 * 1000 > killDelayMs
       // wait for the replacement executor so the NEXT query starts at
       // full strength (standalone worker relaunches within ~seconds)
       var tries = 0
