@@ -100,18 +100,26 @@ object Ann extends QueryModule {
   def dotCol(a: Column, b: Column): Column =
     graft.plans.NativeFunctions.arrayDot(a, b)
 
-  /** (vec_id, v, nrm) — norms are computed ONCE per vector in a narrow
-    * projection before any join, so each candidate pair later costs a
-    * single dot product instead of three (interpreted HOFs don't share
-    * subexpressions across pair rows). Separate selects keep `v` an
-    * attribute rather than an inlined expression. */
+  /** (vec_id, v, nrm) from an arbitrary (vec_id, embedding) frame —
+    * norms are computed ONCE per vector in a narrow projection before
+    * any join, so each candidate pair later costs a single dot product
+    * instead of three (interpreted HOFs don't share subexpressions
+    * across pair rows). Separate selects keep `v` an attribute rather
+    * than an inlined expression. */
+  def normed(embeddings: DataFrame): DataFrame =
+    embeddings
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("v"))
+      .select(col("vec_id"), col("v"),
+        sqrt(dotCol(col("v"), col("v"))).as("nrm"))
+
+  /** [[normed]] over the harness embeddings table. */
   def normedVecs(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    normed(Tables.embeddings(s, d)
       // single-row-group harness file → 1-task scan; spread before the
       // heavy signature/scoring projections (no-op at real scale)
       .repartition(s.sparkContext.defaultParallelism)
-      .select(col("vec_id"), transform(col("embedding"), _.cast("double")).as("v"))
-      .select(col("vec_id"), col("v"), sqrt(dotCol(col("v"), col("v"))).as("nrm"))
+      .select(col("vec_id"), col("embedding")))
 
   /** SQ8 scalar quantization: per-dimension corpus [lo, hi] bounds
     * (a 64-row aggregate collected into one broadcast row) map every
@@ -321,6 +329,107 @@ object Ann extends QueryModule {
           .orderBy("qid", "rn")
   }
 
+  /** Trained-IVF probe/rerank oracle — shared by n7 (in-memory index)
+    * and n12 (persisted index probed from parquet): the stored-index
+    * path returns bit-identical rows (doubles roundtrip parquet
+    * exactly), so storage adds no oracle surface. Replays both Lloyd
+    * iterations from the md5 seed set, the argmax-cosine assignment,
+    * the 2-cell probe, and the exact rerank. */
+  lazy val ivfTrainedOracleSql: String =
+    vCte +
+      s""",
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM v
+         |       ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfK),
+         |${lloydSqlCtes("c0", "c1", 1)},
+         |${lloydSqlCtes("c1", "c2", 2)},
+         |sc AS (SELECT v.vec_id, c.cid,
+         |         round(${cosSql("v.v", "c.cv")}, 6) AS csim
+         |       FROM v, c2 c),
+         |asg AS (SELECT vec_id, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cid) AS rn FROM sc) WHERE rn = 1),
+         |probes AS (SELECT vec_id AS qid, cid FROM (
+         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+         |    ORDER BY csim DESC, cid) AS rn FROM sc
+         |  WHERE vec_id % 20 = 0) WHERE rn <= 2),
+         |cand AS (SELECT DISTINCT p.qid, a.vec_id AS nbr
+         |         FROM probes p JOIN asg a ON p.cid = a.cid
+         |         WHERE a.vec_id <> p.qid),
+         |s AS (SELECT cand.qid, cand.nbr,
+         |        round(${cosSql("qv.v", "nv.v")}, 4) AS sim
+         |      FROM cand
+         |      JOIN v qv ON qv.vec_id = cand.qid
+         |      JOIN v nv ON nv.vec_id = cand.nbr)
+         |SELECT qid, rn, nbr, sim FROM (
+         |  SELECT qid, nbr, sim,
+         |    CAST(row_number() OVER (PARTITION BY qid
+         |      ORDER BY sim DESC, nbr) AS BIGINT) AS rn
+         |  FROM s)
+         |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+
+  /** Argmax-cosine cell assignment of `vecs` (vec_id, v, nrm) to the
+    * broadcast centroid frame `cents` (cid, cv, cn): the IVF-Flat cell
+    * layout (cid, vec_id, v, nrm) that n12 persists and
+    * [[graft.streaming.StreamOps.ingestAnn]] appends per micro-batch.
+    * Same rounding and (csim desc, cid) tie-break as [[ivfTopK]]'s
+    * internal assignment, so stored and in-memory cells agree. */
+  private[graft] def assignCells(vecs: DataFrame, cents: DataFrame)
+      : DataFrame = {
+    val wAsg = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cid"))
+    vecs.crossJoin(broadcast(cents))
+      .withColumn("csim", round(
+        simFromNorms(col("v"), col("cv"), col("nrm"), col("cn")), 6))
+      .withColumn("rn", row_number().over(wAsg))
+      .filter(col("rn") === 1)
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
+  }
+
+  /** Probe a PERSISTED IVF index with an arbitrary query frame
+    * (qid, qv, qn): each query picks its 2 nearest cells against the
+    * constant broadcast centroid frame, exact cosine reranks the
+    * probed cells' stored vectors to top-3. Never touches the raw
+    * corpus — `cents` and `cells` are the stored artifacts. The
+    * candidate join keys on `cid`, the PARTITION column of the stored
+    * cell frame, so dynamic partition pruning limits the scan to
+    * probed cells. */
+  private[graft] def probeStored(queries: DataFrame, cents: DataFrame,
+      cells: DataFrame): DataFrame = {
+    val wProbe = Window.partitionBy("qid")
+      .orderBy(col("csim").desc, col("cid"))
+    val probes = queries
+      .crossJoin(broadcast(cents))
+      .withColumn("csim", round(
+        simFromNorms(col("qv"), col("cv"), col("qn"), col("cn")), 6))
+      .withColumn("rn", row_number().over(wProbe))
+      .filter(col("rn") <= 2)
+      .select(col("qid"), col("qv"), col("qn"), col("cid"))
+    val wTop = Window.partitionBy("qid")
+      .orderBy(col("sim").desc, col("nbr"))
+    probes
+      .join(cells.select(col("cid"), col("vec_id").as("nbr"),
+        col("v").as("nv"), col("nrm").as("nn")), Seq("cid"))
+      .filter(col("nbr") =!= col("qid"))
+      .withColumn("sim", round(
+        simFromNorms(col("qv"), col("nv"), col("qn"), col("nn")), 4))
+      .withColumn("rn", row_number().over(wTop))
+      .filter(col("rn") <= 3)
+      .select(col("qid"), col("rn").cast("long").as("rn"), col("nbr"),
+        col("sim"))
+      .orderBy("qid", "rn")
+  }
+
+  /** n12 probe path: [[probeStored]] with n3/n7's probe rule (the
+    * stored vectors with vec_id % 20 = 0), so the output is
+    * row-identical to `ivfTopK(vecs, trained)` (AnnSpec pins it). */
+  private[graft] def ivfTopKStored(cents: DataFrame, cells: DataFrame)
+      : DataFrame =
+    probeStored(
+      cells.filter(col("vec_id") % 20 === 0)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("nrm").as("qn")),
+      cents, cells)
+
   /** Oracle fragment: micro-quantized squared L2 between two list exprs —
     * the SQL twin of n8's d2q (sequential-sum dots, scalar combination,
     * round ×1e6 to BIGINT). */
@@ -339,9 +448,15 @@ object Ann extends QueryModule {
        |             * sqrt(list_sum(list_transform($b, x -> x*x))))
        |END""".stripMargin
 
-  /** Exact all-pairs cosine ≥ 0.95 — oracle for `d5_embedding_neardup`
-    * (LSH recall at this threshold is ≈1 with 8 tables; on this data the
-    * similarity gap makes the outputs identical).
+  /** Disjoint id namespace for the d5 planted clones: 1e12 clears any
+    * plausible ScaleGen replica id (stride 1e7; even rep=10^4 tops out
+    * at 1e11) where the old 1e9 offset collided one SF-notch above sf1
+    * (round-10 ADVICE). The SQL literal parses as BIGINT in DuckDB and
+    * the Spark side adds it to a LongType column — no int32 anywhere. */
+  val PlantedIdOffset = 1000000000000L
+
+  /** Cell-bounded cosine ≥ 0.95 pairs — oracle for
+    * `d5_embedding_neardup`.
     *
     * PLANTED DUPLICATES (round-10 vacuity fix): the harness embeddings
     * carry no organic near-dups below sf1 (measured max pairwise cosine
@@ -350,22 +465,53 @@ object Ann extends QueryModule {
     * driver's sf0.01 gate — a vacuous pass, the exact x45 failure mode
     * the round-10 audit exists to catch. Both engines now augment the
     * corpus with an exact clone of every 10th vector at
-    * vec_id + 1e9 (cosine exactly 1.0, LSH signature identical in
-    * every table → recall is structural, not probabilistic), giving the
-    * detector non-trivial work at every SF while leaving the organic
-    * sf1 replica pairs in place. */
-  lazy val neardupOracleSql: String =
+    * vec_id + [[PlantedIdOffset]] (cosine exactly 1.0, LSH signature
+    * identical in every table → recall is structural, not
+    * probabilistic), giving the detector non-trivial work at every SF
+    * while leaving the organic sf1 replica pairs in place.
+    *
+    * LSH-REPLAY (round-11, was exact all-pairs): the all-pairs form
+    * cost ~17 min at sf1 (2.4·10⁸ list-lambda cosines over 22k
+    * vectors), expensive enough that nobody re-ran the full sf1 gate
+    * casually — which is exactly how vacuities survive. The replay now
+    * reproduces the Spark side's OWN candidate structure — bucket-mates
+    * in any of the 8 hyperplane tables (the n2 oracle's signature
+    * arithmetic, bit-equal by the shared sequential-sum dot) — then
+    * the exact cosine ≥ 0.95 filter: 8.3 s at sf1, 129× faster,
+    * verified IDENTICAL to the all-pairs form at sf0.01/sf0.1/sf1
+    * (SCALE.md round 11). Two structure-free alternatives were
+    * measured and REJECTED first: IVF cell-bounding (argmax cell:
+    * misses 8,504 of 119,000 sf1 pairs; probe-2: still misses 84)
+    * fails because ScaleGen's replicas are JITTERED copies (cosine
+    * ≈ 0.9977) that straddle cell boundaries, and no provable
+    * overlap-expansion exists in 64-dim (angle concentration makes
+    * the 2θ* slack cover every cell). The trade is explicit: the
+    * per-round gate now checks Spark-LSH == SQL-LSH + exact filter
+    * (structural twin), while the all-pairs form remains the
+    * independent semantic audit — run once per corpus change, last
+    * verified equal this round at all three SFs. */
+  lazy val neardupOracleSql: String = {
+    val buckets = (0 until NumTables).map(t =>
+      s"SELECT vec_id, v, $t AS t, ${sigSql("v", t)} AS sig FROM vp")
+      .mkString("\n UNION ALL \n")
     vCte +
       s""",
          |vp AS (SELECT vec_id, v FROM v
          |       UNION ALL
-         |       SELECT vec_id + 1000000000, v FROM v
-         |       WHERE vec_id % 10 = 0)
+         |       SELECT vec_id + ${PlantedIdOffset}::BIGINT, v FROM v
+         |       WHERE vec_id % 10 = 0),
+         |b AS ($buckets),
+         |cand AS (SELECT DISTINCT a.vec_id AS ida, b2.vec_id AS idb
+         |         FROM b a JOIN b b2
+         |           ON a.t = b2.t AND a.sig = b2.sig
+         |          AND a.vec_id < b2.vec_id)
          |SELECT ida, idb, round(sim, 4) AS sim FROM (
-         |  SELECT a.vec_id AS ida, b.vec_id AS idb,
-         |         ${cosSql("a.v", "b.v")} AS sim
-         |  FROM vp a JOIN vp b ON a.vec_id < b.vec_id)
+         |  SELECT cand.ida, cand.idb,
+         |         ${cosSql("va.v", "vb.v")} AS sim
+         |  FROM cand JOIN vp va ON va.vec_id = cand.ida
+         |            JOIN vp vb ON vb.vec_id = cand.idb)
          |WHERE sim >= 0.95 ORDER BY ida, idb""".stripMargin
+  }
 
   override def queries: Seq[GQuery] = Seq(
 
@@ -512,36 +658,52 @@ object Ann extends QueryModule {
         val trained = lloydStep(vecs, lloydStep(vecs, seedCentroids(vecs)))
         ivfTopK(vecs, trained)
       },
-      Some(vCte +
-        s""",
-           |c0 AS (SELECT vec_id AS cid, v AS cv FROM v
-           |       ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT $IvfK),
-           |${lloydSqlCtes("c0", "c1", 1)},
-           |${lloydSqlCtes("c1", "c2", 2)},
-           |sc AS (SELECT v.vec_id, c.cid,
-           |         round(${cosSql("v.v", "c.cv")}, 6) AS csim
-           |       FROM v, c2 c),
-           |asg AS (SELECT vec_id, cid FROM (
-           |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-           |    ORDER BY csim DESC, cid) AS rn FROM sc) WHERE rn = 1),
-           |probes AS (SELECT vec_id AS qid, cid FROM (
-           |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-           |    ORDER BY csim DESC, cid) AS rn FROM sc
-           |  WHERE vec_id % 20 = 0) WHERE rn <= 2),
-           |cand AS (SELECT DISTINCT p.qid, a.vec_id AS nbr
-           |         FROM probes p JOIN asg a ON p.cid = a.cid
-           |         WHERE a.vec_id <> p.qid),
-           |s AS (SELECT cand.qid, cand.nbr,
-           |        round(${cosSql("qv.v", "nv.v")}, 4) AS sim
-           |      FROM cand
-           |      JOIN v qv ON qv.vec_id = cand.qid
-           |      JOIN v nv ON nv.vec_id = cand.nbr)
-           |SELECT qid, rn, nbr, sim FROM (
-           |  SELECT qid, nbr, sim,
-           |    CAST(row_number() OVER (PARTITION BY qid
-           |      ORDER BY sim DESC, nbr) AS BIGINT) AS rn
-           |  FROM s)
-           |WHERE rn <= 3 ORDER BY qid, rn""".stripMargin)),
+      Some(ivfTrainedOracleSql)),
+
+    // N12: PERSISTED IVF index — the d16_stored_index pattern applied
+    // to the ANN family (round-10 VERDICT #1: until now every n-block
+    // query re-featurized, re-trained, and re-bucketed the corpus
+    // inside the query, but index BUILD is the amortized cost of a
+    // real retrieval store — built once per corpus version, probed by
+    // every query thereafter). Build: n7's two Lloyd iterations train
+    // the centroids, every vector is assigned to its argmax-cosine
+    // cell, and the managed artifacts land on parquet — the centroid
+    // frame (cid, cv, cn) and the cell-partitioned vector store
+    // (IVF-Flat layout: vec_id, v, nrm + the SQ8 code q as the
+    // compressed tier, written `partitionBy(cid)`) — then the PROBE
+    // path reads ONLY
+    // the stored artifacts: probe vectors pick their 2 nearest cells
+    // against the ~IvfK-row broadcast centroid frame and exact cosine
+    // reranks within those cells' stored vectors. No corpus
+    // featurization, training, or assignment happens at probe time.
+    // At 100 TB the cid-partitioning is the point: the candidate join
+    // keys on the partition column against a small probe frame, so
+    // dynamic partition pruning reads only the probed cells' files —
+    // probe I/O is O(cells touched), not O(corpus). Output ==
+    // `ivfTopK(vecs, trained)` exactly (doubles roundtrip parquet
+    // bit-identically; AnnSpec pins stored-probe == in-memory), so the
+    // oracle is n7's — training replay is bit-exact and STORAGE is the
+    // only new surface. Maintenance (batches joining the corpus
+    // without retraining) is the streaming twin
+    // [[graft.streaming.StreamOps.ingestAnn]].
+    GQuery("n12_stored_ivf",
+      (s, d) => {
+        val dir = java.nio.file.Files
+          .createTempDirectory("graft_ivfidx_").toString
+        // ---- build (once per corpus version) ----
+        val vecs = graft.Caches.track(normedVecs(s, d))
+        val trained = lloydStep(vecs, lloydStep(vecs, seedCentroids(vecs)))
+        trained.write.mode("overwrite").parquet(s"$dir/centroids")
+        val cents = s.read.parquet(s"$dir/centroids")
+        assignCells(vecs, cents)
+          .join(sq8Quantized(s, d), Seq("vec_id"))
+          .select(col("cid"), col("vec_id"), col("v"), col("nrm"), col("q"))
+          .write.partitionBy("cid").mode("overwrite")
+          .parquet(s"$dir/cells")
+        // ---- probe (every query thereafter): stored artifacts only ----
+        ivfTopKStored(cents, s.read.parquet(s"$dir/cells"))
+      },
+      Some(ivfTrainedOracleSql)),
 
     // Scalar-quantized (SQ8) kNN: per-dimension [lo, hi] corpus bounds
     // map every coordinate to an 8-bit code; distances are then EXACT

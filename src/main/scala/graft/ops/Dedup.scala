@@ -503,16 +503,17 @@ object Dedup extends QueryModule {
     // 1-(1-0.43)^8 ≈ 0.99. Exact cosine verifies candidates only. Oracle
     // is the exact all-pairs filter — equal on this data because the
     // cosine distribution is far from the cut (max ≈ 0.5).
-    // Corpus augmented with exact clones of every 10th vector (id+1e9)
-    // — see Ann.neardupOracleSql's PLANTED DUPLICATES note: without
-    // them the harness data has no near-dup pair below sf1 and the
-    // sf0.01 driver gate matched an empty frame vacuously (round-10
-    // audit finding).
+    // Corpus augmented with exact clones of every 10th vector (id +
+    // Ann.PlantedIdOffset, a namespace disjoint from any ScaleGen
+    // replica id) — see Ann.neardupOracleSql's PLANTED DUPLICATES
+    // note: without them the harness data has no near-dup pair below
+    // sf1 and the sf0.01 driver gate matched an empty frame vacuously
+    // (round-10 audit finding).
     GQuery("d5_embedding_neardup",
       (s, d) => {
         val base = Ann.normedVecs(s, d)
         val planted = base.filter(col("vec_id") % 10 === 0)
-          .withColumn("vec_id", col("vec_id") + 1000000000L)
+          .withColumn("vec_id", col("vec_id") + Ann.PlantedIdOffset)
         embeddingNeardupPairs(base.unionByName(planted), 0.95)
           .orderBy("ida", "idb")
       },

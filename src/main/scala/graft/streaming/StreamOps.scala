@@ -97,6 +97,36 @@ object StreamOps extends Serializable {
 
   val MaxEventsPerSession = 1000
 
+  /** Default state-store partition count for stateful streaming ops.
+    * Round 10 measured that streaming throughput at harness state
+    * sizes is bound by PER-PARTITION state-store commit overhead, not
+    * compute: 8 state partitions beat 32 on EVERY op at 10M events
+    * (dedup 212k vs 153k ev/s on 4× fewer cores — SCALE.md round 10).
+    * Partitions should track state VOLUME, not core count; this
+    * default makes the measured-fast configuration the one callers
+    * get without reading SCALE.md. */
+  val DefaultStateParts = 8
+
+  /** The state-partition LEVER (round-10 VERDICT #2): Spark fixes a
+    * streaming query's state-store partition count from
+    * `spark.sql.shuffle.partitions` AT FIRST START (it is then pinned
+    * in the checkpoint), and there is no per-query knob — so the
+    * correct mechanism is to set the conf around `start()` and
+    * restore it. Streaming queries clone the session at construction,
+    * so the override is captured by the query and invisible to
+    * everything else on the session afterwards.
+    *
+    * Usage: `withStateParts(spark) { writer.start() }` — or any block
+    * that starts one or more stateful queries. Batch work is
+    * unaffected (the previous value is restored on exit). */
+  def withStateParts[A](s: SparkSession,
+      stateParts: Int = DefaultStateParts)(startQueries: => A): A = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, stateParts.toString)
+    try startQueries finally s.conf.set(key, prev)
+  }
+
   /** Watermarked sliding-window counts per event type — the canonical
     * streaming aggregation (append-mode safe). */
   def windowedTypeCounts(
@@ -625,6 +655,72 @@ object StreamOps extends Serializable {
     * the probe stays O(batch + collisions) — the corpus-side
     * featurization is never recomputed, only read. Run
     * [[seedDedupIndex]] once first. */
+  /** Seed the stored ANN index from an initial corpus — n12's build as
+    * a standalone step: train centroids (two Lloyd iterations from the
+    * md5 seed set), write them, and write the cell-assigned vector
+    * frame as a `batch_id=-1` partition so the seed and every
+    * micro-batch appendix read back as ONE partitioned dataset (the
+    * [[seedDedupIndex]] convention). Must run once before
+    * [[ingestAnn]] starts. */
+  def seedAnnIndex(embeddings: DataFrame, centDir: String,
+      cellsDir: String): Unit = {
+    val vecs = graft.ops.Ann.normed(embeddings)
+    val trained = graft.ops.Ann.lloydStep(vecs,
+      graft.ops.Ann.lloydStep(vecs, graft.ops.Ann.seedCentroids(vecs)))
+    trained.write.mode("overwrite").parquet(centDir)
+    val cents = embeddings.sparkSession.read.parquet(centDir)
+    graft.ops.Ann.assignCells(vecs, cents)
+      .write.mode("overwrite").parquet(s"$cellsDir/batch_id=-1")
+  }
+
+  /** Streaming ANN-index MAINTENANCE against n12's persisted IVF index
+    * — the ingestDedup shape for the n-family (round-11: the piece
+    * n12's batch build doesn't do). Each micro-batch of
+    * (vec_id, embedding):
+    *
+    *  1. probes the PRE-BATCH stored index — every arriving vector's
+    *     top-3 stored neighbors (2-cell probe against the broadcast
+    *     centroid frame, exact rerank), written to
+    *     `outDir/batch_id=K`. The cells read is bounded
+    *     `batch_id < K` — the strict-older bound ([[mergeTypeCounts]]'
+    *     replay-idempotence invariant): a REPLAYED batch probes its
+    *     original index state, never its own half-committed appendix;
+    *  2. assigns the batch to the STORED centroids' cells (no
+    *     retraining — the production cadence: retrain offline per
+    *     corpus version, assign online) and APPENDS them as
+    *     `cellsDir/batch_id=K`, so batch K+1 probes an index that
+    *     already contains batch K.
+    *
+    * All state lives ON DISK, partitioned by batch id; a replayed
+    * batch overwrites its own partitions. At 100 TB the per-batch cost
+    * is O(batch · IvfK) assignment cosines + the probed cells' scan —
+    * the corpus is never re-featurized, only read. Run
+    * [[seedAnnIndex]] once first. */
+  def ingestAnn(vecs: DataFrame, centDir: String, cellsDir: String,
+      outDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val s = batch.sparkSession
+      val nv = graft.ops.Ann.normed(batch.select("vec_id", "embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val cents = s.read.parquet(centDir)
+        val prior = s.read.parquet(cellsDir)
+          .filter(col("batch_id") < batchId)
+          .select("cid", "vec_id", "v", "nrm")
+        graft.ops.Ann.probeStored(
+            nv.select(col("vec_id").as("qid"), col("v").as("qv"),
+              col("nrm").as("qn")),
+            cents, prior)
+          .write.mode("overwrite").parquet(s"$outDir/batch_id=$batchId")
+        graft.ops.Ann.assignCells(nv, cents)
+          .write.mode("overwrite")
+          .parquet(s"$cellsDir/batch_id=$batchId")
+      } finally {
+        nv.unpersist(); graft.Caches.drain(s)
+      }
+    }
+
   def ingestDedup(docs: DataFrame, indexDir: String, shingleDir: String,
       outDir: String, minSim: Double = 0.5)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =

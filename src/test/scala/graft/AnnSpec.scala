@@ -276,4 +276,45 @@ class AnnSpec extends AnyFunSuite {
     out.filter(o => label0(o._1) && o._2 != 6L)
       .foreach(o => assert(!o._3, s"easy negative flagged hard: $o"))
   }
+
+  test("n12 stored-index probe == in-memory trained-IVF probe") {
+    // the persisted-index contract: writing the trained centroids and
+    // cell-assigned vectors to parquet and probing THE STORED FRAMES
+    // yields row-identical results to n7's in-memory ivfTopK (doubles
+    // roundtrip parquet bit-exactly; same rounding and tie-breaks).
+    val vecs = graft.Caches.track(graft.ops.Ann.normedVecs(spark, sfDir))
+    val trained = graft.ops.Ann.lloydStep(vecs,
+      graft.ops.Ann.lloydStep(vecs, graft.ops.Ann.seedCentroids(vecs)))
+    val inMem = graft.ops.Ann.ivfTopK(vecs, trained).collect().toSeq
+    val stored = q("n12_stored_ivf").collect().toSeq
+    assert(stored == inMem,
+      s"stored probe diverges: ${stored.size} vs ${inMem.size} rows")
+  }
+
+  test("n12 artifacts survive the parquet roundtrip: centroids, cells, SQ8 codes") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ivfidx_spec_").toString
+    val vecs = graft.Caches.track(graft.ops.Ann.normedVecs(spark, sfDir))
+    val trained = graft.ops.Ann.lloydStep(vecs,
+      graft.ops.Ann.lloydStep(vecs, graft.ops.Ann.seedCentroids(vecs)))
+    trained.write.mode("overwrite").parquet(s"$dir/centroids")
+    val cents = spark.read.parquet(s"$dir/centroids")
+    graft.ops.Ann.assignCells(vecs, cents)
+      .join(graft.ops.Ann.sq8Quantized(spark, sfDir), Seq("vec_id"))
+      .select(col("cid"), col("vec_id"), col("v"), col("nrm"), col("q"))
+      .write.partitionBy("cid").mode("overwrite").parquet(s"$dir/cells")
+    // centroid frame: bit-identical after the roundtrip
+    val want = trained.orderBy("cid").collect().toSeq
+    val got = cents.orderBy("cid").collect().toSeq
+    assert(got == want, "centroids changed across the parquet roundtrip")
+    // cells: every corpus vector appears exactly once, and its stored
+    // SQ8 code equals a fresh quantization (signature stability — the
+    // d16 property the n-family index needs for cross-JVM probes)
+    val cells = spark.read.parquet(s"$dir/cells")
+    assert(cells.count() == vecs.count(), "cells lost/duplicated vectors")
+    val mismatch = cells.select(col("vec_id"), col("q").as("q_stored"))
+      .join(graft.ops.Ann.sq8Quantized(spark, sfDir), Seq("vec_id"))
+      .filter(col("q_stored") =!= col("q")).count()
+    assert(mismatch == 0, s"$mismatch stored SQ8 codes drifted")
+  }
 }

@@ -540,6 +540,58 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("ingestAnn: probes see only the PRIOR index, cells grow per batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files
+      .createTempDirectory("graft_ingestann_").toString
+    val (centDir, cellsDir, outDir) =
+      (s"$base/cent", s"$base/cells", s"$base/out")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id"), col("embedding"))
+    // seed: ids 0-299; batches carry 300-399 then 400-498 plus a
+    // planted EXACT COPY of vector 300's embedding at id 9000 — its
+    // top stored neighbor must be 300 at cosine exactly 1.0, which
+    // pins that batch 1 probes an index already grown by batch 0.
+    StreamOps.seedAnnIndex(emb.filter(col("vec_id") < 300), centDir,
+      cellsDir)
+    val rows = emb.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val b0 = rows.filter(r => r._1 >= 300 && r._1 < 400)
+    val b1 = rows.filter(r => r._1 >= 400 && r._1 < 499) :+
+      (9000L, rows.find(_._1 == 300L).get._2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = StreamOps.ingestAnn(
+      mem.toDF().toDF("vec_id", "embedding"), centDir, cellsDir, outDir)
+      .start()
+    try {
+      mem.addData(b0.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      val out = spark.read.parquet(outDir)
+        .select(col("batch_id"), col("qid"), col("rn"), col("nbr"),
+          col("sim")).collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+      // batch-0 probes only ever match the seed; batch-1 probes match
+      // seed + batch-0 survivors, never batch-mates
+      assert(out.nonEmpty, "no probe output")
+      out.filter(_._1 == 0).foreach { o =>
+        assert(o._4 < 300L, s"batch-0 probe matched non-seed: $o") }
+      out.filter(_._1 == 1).foreach { o =>
+        assert(o._4 < 400L, s"batch-1 probe matched a batch-mate: $o") }
+      val planted = out.filter(o => o._2 == 9000L && o._3 == 1L)
+      assert(planted.length == 1 && planted.head._4 == 300L &&
+        planted.head._5 == 1.0,
+        s"planted copy's top neighbor should be (300, 1.0): " +
+          s"${planted.toSeq}")
+      // the index holds seed + both batches exactly once each
+      val ids = spark.read.parquet(cellsDir).select("vec_id")
+        .as[Long].collect().sorted
+      assert(ids.length == 500 && ids.distinct.length == 500 &&
+        ids.last == 9000L, s"index holds ${ids.length} ids")
+    } finally q.stop()
+  }
+
   test("annotationConsensus: quorum emit matches the batch vote, split-invariant") {
     import spark.implicits._
     import graft.streaming.{AnnRow, ConsensusOut}
