@@ -162,6 +162,7 @@ class ConvergenceSpec extends AnyFunSuite {
       .filter(col("pa") < col("pb"))
       .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
       .filter(col("w") >= 2).select("pa", "pb")
+      .unionByName(ops.Cluster.plantedKcoreEdges(spark))
     val lib = ops.Cluster.kcoreConverged(e, 2)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     // driver-side exact fixpoint peel (sf0.001: a few hundred edges)
@@ -180,6 +181,16 @@ class ConvergenceSpec extends AnyFunSuite {
     assert(reg == lib, "registered m24 diverges from kcoreConverged")
     assert(lib == want, "fixpoint diverges from the driver-side peel")
     assert(reg.nonEmpty, "vacuous: empty core on harness data")
+    // the planted structure behaves as designed: all 120 clique nodes
+    // survive at degree 29; pendants and the full 3-chains are peeled
+    val P = 1000000000000L
+    for (c <- 0 until 4; i <- 0 until 30) {
+      val n = P + c * 1000L + i
+      assert(reg.get(n).contains(29L), s"planted clique node $n: ${reg.get(n)}")
+    }
+    for (c <- 0 until 4; t <- Seq(100L, 200L, 201L, 202L))
+      assert(!reg.contains(P + c * 1000L + t),
+        s"planted peelable node ${P + c * 1000L + t} survived")
     Caches.drain()
   }
 
