@@ -123,17 +123,102 @@ object StreamBench {
     // per-micro-batch fixed cost (~0.4 s each, the 1M-event matrix's
     // known asymptote) and measures what the operator itself can
     // sustain; the chunked default stays the realistic-ingest number.
-    val availableNow =
-      sys.env.get("SPARK_GRAFT_STREAM_MODE").contains("availablenow")
+    //
+    // SPARK_GRAFT_STREAM_MODE=availablenow_bounded (round-10 VERDICT
+    // #3): the BOUNDED drain — the MemoryStream form above delivers
+    // everything as ONE batch (48 GiB OOM at 10M events), because the
+    // memory source has no admission control. Production drains don't:
+    // the chunks land as parquet FILES and the file source's
+    // maxFilesPerTrigger (SPARK_GRAFT_DRAIN_FILES_PER_TRIGGER, default
+    // 1 = one chunk per micro-batch) bounds every batch that
+    // Trigger.AvailableNow plans — same self-terminating protocol,
+    // memory bounded by chunk size + live state. Files carry strictly
+    // increasing mtimes in chunk order so the source (latestFirst =
+    // false) processes them in event-time order and the watermark
+    // stays monotone — the dedup rows_out parity below is enforced in
+    // this mode too.
+    val streamMode = sys.env.getOrElse("SPARK_GRAFT_STREAM_MODE", "chunked")
+    val availableNow = streamMode == "availablenow"
+    val boundedDrain = streamMode == "availablenow_bounded"
+    val filesPerTrigger =
+      sys.env.getOrElse("SPARK_GRAFT_DRAIN_FILES_PER_TRIGGER", "1").toInt
+
+    // SPARK_GRAFT_STATE_PARTS (round-10 VERDICT #2): route every query
+    // start through StreamOps.withStateParts — state-store partitions
+    // sized to state volume (8 beat 32 on every op at 10M events)
+    // while the session keeps its full compute parallelism for the
+    // non-stateful work. Unset = session default (the old behavior).
+    val statePartsOpt = sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt)
+    def startQ[A](body: => A): A = statePartsOpt match {
+      case Some(p) => graft.streaming.StreamOps.withStateParts(spark, p)(body)
+      case None => body
+    }
+
+    // bounded-drain feeds: each chunk ONE parquet file in a shared dir
+    // (written once, reused by every op that consumes that feed), with
+    // mtimes spaced 60 s apart in chunk order.
+    lazy val feedDirs = scala.collection.mutable.Map.empty[String, String]
+    def fileFeed(name: String, feed: Array[Array[StreamEvent]]): String =
+      feedDirs.getOrElseUpdate(name, {
+        val dir = java.nio.file.Files
+          .createTempDirectory(s"graft-streamfeed-$name").toString
+        val t0 = System.currentTimeMillis() - feed.length * 60000L
+        feed.zipWithIndex.foreach { case (c, k) =>
+          val tmp = java.nio.file.Files
+            .createTempDirectory("graft-streamfeed-tmp").toString
+          spark.createDataset(c.toIndexedSeq)(
+              org.apache.spark.sql.Encoders.product[StreamEvent])
+            .coalesce(1).write.mode("overwrite").parquet(tmp)
+          val part = new java.io.File(tmp).listFiles()
+            .find(_.getName.endsWith(".parquet")).get
+          val dst = new java.io.File(dir, f"chunk$k%05d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          dst.setLastModified(t0 + k * 60000L)
+          org.apache.commons.io.FileUtils
+            .deleteQuietly(new java.io.File(tmp))
+        }
+        System.err.println(s"[streambench] feed '$name': ${feed.length} " +
+          s"files at $dir")
+        dir
+      })
 
     /** Runs one op over the feed; returns (wallSec, rowsOut, eventsIn). */
     def run(feed: Array[Array[StreamEvent]], warm: Boolean)(
         mk: DataFrame => DataFrame): (Double, Long, Long) = {
       implicit val sqlCtx = spark.sqlContext
-      val mem = MemoryStream[StreamEvent]
       val out = new AtomicLong(0L)
       val ckpt = java.nio.file.Files
         .createTempDirectory("graft-streambench").toString
+      if (boundedDrain && !warm) {
+        // bounded drain: parquet file source + maxFilesPerTrigger.
+        // The feed dir is written once per feed (shared across ops
+        // and NOT in the timed window — the drain measures the
+        // operator, not parquet encoding; the chunked mode's
+        // feed-inclusive number remains the ingest-cadence yardstick).
+        val feedName = if (feed eq dupChunked) "dup" else "main"
+        val dir = fileFeed(feedName, feed)
+        val fed = feed.iterator.map(_.length.toLong).sum
+        val t0 = System.nanoTime()
+        val q = startQ(spark.readStream
+          .schema(org.apache.spark.sql.Encoders.product[StreamEvent].schema)
+          .option("maxFilesPerTrigger", filesPerTrigger)
+          .parquet(dir)
+          .transform(mk)
+          .writeStream
+          .outputMode(OutputMode.Append)
+          .option("checkpointLocation", ckpt)
+          .foreachBatch { (df: DataFrame, _: Long) =>
+            out.addAndGet(df.count()); ()
+          }
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
+        try q.awaitTermination() finally q.stop()
+        val wall = (System.nanoTime() - t0) / 1e9
+        org.apache.commons.io.FileUtils
+          .deleteQuietly(new java.io.File(ckpt))
+        return (wall, out.get(), fed)
+      }
+      val mem = MemoryStream[StreamEvent]
       val use = if (warm) feed.take(1) else feed
       val t0 = System.nanoTime()
       var fed = 0L
@@ -148,12 +233,12 @@ object StreamBench {
         // timed window still covers feed + every batch, same as the
         // chunked protocol (addData is a driver-side batch append)
         use.foreach { c => mem.addData(c.toIndexedSeq); fed += c.length }
-        val q = writer
+        val q = startQ(writer
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-          .start()
+          .start())
         try q.awaitTermination() finally q.stop()
       } else {
-        val q: StreamingQuery = writer.start()
+        val q: StreamingQuery = startQ(writer.start())
         try {
           use.foreach { c =>
             mem.addData(c.toIndexedSeq)
@@ -251,10 +336,10 @@ object StreamBench {
       f""""$name":{"wall_s":$wall%.2f,"rows_out":$rows,""" +
         f""""events_per_s":${fed / wall}%.0f}"""
     }.mkString(",")
-    val mode = if (availableNow) "availablenow" else "chunked"
+    val partsJson = statePartsOpt.fold("")(p => s""""state_parts":$p,""")
     println(s"""{"metric":"stream_bench","events":$n,"chunks":$chunks,""" +
-      s""""sf":"${sfDir.split('/').last}","reps":$reps,"mode":"$mode",""" +
-      s""""ops":{$opsJson}}""")
+      s""""sf":"${sfDir.split('/').last}","reps":$reps,""" +
+      s""""mode":"$streamMode",$partsJson"ops":{$opsJson}}""")
     // dedup's feed is the event set with every 10th event re-delivered,
     // so its exact rows_out is n (the distinct event_id count) — the
     // batch-parity invariant of BOTH protocols. Enforced under fault
@@ -262,13 +347,18 @@ object StreamBench {
     // store that lost its dup registry, changes the count) and in the
     // availablenow drain (whose different batch boundaries must not
     // change append-mode semantics).
-    val dedupBad = (killMidStream || availableNow) && results.collectFirst {
-      case ("dedup", (_, rows, _)) if rows != n.toLong => rows
-    }.isDefined
+    val dedupBad = (killMidStream || availableNow || boundedDrain) &&
+      results.collectFirst {
+        case ("dedup", (_, rows, _)) if rows != n.toLong => rows
+      }.isDefined
     if (dedupBad) {
       val got = results.collectFirst { case ("dedup", (_, r, _)) => r }.get
+      val ctx =
+        if (killMidStream) "after mid-stream executor kill"
+        else s"in the $streamMode drain (batch boundaries must not " +
+          "change append-mode dedup semantics)"
       System.err.println(s"[streambench] FAILURE: dedup rows_out=$got " +
-        s"!= distinct event count $n after mid-stream executor kill")
+        s"!= distinct event count $n $ctx")
     }
     spark.stop()
     if (dedupBad) sys.exit(1)
