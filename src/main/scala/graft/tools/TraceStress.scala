@@ -62,6 +62,47 @@ object TraceStress {
     System.err.println(f"[stress] generated $nEvents%,d events " +
       f"(${(System.nanoTime() - t0) / 1e9}%.1f s)")
 
+    // GRAFT_STRESS_PROFILE=part1 (round-10 VERDICT #7): part1 was 59%
+    // of the 10M wall (1,340.8 s of 2,255.7 under local-cluster) and
+    // nobody knew which phase dominates. Profile mode re-runs part1
+    // with a materialization barrier (persist + count) after each
+    // phase, attributing wall time: process/depth aggregation → depth
+    // join → LSH server clustering → cluster-space rewrite → equal
+    // grouping → dedup sink. Prints one JSON line and exits (the
+    // barriers change part1's fusion, so the profiled total is an
+    // upper bound on the fused pipeline — attribution, not a bench).
+    if (sys.env.get("GRAFT_STRESS_PROFILE").contains("part1")) {
+      val phases = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+      def timed[T](name: String)(f: => T): T = {
+        val t = System.nanoTime()
+        val r = f
+        val dt = (System.nanoTime() - t) / 1e9
+        phases += name -> dt
+        System.err.println(f"[stress-profile] $name%-24s $dt%8.1f s")
+        r
+      }
+      def bar(df: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val p = df.persist(StorageLevel.MEMORY_AND_DISK); p.count(); p
+      }
+      val praw = timed("processes") { bar(TP.processes(logs)) }
+      val procs = timed("depth_features") { bar(TP.depthFeatures(praw)) }
+      val withDepth = timed("logs_with_depth") {
+        bar(TP.logsWithDepth(logs, procs)) }
+      val dim = timed("server_cluster_dim") {
+        bar(TP.serverClusterDim(spark, TP.serverConnections(withDepth))) }
+      val cl = timed("cluster_logs") { bar(TP.clusterLogs(logs, dim)) }
+      val grp = timed("equal_processes") { bar(TP.equalProcesses(cl)) }
+      timed("deduped_log") { TP.dedupedLog(cl, grp).count() }
+      val totalP = (System.nanoTime() - t0) / 1e9
+      val pj = phases.map { case (k, v) => f""""$k":$v%.1f""" }
+        .mkString(",")
+      println(f"""{"metric":"trace_stress_profile","procs":$nProcs,""" +
+        f""""events":$nEvents,"phases":{$pj},"total_s":$totalP%.1f}""")
+      spark.stop()
+      return
+    }
+
     val (groups, dedup) = TP.part1(spark, logs)
     val g = groups.select(col("group_processes_id"),
       size(col("equal_processes")).as("n")).collect()

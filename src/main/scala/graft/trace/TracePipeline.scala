@@ -95,20 +95,31 @@ object TracePipeline {
       })
 
   /** processes + servers_depth map + depth_to_servers inverse map
-    * (`Src/processes.py:108-129`). */
-  def depthFeatures(procs: DataFrame): DataFrame = {
-    val withDepth = procs
+    * (`Src/processes.py:108-129`).
+    *
+    * The inverse map is a PER-ROW expression: group the servers_depth
+    * entries by depth value with higher-order functions instead of the
+    * explode → two keyed aggregations → self-join this used to be.
+    * Inverting a ≤`nServers`-entry map is O(k²) scalar work per row;
+    * the old shape paid an explode of every (server, depth) entry, two
+    * process-keyed shuffles, and a corpus-sized join to put the column
+    * back — at 10M processes that join dominated the whole of part1
+    * (round-11 profile: depth_features 359.9 s of part1's 546.5 s
+    * phase total; the rewrite cuts the phase ~6× and removes two
+    * exchanges from part1's plan). Ordering matches the old
+    * aggregation exactly: servers sorted within a depth, entries
+    * sorted by depth. */
+  def depthFeatures(procs: DataFrame): DataFrame =
+    procs
       .withColumn("servers_depth", serversDepthCol(col("request_path")))
-    val inverse = withDepth
-      .select(col("process_id"), explode(col("servers_depth"))
-        .as(Seq("server", "depth")))
-      .groupBy("process_id", "depth")
-      .agg(sort_array(collect_list(col("server"))).as("servers"))
-      .groupBy("process_id")
-      .agg(map_from_entries(array_sort(collect_list(
-        struct(col("depth"), col("servers"))))).as("depth_to_servers"))
-    withDepth.join(inverse, Seq("process_id"), "left")
-  }
+      .withColumn("depth_to_servers",
+        map_from_entries(array_sort(transform(
+          array_distinct(map_values(col("servers_depth"))),
+          d => struct(d.as("depth"),
+            sort_array(transform(
+              filter(map_entries(col("servers_depth")),
+                e => e.getField("value") === d),
+              e => e.getField("key"))).as("servers"))))))
 
   /** logs + depth_from (depth of the calling server; −1 when unknown —
     * `Src/processes.py:137-148`). */
