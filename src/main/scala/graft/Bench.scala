@@ -160,8 +160,12 @@ object Bench {
     // flag list, not forensics. Tolerance: hi*1.3+0.2s above (drift),
     // lo/1.5-0.1s below (suspiciously fast — a query that suddenly
     // returns nothing also "improves").
+    // sf1 registry runs get their own committed band file by default
+    // (round-10 VERDICT #6): sf1 drift was the one axis still
+    // eyeball-audited, at exactly the scale where a re-run to check a
+    // suspicion is most expensive.
     val bandsFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_BANDS",
-      "BENCH_BANDS.json")
+      if (sfName == "sf1") "SCALE_SF1_BANDS.json" else "BENCH_BANDS.json")
     // A disabled guard must be VISIBLE at measurement time (round-10
     // ADVICE): when the file exists but yields zero usable bands —
     // wrong sf, reformatted JSON the regex no longer matches, or a

@@ -198,6 +198,11 @@ object StreamBench {
         val feedName = if (feed eq dupChunked) "dup" else "main"
         val dir = fileFeed(feedName, feed)
         val fed = feed.iterator.map(_.length.toLong).sum
+        // data-batch counter: the WITNESS that admission control
+        // actually bounded the drain (nBatches must be ≥ files /
+        // maxFilesPerTrigger; a single giant batch means the limit was
+        // ignored and the memory claim is void)
+        val nBatches = new AtomicLong(0L)
         val t0 = System.nanoTime()
         val q = startQ(spark.readStream
           .schema(org.apache.spark.sql.Encoders.product[StreamEvent].schema)
@@ -208,12 +213,16 @@ object StreamBench {
           .outputMode(OutputMode.Append)
           .option("checkpointLocation", ckpt)
           .foreachBatch { (df: DataFrame, _: Long) =>
+            nBatches.incrementAndGet()
             out.addAndGet(df.count()); ()
           }
           .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
           .start())
         try q.awaitTermination() finally q.stop()
         val wall = (System.nanoTime() - t0) / 1e9
+        System.err.println(s"[streambench]   drain planned " +
+          s"${nBatches.get()} batches over ${feed.length} files " +
+          s"(maxFilesPerTrigger=$filesPerTrigger)")
         org.apache.commons.io.FileUtils
           .deleteQuietly(new java.io.File(ckpt))
         return (wall, out.get(), fed)
@@ -360,7 +369,42 @@ object StreamBench {
       System.err.println(s"[streambench] FAILURE: dedup rows_out=$got " +
         s"!= distinct event count $n $ctx")
     }
+    // sessionize cadence-independence (round 11): with gap-splitting
+    // inside fn, the emitted session partition is a pure function of
+    // the event SET — so rows_out must equal the driver-computable
+    // expectation in EVERY mode (20-chunk cadence, one-batch drain,
+    // bounded drain): gap-partition each user's ordered events; a
+    // session emits iff a later event closed it (which implies
+    // last+gap < maxTs) or the final watermark (= global max ts)
+    // passed last+gap. A session ending exactly at maxTs−gap is a
+    // </<= boundary tie in the state-store timeout check, so the
+    // assertion brackets both counts.
+    val sessGapMs = 30L * 60 * 1000
+    val maxTs = events.iterator.map(_.ts.getTime).max
+    val sessionLasts = events.groupBy(_.user_id).iterator.flatMap {
+      case (_, es) =>
+        val ts = es.map(_.ts.getTime).sorted
+        val ends = scala.collection.mutable.ArrayBuffer(ts.head)
+        var last = ts.head
+        ts.iterator.drop(1).foreach { t =>
+          if (t > last + sessGapMs) ends += t else ends(ends.size - 1) = t
+          last = t
+        }
+        ends
+    }.toArray
+    val expectLo = sessionLasts.count(_ + sessGapMs < maxTs).toLong
+    val expectHi = sessionLasts.count(_ + sessGapMs <= maxTs).toLong
+    val sessBad = results.collectFirst {
+      case ("sessionize", (_, rows, _))
+          if rows < expectLo || rows > expectHi => rows
+    }
+    sessBad.foreach { got =>
+      System.err.println(s"[streambench] FAILURE: sessionize " +
+        s"rows_out=$got outside expected [$expectLo,$expectHi] in mode " +
+        s"$streamMode (gap sessionization must be micro-batch-cadence " +
+        "independent)")
+    }
     spark.stop()
-    if (dedupBad) sys.exit(1)
+    if (dedupBad || sessBad.isDefined) sys.exit(1)
   }
 }

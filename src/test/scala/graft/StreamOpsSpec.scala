@@ -229,6 +229,40 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("sessionize: output is independent of micro-batch cadence") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // one user, three gap-separated sessions (gap 60s): [10,30],
+    // [200,210], [500] — the last stays open (never emitted). The 200s
+    // event lands >gap after 30s WITHIN one delivery in the 1-batch
+    // run and ACROSS deliveries in the 3-batch run; both cadences must
+    // emit the same closed sessions (round-11 drain-vs-chunked parity).
+    val feed = Seq(ev(1, 1, "click", 10), ev(2, 1, "view", 30),
+      ev(3, 1, "click", 200), ev(4, 1, "view", 210), ev(5, 1, "click", 500))
+    def runWith(name: String, batches: Seq[Seq[StreamEvent]]) = {
+      val mem = MemoryStream[StreamEvent]
+      val q = StreamOps.sessionize(mem.toDS(), gapMs = 60000L)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try {
+        batches.foreach { b => mem.addData(b: _*); q.processAllAvailable() }
+        spark.sql(s"SELECT user_id, n_events, path, start_ms, end_ms " +
+            s"FROM $name").collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+            r.getLong(3), r.getLong(4))).toSet
+      } finally q.stop()
+    }
+    val oneBatch = runWith("sess_one", Seq(feed))
+    val threeBatches = runWith("sess_three",
+      Seq(feed.take(2), feed.slice(2, 4), feed.drop(4)))
+    val expect = Set(
+      (1L, 2, "click-view", 10000L, 30000L),
+      (1L, 2, "click-view", 200000L, 210000L))
+    assert(oneBatch == expect, s"one-batch sessions wrong: $oneBatch")
+    assert(threeBatches == expect,
+      s"three-batch sessions wrong: $threeBatches")
+  }
+
   test("packDocs: streamed sequence packing equals the batch x24 assignment") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
