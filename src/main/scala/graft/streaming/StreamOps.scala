@@ -104,7 +104,15 @@ object StreamOps extends Serializable {
     * (dedup 212k vs 153k ev/s on 4× fewer cores — SCALE.md round 10).
     * Partitions should track state VOLUME, not core count; this
     * default makes the measured-fast configuration the one callers
-    * get without reading SCALE.md. */
+    * get without reading SCALE.md.
+    *
+    * Scope (round-11 A/B): the few-partitions rule is specific to the
+    * default heap state store, whose per-partition-per-batch cost is a
+    * full snapshot/commit of in-heap maps (linear in partition count).
+    * Under RocksDB the 10M A/B flattens or reverses per op
+    * (session_window 103k ev/s at 32 parts vs 73k at 8) — when state
+    * outgrows the heap and RocksDB becomes the right provider, size
+    * partitions up again. */
   val DefaultStateParts = 8
 
   /** The state-partition LEVER (round-10 VERDICT #2): Spark fixes a
