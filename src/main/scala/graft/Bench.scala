@@ -173,7 +173,16 @@ object Bench {
     // nothing. Only a genuinely absent file (fresh checkout) is quiet.
     val bands: Map[String, (Double, Double)] = {
       val path = java.nio.file.Paths.get(bandsFile)
-      if (!java.nio.file.Files.exists(path)) Map.empty
+      if (!java.nio.file.Files.exists(path)) {
+        // a typo'd EXPLICIT band path is the silent-disable this guard
+        // exists to catch — only the absent default file (fresh
+        // checkout) stays quiet (round-11 ADVICE)
+        if (sys.env.contains("SPARK_GRAFT_BENCH_BANDS"))
+          System.err.println(s"[bench-bands] WARNING: " +
+            s"SPARK_GRAFT_BENCH_BANDS=$bandsFile does not exist - " +
+            "out-of-band guard DISABLED")
+        Map.empty
+      }
       else try {
         val txt = new String(java.nio.file.Files.readAllBytes(path), "UTF-8")
         val sfIn = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).map(_.group(1))

@@ -519,6 +519,30 @@ object Dedup extends QueryModule {
       },
       Some(Ann.neardupOracleSql)),
 
+    // D5b: the SAME Spark computation as d5 checked against the
+    // INDEPENDENT oracle — exact all-pairs cosine ≥ 0.95, sharing NO
+    // candidate structure with the Spark side's hyperplane bucketing.
+    // Round-11 moved d5's oracle to an LSH replay (129× cheaper at
+    // sf1), which made the per-round gate a structural twin: a recall
+    // bug in the shared signature/bucketing scheme would pass both
+    // sides identically (round-11 ADVICE, medium). This row restores
+    // the independent semantic check as an AUTOMATED per-round gate at
+    // the SFs where all-pairs is cheap (sf0.01 driver gate: <1 s;
+    // sf0.1: seconds — it was d5's own oracle through round 10). At
+    // sf1 this row is the documented named exception in the sf1 gate
+    // (all-pairs costs ~17 min there; the LSH replay covers sf1, and
+    // the two oracle forms were verified row-identical at all three
+    // SFs in round 11 — SCALE.md).
+    GQuery("d5b_neardup_allpairs",
+      (s, d) => {
+        val base = Ann.normedVecs(s, d)
+        val planted = base.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + Ann.PlantedIdOffset)
+        embeddingNeardupPairs(base.unionByName(planted), 0.95)
+          .orderBy("ida", "idb")
+      },
+      Some(Ann.neardupAllPairsOracleSql)),
+
     // Leakage-safe train/valid/test split: the split key is the
     // near-dup GROUP id, not the doc id — near-duplicates always land
     // on the SAME side, so eval can never score memorized
@@ -936,8 +960,10 @@ object Dedup extends QueryModule {
     // verification on the candidate set only, as everywhere.
     GQuery("d16_stored_index",
       (s, d) => {
-        val dir = java.nio.file.Files
-          .createTempDirectory("graft_lshidx_").toString
+        // fresh per invocation ON PURPOSE (d16 measures build+probe as
+        // the stored-index demo; n12 is the amortized form) — but under
+        // the warehouse root so runs don't leak index dirs into /tmp
+        val dir = graft.Warehouse.tempDir("lshidx_")
         val isNewId: Column => Column = c => c % 5 === 4
         val sh = docShingles(s, d)
         bandSignatures(sh.filter(!isNewId(col("doc_id"))))

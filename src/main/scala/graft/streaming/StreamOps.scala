@@ -115,6 +115,25 @@ object StreamOps extends Serializable {
     * partitions up again. */
   val DefaultStateParts = 8
 
+  /** Sentinel for [[withStateParts]]: resolve the partition count from
+    * the configured state-store provider instead of a caller-passed
+    * number (0 is never a valid partition count). */
+  val AutoStateParts = 0
+
+  /** Provider-aware resolution (round-12 VERDICT #4): the measured
+    * few-partitions rule is HEAP-STORE-SPECIFIC (see
+    * [[DefaultStateParts]]'s scope note), so when the caller doesn't
+    * pass an explicit count the lever consults
+    * `spark.sql.streaming.stateStore.providerClass`: the default heap
+    * store gets the measured-fast [[DefaultStateParts]]; RocksDB gets
+    * `None` — no override, the session default stands (the round-11
+    * 10M A/B showed 8-vs-32 flattens or reverses per op there,
+    * session_window 103k ev/s at 32p vs 73k at 8p). */
+  def resolveStateParts(s: SparkSession): Option[Int] =
+    if (s.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+        .exists(_.contains("RocksDB"))) None
+    else Some(DefaultStateParts)
+
   /** The state-partition LEVER (round-10 VERDICT #2): Spark fixes a
     * streaming query's state-store partition count from
     * `spark.sql.shuffle.partitions` AT FIRST START (it is then pinned
@@ -125,14 +144,32 @@ object StreamOps extends Serializable {
     * everything else on the session afterwards.
     *
     * Usage: `withStateParts(spark) { writer.start() }` — or any block
-    * that starts one or more stateful queries. Batch work is
-    * unaffected (the previous value is restored on exit). */
+    * that starts one or more stateful queries. With the default
+    * [[AutoStateParts]] the count is provider-aware
+    * ([[resolveStateParts]]): heap store → [[DefaultStateParts]],
+    * RocksDB → no override. Batch work is unaffected (the previous
+    * value is restored on exit).
+    *
+    * NOT concurrency-safe (round-11 VERDICT nit #2): the override
+    * mutates the SHARED session conf for the duration of
+    * `startQueries`, so a batch query PLANNED CONCURRENTLY on the same
+    * session inside that window inherits the reduced shuffle-partition
+    * count. Single-threaded starts (the harness pattern) are fine;
+    * callers multiplexing one session across threads must start
+    * stateful queries at a quiesce point or on their own session. */
   def withStateParts[A](s: SparkSession,
-      stateParts: Int = DefaultStateParts)(startQueries: => A): A = {
-    val key = "spark.sql.shuffle.partitions"
-    val prev = s.conf.get(key)
-    s.conf.set(key, stateParts.toString)
-    try startQueries finally s.conf.set(key, prev)
+      stateParts: Int = AutoStateParts)(startQueries: => A): A = {
+    val resolved =
+      if (stateParts == AutoStateParts) resolveStateParts(s)
+      else Some(stateParts)
+    resolved match {
+      case None => startQueries
+      case Some(p) =>
+        val key = "spark.sql.shuffle.partitions"
+        val prev = s.conf.get(key)
+        s.conf.set(key, p.toString)
+        try startQueries finally s.conf.set(key, prev)
+    }
   }
 
   /** Watermarked sliding-window counts per event type — the canonical

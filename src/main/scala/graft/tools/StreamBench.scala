@@ -145,27 +145,40 @@ object StreamBench {
 
     // SPARK_GRAFT_STATE_PARTS (round-10 VERDICT #2): route every query
     // start through StreamOps.withStateParts — state-store partitions
-    // sized to state volume (8 beat 32 on every op at 10M events)
-    // while the session keeps its full compute parallelism for the
-    // non-stateful work. Unset = session default (the old behavior).
-    val statePartsOpt = sys.env.get("SPARK_GRAFT_STATE_PARTS").map(_.toInt)
-    def startQ[A](body: => A): A = statePartsOpt match {
-      case Some(p) => graft.streaming.StreamOps.withStateParts(spark, p)(body)
-      case None => body
+    // sized to state volume (8 beat 32 on every op at 10M events under
+    // the heap store) while the session keeps its full compute
+    // parallelism for the non-stateful work. Round-12 VERDICT #4: the
+    // DEFAULT is now the provider-aware auto resolution (heap → 8,
+    // RocksDB → session default — the lever rule is heap-scoped);
+    // an integer pins the count explicitly, and 'session' opts out of
+    // any override (the pre-round-11 behavior, kept for A/B runs).
+    val statePartsEnv = sys.env.get("SPARK_GRAFT_STATE_PARTS")
+    val statePartsMode: String = statePartsEnv.getOrElse("auto")
+    def startQ[A](body: => A): A = statePartsMode match {
+      case "session" => body
+      case "auto" => graft.streaming.StreamOps.withStateParts(spark)(body)
+      case n => graft.streaming.StreamOps.withStateParts(spark, n.toInt)(body)
+    }
+    // the count streaming queries will actually pin at first start
+    val effectiveStateParts: Int = statePartsMode match {
+      case "session" => cpus.toInt
+      case "auto" => graft.streaming.StreamOps.resolveStateParts(spark)
+        .getOrElse(cpus.toInt)
+      case n => n.toInt
     }
 
     // bounded-drain feeds: each chunk ONE parquet file in a shared dir
     // (written once, reused by every op that consumes that feed), with
-    // mtimes spaced 60 s apart in chunk order.
+    // mtimes spaced 60 s apart in chunk order. Dirs live under the
+    // warehouse root → reclaimed at process exit (round-11 ADVICE: the
+    // per-feed dirs leaked gigabytes per 10M run).
     lazy val feedDirs = scala.collection.mutable.Map.empty[String, String]
     def fileFeed(name: String, feed: Array[Array[StreamEvent]]): String =
       feedDirs.getOrElseUpdate(name, {
-        val dir = java.nio.file.Files
-          .createTempDirectory(s"graft-streamfeed-$name").toString
+        val dir = graft.Warehouse.tempDir(s"streamfeed-$name-")
         val t0 = System.currentTimeMillis() - feed.length * 60000L
         feed.zipWithIndex.foreach { case (c, k) =>
-          val tmp = java.nio.file.Files
-            .createTempDirectory("graft-streamfeed-tmp").toString
+          val tmp = graft.Warehouse.tempDir("streamfeed-tmp-")
           spark.createDataset(c.toIndexedSeq)(
               org.apache.spark.sql.Encoders.product[StreamEvent])
             .coalesce(1).write.mode("overwrite").parquet(tmp)
@@ -173,7 +186,18 @@ object StreamBench {
             .find(_.getName.endsWith(".parquet")).get
           val dst = new java.io.File(dir, f"chunk$k%05d.parquet")
           java.nio.file.Files.move(part.toPath, dst.toPath)
-          dst.setLastModified(t0 + k * 60000L)
+          // mtime order is the event-time-order guarantee of the whole
+          // bounded-drain protocol (latestFirst=false sorts by mtime):
+          // verify the write AND the read-back, and abort loudly if the
+          // FS can't hold it — otherwise the watermark can jump and the
+          // parity failures that follow would point at the OPERATOR
+          // (round-11 ADVICE).
+          val want = t0 + k * 60000L
+          if (!dst.setLastModified(want) || dst.lastModified() != want)
+            sys.error(s"[streambench] cannot establish mtime spacing on " +
+              s"$dst (want $want, read back ${dst.lastModified()}) - " +
+              "bounded-drain event-time ordering would be unreliable; " +
+              "aborting")
           org.apache.commons.io.FileUtils
             .deleteQuietly(new java.io.File(tmp))
         }
@@ -182,20 +206,22 @@ object StreamBench {
         dir
       })
 
-    /** Runs one op over the feed; returns (wallSec, rowsOut, eventsIn). */
-    def run(feed: Array[Array[StreamEvent]], warm: Boolean)(
+    /** Runs one op over the named feed; returns (wallSec, rowsOut,
+      * eventsIn). `feedName` is EXPLICIT (round-11 ADVICE: inferring it
+      * by reference equality meant a future third feed would silently
+      * reuse — and drain — the wrong events). */
+    def run(feedName: String, feed: Array[Array[StreamEvent]],
+        warm: Boolean)(
         mk: DataFrame => DataFrame): (Double, Long, Long) = {
       implicit val sqlCtx = spark.sqlContext
       val out = new AtomicLong(0L)
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft-streambench").toString
+      val ckpt = graft.Warehouse.tempDir("streambench-ckpt-")
       if (boundedDrain && !warm) {
         // bounded drain: parquet file source + maxFilesPerTrigger.
         // The feed dir is written once per feed (shared across ops
         // and NOT in the timed window — the drain measures the
         // operator, not parquet encoding; the chunked mode's
         // feed-inclusive number remains the ingest-cadence yardstick).
-        val feedName = if (feed eq dupChunked) "dup" else "main"
         val dir = fileFeed(feedName, feed)
         val fed = feed.iterator.map(_.length.toLong).sum
         // data-batch counter: the WITNESS that admission control
@@ -264,31 +290,36 @@ object StreamBench {
 
     def toDs(df: DataFrame) = df.as[StreamEvent]
 
-    val ops: Seq[(String, DataFrame => DataFrame, Array[Array[StreamEvent]])] =
+    // each op names its feed EXPLICITLY (name, chunks) — fileFeed keys
+    // the on-disk dir by that name, never by object identity
+    val mainFeed = "main" -> chunked
+    val dupFeed = "dup" -> dupChunked
+    val ops: Seq[(String, DataFrame => DataFrame,
+        (String, Array[Array[StreamEvent]]))] =
       Seq(
         ("windowed_counts",
           df => StreamOps.windowedTypeCounts(df, "6 hours", "1 hour"),
-          chunked),
+          mainFeed),
         ("session_window",
           df => StreamOps.sessionWindowStats(df, gap = "30 minutes",
             watermark = "1 hour"),
-          chunked),
+          mainFeed),
         ("sessionize",
           df => StreamOps.sessionize(toDs(df), gapMs = 30L * 60 * 1000)
             .toDF(),
-          chunked),
+          mainFeed),
         ("dedup",
           df => StreamOps.dedupEvents(df, watermark = "1 hour"),
-          dupChunked),
+          dupFeed),
         ("contribution_cap",
           df => StreamOps.contributionCap(toDs(df)).toDF(),
-          chunked),
+          mainFeed),
         ("stream_join",
           df => StreamOps.clickToPurchase(
             df.filter(col("event_type") === "click"),
             df.filter(col("event_type") === "purchase"),
             withinSec = 3600L, watermark = "1 hour"),
-          chunked))
+          mainFeed))
 
     // SPARK_GRAFT_STREAM_KILL=true (local-cluster only): SIGKILL one
     // executor process mid-stream during each measured op — the
@@ -332,23 +363,108 @@ object StreamBench {
       }
 
     // JIT/codegen warm-up: one chunk through every op, discarded
-    ops.foreach { case (_, mk, feed) => run(feed, warm = true)(mk) }
+    ops.foreach { case (_, mk, (fname, feed)) =>
+      run(fname, feed, warm = true)(mk) }
 
-    val results = ops.map { case (name, mk, feed) =>
-      val (wall, rows, fed) = withKiller { run(feed, warm = false)(mk) }
+    val results = ops.map { case (name, mk, (fname, feed)) =>
+      val (wall, rows, fed) =
+        withKiller { run(fname, feed, warm = false)(mk) }
       System.err.println(f"[streambench] $name%-17s ${wall}%7.2f s  " +
         f"rows_out=$rows%9d  ${fed / wall}%,.0f ev/s")
       name -> (wall, rows, fed)
     }
 
+    // Streaming variance bands (round-12 VERDICT #6): the batch bench
+    // self-flags drift against committed per-query bands; the streaming
+    // matrix was still single-run-vs-single-run. STREAM_BANDS.json
+    // (tools/stream_bands.py over ≥3 same-code runs) carries a per-op
+    // [lo,hi] ev/s envelope KEYED BY PROTOCOL (sf, reps, mode, state
+    // store, state-parts shape) — a run under any other protocol
+    // disables the guard loudly rather than flagging noise.
+    val stateStore =
+      sys.env.get("SPARK_GRAFT_STATE_STORE").getOrElse("heap")
+    val bandsFile = sys.env.getOrElse("SPARK_GRAFT_STREAM_BANDS",
+      "STREAM_BANDS.json")
+    val bandCtx = Map("sf" -> sfDir.split('/').last,
+      "reps" -> reps.toString, "mode" -> streamMode,
+      "state_store" -> stateStore, "state_parts" -> statePartsMode)
+    val streamBands: Map[String, (Double, Double)] = {
+      val path = java.nio.file.Paths.get(bandsFile)
+      if (!java.nio.file.Files.exists(path)) {
+        if (sys.env.contains("SPARK_GRAFT_STREAM_BANDS"))
+          System.err.println(s"[stream-bands] WARNING: " +
+            s"SPARK_GRAFT_STREAM_BANDS=$bandsFile does not exist - " +
+            "out-of-band guard DISABLED")
+        Map.empty
+      } else try {
+        val txt = new String(
+          java.nio.file.Files.readAllBytes(path), "UTF-8")
+        def field(k: String): Option[String] =
+          (""""""" + k + """":"?([^",}]+)"?""").r
+            .findFirstMatchIn(txt).map(_.group(1))
+        val mismatched = bandCtx.filter { case (k, v) =>
+          !field(k).contains(v) }
+        if (mismatched.nonEmpty) {
+          System.err.println(s"[stream-bands] WARNING: $bandsFile is " +
+            s"for ${bandCtx.keys.map(k => s"$k=${field(k).getOrElse("<none>")}")
+              .mkString(",")} but this run is " +
+            s"${bandCtx.map { case (k, v) => s"$k=$v" }.mkString(",")} " +
+            "- out-of-band guard DISABLED")
+          Map.empty
+        } else {
+          val parsed =
+            """"([a-z_]+)":\{"lo":([0-9.]+),"hi":([0-9.]+)\}""".r
+              .findAllMatchIn(txt)
+              .map(m => m.group(1) ->
+                (m.group(2).toDouble, m.group(3).toDouble)).toMap
+          if (parsed.isEmpty)
+            System.err.println(s"[stream-bands] WARNING: $bandsFile " +
+              "parsed to ZERO bands (format drift?) - out-of-band " +
+              "guard DISABLED")
+          parsed
+        }
+      } catch { case t: Throwable =>
+        System.err.println(s"[stream-bands] WARNING: failed to read " +
+          s"$bandsFile (${t.getClass.getSimpleName}: ${t.getMessage}) " +
+          "- out-of-band guard DISABLED")
+        Map.empty
+      }
+    }
+    val outOfBand = results.flatMap { case (name, (wall, _, fed)) =>
+      val evs = fed / wall
+      streamBands.get(name).flatMap { case (lo, hi) =>
+        // throughput: higher is better — flag a drop below lo/1.3 and
+        // a suspicious jump above hi*1.5 (an op that suddenly does no
+        // work also "speeds up"; rows_out parity catches most, this
+        // catches the rest)
+        if (evs < lo / 1.3) Some((name, evs, f"below [$lo%.0f,$hi%.0f]"))
+        else if (evs > hi * 1.5)
+          Some((name, evs, f"above [$lo%.0f,$hi%.0f]"))
+        else None
+      }
+    }
+    if (outOfBand.nonEmpty)
+      System.err.println(outOfBand.map { case (k, v, why) =>
+        f"$k=$v%.0f ev/s ($why)" }
+        .mkString("[stream-out-of-band] ", " ", ""))
+    else if (streamBands.nonEmpty)
+      System.err.println(s"[stream-bands] all ${results.size} ops " +
+        s"inside committed bands ($bandsFile)")
+
     val opsJson = results.map { case (name, (wall, rows, fed)) =>
       f""""$name":{"wall_s":$wall%.2f,"rows_out":$rows,""" +
         f""""events_per_s":${fed / wall}%.0f}"""
     }.mkString(",")
-    val partsJson = statePartsOpt.fold("")(p => s""""state_parts":$p,""")
+    val oobJson = outOfBand.map { case (k, v, why) =>
+      s""""$k":{"events_per_s":${f"$v%.0f"},"band":"$why"}""" }
+      .mkString("{", ",", "}")
     println(s"""{"metric":"stream_bench","events":$n,"chunks":$chunks,""" +
       s""""sf":"${sfDir.split('/').last}","reps":$reps,""" +
-      s""""mode":"$streamMode",$partsJson"ops":{$opsJson}}""")
+      s""""mode":"$streamMode","state_store":"$stateStore",""" +
+      s""""state_parts":"$statePartsMode",""" +
+      s""""effective_state_parts":$effectiveStateParts,""" +
+      s""""banded":${streamBands.nonEmpty},"out_of_band":$oobJson,""" +
+      s""""ops":{$opsJson}}""")
     // dedup's feed is the event set with every 10th event re-delivered,
     // so its exact rows_out is n (the distinct event_id count) — the
     // batch-parity invariant of BOTH protocols. Enforced under fault

@@ -725,4 +725,133 @@ class StreamOpsSpec extends AnyFunSuite {
       s"split: extra=${split.keySet.diff(kept.keySet)} " +
         s"missing=${kept.keySet.diff(split.keySet)}")
   }
+
+  test("AnnIndex lifecycle: append-only drift degrades recall, the " +
+      "trigger fires, retrain recovers it and equals a from-scratch build") {
+    import spark.implicits._
+    import graft.streaming.AnnIndex
+    implicit val sqlCtx = spark.sqlContext
+    val root = graft.Warehouse.tempDir("annidx_spec_")
+    val outDir = graft.Warehouse.tempDir("annidx_out_")
+
+    // Drift geometry (deterministic): the SEED corpus lives in dims
+    // 0-7 (8 tight clusters), so seed-trained centroids span only
+    // those dims. APPENDED vectors live in novel dims 8-31 (24
+    // orthogonal group directions, group = id % 24 — the TRUE
+    // neighborhood) plus a small scrambler 0.05·e_h, h = pseudo-random
+    // in 0-7 — the only component a FROZEN centroid can see. Frozen
+    // cell assignment is therefore keyed by h, i.e. random w.r.t. the
+    // true groups: a probe-2 scan sees ~2/8 of a query's siblings and
+    // recall@3 collapses. Retraining over the merged corpus gives the
+    // novel dims their own centroids and recall recovers — the exact
+    // failure-and-refresh cycle of a real retrieval store under
+    // distribution shift.
+    def seedVec(id: Long): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      a((id % 8).toInt) = 1f
+      for (d <- 0 until 8) a(d) += 0.01f * ((id * 7 + d) % 5)
+      a
+    }
+    def appVec(id: Long): Array[Float] = {
+      val a = Array.fill(64)(0f)
+      a(8 + (id % 24).toInt) = 1f
+      // scrambler: h depends on the MEMBER index (id/24), not just the
+      // group — same-group siblings get different h, so frozen cells
+      // (which can only see dims 0-7) scatter every true neighborhood
+      val h = (((id / 24) * 5 + id % 24) % 8).toInt
+      a(h) = 0.3f
+      for (d <- 32 until 40) a(d) = 0.002f * ((id * 13 + d) % 7)
+      a
+    }
+    val seedIds = (0L until 320L)
+    val batches: Seq[Seq[(Long, Array[Float])]] = (0 until 3).map { b =>
+      (0 until 256).map { i =>
+        val id = 1000L + b * 256 + i
+        (id, appVec(id))
+      }
+    }
+    AnnIndex.seed(seedIds.map(id => (id, seedVec(id)))
+      .toDF("vec_id", "embedding"), root)
+    assert(AnnIndex.latestVersion(root) == 0)
+
+    // 24 drifted queries, one per group (batch-0 members)
+    val queries = (0 until 24).map(g => 1000L + g)
+    def queryFrame = graft.ops.Ann.normed(
+      queries.map(id => (id, appVec(id))).toDF("vec_id", "embedding"))
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    def recallAt3(): Double = {
+      val got = AnnIndex.probe(spark, root, queryFrame)
+        .select("qid", "nbr").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val corpus = AnnIndex.corpus(spark, root)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid")
+        .orderBy(col("sim").desc, col("vec_id"))
+      val exact = queryFrame.crossJoin(corpus)
+        .filter(col("vec_id") =!= col("qid"))
+        .withColumn("sim", org.apache.spark.sql.functions.round(
+          graft.ops.Ann.simFromNorms(col("qv"), col("v"), col("qn"),
+            col("nrm")), 4))
+        .withColumn("rn",
+          org.apache.spark.sql.functions.row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id").as("nbr")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+
+    val mem = MemoryStream[(Long, Array[Float])]
+    val q = AnnIndex.ingest(mem.toDF().toDF("vec_id", "embedding"),
+      root, outDir).start()
+    try {
+      mem.addData(batches(0)); q.processAllAvailable()
+      // 256/320 = 0.8 appended — under the 1.0 trigger: no retrain
+      val st0 = AnnIndex.stats(spark, root)
+      assert(st0.version == 0 && st0.appendedFrac < 1.0, st0.toString)
+      assert(AnnIndex.maybeRetrain(spark, root,
+        maxAppendedFrac = 1.0, maxImbalance = Double.MaxValue).isEmpty)
+      mem.addData(batches(1)); q.processAllAvailable()
+      val st1 = AnnIndex.stats(spark, root)
+      assert(st1.appendedFrac >= 1.0, st1.toString)
+      // drift has done its damage: frozen cells scatter true groups
+      val recallBefore = recallAt3()
+      assert(recallBefore <= 0.7,
+        f"drift geometry should degrade frozen-centroid recall, got " +
+          f"$recallBefore%.2f")
+      // trigger fires past the threshold; version bumps
+      val bumped = AnnIndex.maybeRetrain(spark, root,
+        maxAppendedFrac = 1.0, maxImbalance = Double.MaxValue)
+      assert(bumped.contains(1), s"trigger should retrain to v=1: $bumped")
+      assert(AnnIndex.latestVersion(root) == 1)
+      val recallAfter = recallAt3()
+      assert(recallAfter >= recallBefore + 0.15 && recallAfter >= 0.6,
+        f"retrain must recover recall: before=$recallBefore%.2f " +
+          f"after=$recallAfter%.2f")
+      // the retrained index IS a from-scratch n12 build over the
+      // merged corpus: row-identical probe output
+      val mergedEmb = (seedIds.map(id => (id, seedVec(id))) ++
+        batches(0) ++ batches(1)).toDF("vec_id", "embedding")
+      val mv = graft.ops.Ann.normed(mergedEmb)
+      val trained = graft.ops.Ann.lloydStep(mv,
+        graft.ops.Ann.lloydStep(mv, graft.ops.Ann.seedCentroids(mv)))
+      val scratch = graft.ops.Ann.probeStored(queryFrame, trained,
+        graft.ops.Ann.assignCells(mv, trained)).collect().toSeq
+      val stored = AnnIndex.probe(spark, root, queryFrame)
+        .collect().toSeq
+      assert(stored == scratch,
+        s"retrained probe diverges from from-scratch build: " +
+          s"${stored.size} vs ${scratch.size} rows")
+      // ingest continues against the NEW version (merged_through guard
+      // admits batch 2 > merged_through 1)
+      mem.addData(batches(2)); q.processAllAvailable()
+      val st2 = AnnIndex.stats(spark, root)
+      assert(st2.version == 1 && st2.appended == 256 &&
+        st2.seeded == 320 + 512, st2.toString)
+      val ids = AnnIndex.corpus(spark, root).select("vec_id")
+        .as[Long].collect()
+      assert(ids.length == 320 + 768 && ids.distinct.length == ids.length,
+        s"corpus holds ${ids.length} ids after retrain + ingest")
+    } finally q.stop()
+  }
 }

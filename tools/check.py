@@ -36,6 +36,23 @@ EMPTY_OK = {
     # name: "reason this query is legitimately empty at some SF",
 }
 
+# Named per-SF oracle exceptions (round-12 VERDICT #2: the sf1 gate is
+# the FULL registry; any query whose sf1 oracle is genuinely
+# infeasible gets a written exception here instead of a silent
+# omission). Keyed by sf-dir basename → {query: reason}.
+ORACLE_SKIP = {
+    "sf1": {
+        "d5b_neardup_allpairs":
+            "exact all-pairs oracle costs ~17 min at sf1 (2.4e8 "
+            "list-lambda cosines over 22k vectors, measured round 11); "
+            "d5's LSH-replay oracle covers sf1 and the two forms were "
+            "verified row-identical at sf0.01/sf0.1/sf1 in round 11 — "
+            "this row exists precisely to keep the all-pairs check "
+            "automated at the CHEAP SFs (it runs at the sf0.01 driver "
+            "gate every round)",
+    },
+}
+
 def lint_types(duck):
     return [(c, str(t)) for c, t in zip(duck.columns, duck.types)
             if any(b in str(t).upper() for b in BAD_ORACLE_TYPES)]
@@ -80,60 +97,91 @@ def main():
     names = sorted(p.name for p in OUT.iterdir() if p.is_dir()
                    and (only is None or p.name in only))
     n_pass = n_fail = 0
+    sf_name = Path(SF).name
+    skips = ORACLE_SKIP.get(sf_name, {})
+    results = {}        # name -> "pass" | "fail: ..." (for --json)
+    t_start = __import__("time").time()
+
+    def fail(name, msg):
+        nonlocal n_fail
+        print(f"FAIL {name}: {msg}")
+        results[name] = f"fail: {msg[:160]}"
+        n_fail += 1
+
     # a registered oracle whose query never wrote output is a FAILURE,
     # not a silent omission
     for missing in sorted(set(oracle) - set(names)):
-        print(f"FAIL {missing}: no spark output written (query threw?)")
-        n_fail += 1
+        if missing in skips:
+            continue
+        fail(missing, "no spark output written (query threw?)")
     for name in names:
+        if name in skips:
+            print(f"SKIP {name}: [{sf_name} exception] {skips[name][:80]}...")
+            results[name] = f"skip: {skips[name]}"
+            continue
         try:
             spark_df = con.sql(
                 f"SELECT * FROM '{OUT}/{name}/*.parquet'").fetchall()
             spark_cols = [d[0] for d in con.sql(
                 f"DESCRIBE SELECT * FROM '{OUT}/{name}/*.parquet'").fetchall()]
         except Exception as e:
-            print(f"FAIL {name}: cannot read spark result: {e}")
-            n_fail += 1; continue
+            fail(name, f"cannot read spark result: {e}"); continue
         if name not in oracle:
             print(f"SKIP {name}: no oracle ({len(spark_df)} rows)")
             continue
+        t_q = __import__("time").time()
         try:
             duck = con.sql(oracle[name])
             duck_cols = duck.columns
             bad_types = lint_types(duck)
             duck_df = duck.fetchall()
         except Exception as e:
-            print(f"FAIL {name}: oracle SQL error: {str(e)[:200]}")
-            n_fail += 1; continue
+            fail(name, f"oracle SQL error: {str(e)[:200]}"); continue
         if bad_types:
-            print(f"FAIL {name}: oracle result type driver-hash-unsafe "
-                  f"{bad_types} — CAST the column (e.g. AS BIGINT)")
-            n_fail += 1; continue
+            fail(name, f"oracle result type driver-hash-unsafe "
+                 f"{bad_types} — CAST the column (e.g. AS BIGINT)")
+            continue
         if sorted(spark_cols) != sorted(duck_cols):
-            print(f"FAIL {name}: schema spark={sorted(spark_cols)} duck={sorted(duck_cols)}")
-            n_fail += 1; continue
+            fail(name, f"schema spark={sorted(spark_cols)} "
+                 f"duck={sorted(duck_cols)}")
+            continue
         # sort columns by name, then rows, then compare normalized values
         sidx = [spark_cols.index(c) for c in sorted(spark_cols)]
         didx = [duck_cols.index(c) for c in sorted(duck_cols)]
         s_rows = sorted(tuple(norm(r[i]) for i in sidx) for r in spark_df)
         d_rows = sorted(tuple(norm(r[i]) for i in didx) for r in duck_df)
         if len(s_rows) != len(d_rows):
-            print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
-            n_fail += 1; continue
+            fail(name, f"rows spark={len(s_rows)} duck={len(d_rows)}")
+            continue
         if s_rows != d_rows:
             bad = next(i for i, (a, b) in enumerate(zip(s_rows, d_rows)) if a != b)
-            print(f"FAIL {name}: values differ at sorted row {bad}:")
             print(f"  spark: {s_rows[bad]}")
             print(f"  duck:  {d_rows[bad]}")
-            n_fail += 1; continue
+            fail(name, f"values differ at sorted row {bad}")
+            continue
         if len(s_rows) == 0 and name not in EMPTY_OK:
-            print(f"FAIL {name}: VACUOUS — both engines agree on an "
-                  f"empty frame, which proves nothing (add an EMPTY_OK "
-                  f"entry with a reason if legitimately empty)")
-            n_fail += 1; continue
-        print(f"PASS {name} ({len(s_rows)} rows)")
+            fail(name, "VACUOUS — both engines agree on an empty frame, "
+                 "which proves nothing (add an EMPTY_OK entry with a "
+                 "reason if legitimately empty)")
+            continue
+        dt = __import__("time").time() - t_q
+        print(f"PASS {name} ({len(s_rows)} rows, oracle {dt:.1f}s)")
+        results[name] = f"pass ({len(s_rows)} rows, oracle {dt:.1f}s)"
         n_pass += 1
-    print(f"\n{n_pass} passed, {n_fail} failed, {len(names)} total")
+    total_s = __import__("time").time() - t_start
+    print(f"\n{n_pass} passed, {n_fail} failed, {len(names)} total "
+          f"(oracle wall {total_s:.0f}s)")
+    if "--json" in sys.argv:
+        out_path = Path(sys.argv[sys.argv.index("--json") + 1])
+        out_path.write_text(json.dumps({
+            "sf": sf_name, "n_pass": n_pass, "n_fail": n_fail,
+            "n_skip": sum(1 for v in results.values()
+                          if v.startswith("skip")),
+            "oracle_wall_s": round(total_s, 1),
+            "results": results}, indent=1) + "\n")
+        print(f"wrote {out_path}")
+    if n_fail:
+        sys.exit(1)
 
 if __name__ == "__main__":
     main()
