@@ -170,14 +170,24 @@ object Ann extends QueryModule {
     * drop out (deterministically, in both engines). The shuffle carries
     * only 64·K partial-sum rows; centroids never touch the driver. */
   def lloydStep(vecs: DataFrame, cents: DataFrame): DataFrame = {
-    val wAsg = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid"))
+    // Argmax assignment as a struct-MAX aggregation, not a row_number
+    // window (round 12, guide §2.3): the window shape shuffled all
+    // n×IvfK scored rows — each dragging the 64-double vector payload —
+    // through an exchange + sort just to keep row 1 per vector. max of
+    // struct(csim, -cid) partial-aggregates map-side (the broadcast
+    // cross join leaves every vector's 32 scored rows in one task), so
+    // ONE row per vector crosses the exchange and no sort runs;
+    // -(max(-cid)) = min cid reproduces the (csim desc, cid) tie-break
+    // bit-exactly on the same round(·, 6) values. first(v) is
+    // deterministic: every row in a vec_id group carries the identical
+    // vector.
     val asg = vecs.crossJoin(broadcast(cents))
-      .withColumn("csim", round(
-        simFromNorms(col("v"), col("cv"), col("nrm"), col("cn")), 6))
-      .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
-      .select(col("cid"), col("v"))
+      .select(col("vec_id"), col("v"),
+        struct(round(simFromNorms(col("v"), col("cv"), col("nrm"),
+          col("cn")), 6).as("csim"), (-col("cid")).as("nc")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("m"), first(col("v")).as("v"))
+      .select((-col("m.nc")).as("cid"), col("v"))
     asg.select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("cid", "pos")
       .agg(sum(round(col("x") * 1000, 0).cast("long")).as("qsum"),
@@ -232,10 +242,14 @@ object Ann extends QueryModule {
     val scoredC = vecs.crossJoin(broadcast(cents))
       .withColumn("csim", round(
         simFromNorms(col("v"), col("cv"), col("nrm"), col("cn")), 6))
+    // full-corpus argmax as struct-max (see [[lloydStep]]); the top-2
+    // probe window keeps its sort but runs on the 5% probe subset only
+    val asg = scoredC
+      .groupBy("vec_id")
+      .agg(max(struct(col("csim"), (-col("cid")).as("nc"))).as("m"))
+      .select(col("vec_id"), (-col("m.nc")).as("cid"))
     val wAsg = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cid"))
-    val asg = scoredC.withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1).select(col("vec_id"), col("cid"))
     val probes = scoredC.filter(col("vec_id") % 20 === 0)
       .withColumn("rn", row_number().over(wAsg))
       .filter(col("rn") <= 2)
@@ -301,13 +315,16 @@ object Ann extends QueryModule {
           .select(col("e.m").as("m"), col("code"), col("e.sv").as("cv"))
         val sub = vecs.select(col("vec_id"), explode(subArr(col("v"))).as("e"))
           .select(col("vec_id"), col("e.m").as("m"), col("e.sv").as("sv"))
-        val wEnc = Window.partitionBy("vec_id", "m")
-          .orderBy(col("dq"), col("code"))
+        // nearest-code pick as struct-MIN aggregation, not a window
+        // (round 12): the window shuffled n×PqM×PqK scored rows + sort;
+        // min(struct(dq, code)) partial-aggregates map-side after the
+        // broadcast join — (dq asc, code asc) pick preserved exactly
         val codes = sub.join(broadcast(cb), Seq("m"))
-          .withColumn("dq", d2q(col("sv"), col("cv")))
-          .withColumn("rn", row_number().over(wEnc))
-          .filter(col("rn") === 1)
-          .select(col("vec_id"), col("m"), col("code"))
+          .select(col("vec_id"), col("m"),
+            struct(d2q(col("sv"), col("cv")).as("dq"), col("code"))
+              .as("sc"))
+          .groupBy("vec_id", "m").agg(min(col("sc")).as("best"))
+          .select(col("vec_id"), col("m"), col("best.code").as("code"))
         val lut = vecs.orderBy(md5(col("vec_id").cast("string")))
           .limit(QueryK)
           .select(col("vec_id").as("qid"), col("v").as("qv"))
@@ -374,16 +391,18 @@ object Ann extends QueryModule {
     * Same rounding and (csim desc, cid) tie-break as [[ivfTopK]]'s
     * internal assignment, so stored and in-memory cells agree. */
   private[graft] def assignCells(vecs: DataFrame, cents: DataFrame)
-      : DataFrame = {
-    val wAsg = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cid"))
+      : DataFrame =
+    // struct-max argmax — see [[lloydStep]]; same round(·, 6) values and
+    // (csim desc, cid) tie-break, so stored and in-memory cells agree
     vecs.crossJoin(broadcast(cents))
-      .withColumn("csim", round(
-        simFromNorms(col("v"), col("cv"), col("nrm"), col("cn")), 6))
-      .withColumn("rn", row_number().over(wAsg))
-      .filter(col("rn") === 1)
-      .select(col("cid"), col("vec_id"), col("v"), col("nrm"))
-  }
+      .select(col("vec_id"), col("v"), col("nrm"),
+        struct(round(simFromNorms(col("v"), col("cv"), col("nrm"),
+          col("cn")), 6).as("csim"), (-col("cid")).as("nc")).as("sc"))
+      .groupBy("vec_id")
+      .agg(max(col("sc")).as("m"), first(col("v")).as("v"),
+        first(col("nrm")).as("nrm"))
+      .select((-col("m.nc")).as("cid"), col("vec_id"), col("v"),
+        col("nrm"))
 
   /** Probe a PERSISTED IVF index with an arbitrary query frame
     * (qid, qv, qn): each query picks its 2 nearest cells against the

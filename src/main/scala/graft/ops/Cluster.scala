@@ -20,6 +20,36 @@ object Cluster extends QueryModule {
     * across concurrent calls in one session (round-8 ADVICE). */
   private val CcObsCounter = new java.util.concurrent.atomic.AtomicLong()
 
+  /** Part co-occurrence edges for m11/m15/m24: (pa, pb) with pa < pb,
+    * parts adjacent when ≥ 2 distinct orders contain both.
+    *
+    * Round-12 shape (guide §2.4, remove shuffles outright): the old
+    * form was distinct(o, p) → self-join on o → groupBy(pa, pb) —
+    * THREE exchanges (distinct, join, agg) plus a sort-merge join.
+    * Orders bound their own line count (TPC-H ≤ 7 parts/order at any
+    * SF), so the per-order pair set is a constant-size local product:
+    * ONE groupBy(o) builds the distinct sorted part set per order
+    * (collect_set dedups (o, p) inside the aggregate — the separate
+    * distinct pass is gone), a higher-order transform emits the
+    * ordered pairs per row (the lshPairs bucket-pair pattern — `ps`
+    * is a materialized attribute, so the lambda never re-evaluates an
+    * upstream expression), and ONE groupBy(pa, pb) counts supporting
+    * orders. Two exchanges, no join, identical pair multiset — the
+    * pair generation is bounded by order size, never by a hub part's
+    * degree, so the shape holds at 100 TB. Measured at sf0.1
+    * (isolated, min-of-2): m11 3.3 → 2.4 s, and the same frame feeds
+    * m15/m24. */
+  private[graft] def partCoEdges(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .groupBy("o").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(flatten(transform(col("ps"),
+        x => transform(filter(col("ps"), y => y > x),
+          y => struct(x.as("pa"), y.as("pb")))))).as("pr"))
+      .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"))
+      .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
+      .filter(col("w") >= 2).select("pa", "pb")
+
   /** (user_id, day) sessions with their '-'-joined action path —
     * the process analog fed to the DBSCAN wrappers. */
   private def sessions(s: SparkSession, d: String): DataFrame =
@@ -48,8 +78,9 @@ object Cluster extends QueryModule {
     * out-degree rather than a hub's full degree, and each triangle is
     * counted exactly once. Output: (node, n_tri). */
   private[graft] def triangleCounts(e: DataFrame): DataFrame = {
-    val deg = e.select(col("pa").as("n"))
-      .union(e.select(col("pb").as("n")))
+    // explode(array(pa, pb)) reads the persisted edge frame once where
+    // the union form read it twice (round 12 — see kcorePeel)
+    val deg = e.select(explode(array(col("pa"), col("pb"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("dg"))
     // NOT persisted although the wedge self-join consumes it twice:
     // both sides re-derive it from the PERSISTED edge frame via two
@@ -273,14 +304,7 @@ object Cluster extends QueryModule {
     // count triangles on a 100 TB graph without a hub blowup.
     GQuery("m11_triangles",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = li.select(col("o"), col("p").as("pa"))
-          .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
-          .filter(col("pa") < col("pb"))
-          .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2).select("pa", "pb")
+        val e = partCoEdges(s, d)
           .transform(graft.Caches.track)
         triangleCounts(e)
           .orderBy(col("n_tri").desc, col("node")).limit(15)
@@ -327,14 +351,7 @@ object Cluster extends QueryModule {
     // library path, gated by ConvergenceSpec.
     GQuery("m15_kcore",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = li.select(col("o"), col("p").as("pa"))
-          .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
-          .filter(col("pa") < col("pb"))
-          .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2).select("pa", "pb")
+        val e = partCoEdges(s, d)
           .unionByName(plantedKcoreEdges(s))
           .transform(graft.Caches.track)
         kcorePeel(e, KcoreK, KcoreRounds)
@@ -371,14 +388,7 @@ object Cluster extends QueryModule {
     // peel, so registered == library is a spec invariant, not a reading.
     GQuery("m24_kcore_converged",
       (s, d) => {
-        val li = Tables.lineitem(s, d)
-          .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-          .distinct()
-        val e = li.select(col("o"), col("p").as("pa"))
-          .join(li.select(col("o"), col("p").as("pb")), Seq("o"))
-          .filter(col("pa") < col("pb"))
-          .groupBy("pa", "pb").agg(count(lit(1)).as("w"))
-          .filter(col("w") >= 2).select("pa", "pb")
+        val e = partCoEdges(s, d)
           .unionByName(plantedKcoreEdges(s))
         kcoreConverged(e, KcoreK).orderBy("node")
       },
@@ -677,8 +687,7 @@ object Cluster extends QueryModule {
             .distinct())
         val lbl = graft.Caches.track(labelPropagation(e, 2))
         val m = e.agg(count(lit(1)).as("m"))
-        val deg = e.select(col("a").as("node"))
-          .unionAll(e.select(col("b").as("node")))
+        val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
           .groupBy("node").agg(count(lit(1)).as("deg"))
         val dc = deg.join(lbl, Seq("node"))
           .groupBy("lbl")
@@ -923,10 +932,19 @@ object Cluster extends QueryModule {
     * SQL-replayable finite prefix of [[kcoreConverged]]). */
   private[graft] def kcorePeel(edges: DataFrame, k: Int, rounds: Int)
       : DataFrame = {
+    // degree via explode(array(pa, pb)), not unionAll(pa, pb): each
+    // round references its predecessor through BOTH the survivor set
+    // (twice) and the edge filter (once), so the analyzed-plan size is
+    // (1 + 2·refs-in-deg)^rounds × the edge subtree. unionAll reads e
+    // twice inside deg → 5^3 = 125 copies at 3 rounds (measured: a
+    // 9,800-line formatted plan, 502 parquet scans in print — Catalyst
+    // pays that tree on every action even though execution hits the
+    // per-round persisted frames). explode reads e once → 3^3 = 27.
+    // Same multiset of endpoint rows, same counts (guide §3.3: very
+    // large plans make planning itself the bottleneck).
     var e = edges
     for (_ <- 1 to rounds) {
-      val deg = e.select(col("pa").as("n"))
-        .unionAll(e.select(col("pb").as("n")))
+      val deg = e.select(explode(array(col("pa"), col("pb"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("dg"))
       val surv = deg.filter(col("dg") >= k).select("n")
       e = graft.Caches.track(
@@ -934,7 +952,7 @@ object Cluster extends QueryModule {
           .join(surv.withColumnRenamed("n", "pb"), Seq("pb"))
           .select("pa", "pb"))
     }
-    e.select(col("pa").as("node")).unionAll(e.select(col("pb").as("node")))
+    e.select(explode(array(col("pa"), col("pb"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
@@ -945,27 +963,60 @@ object Cluster extends QueryModule {
     * Returns (node, deg) of the k-core. */
   private[graft] def kcoreConverged(edges: DataFrame, k: Int,
       maxRounds: Int = 50): DataFrame = {
-    var e = edges.localCheckpoint(true)
-    var nVerts = -1L
+    // Round-12 loop shape (guide §1.2/§2): ONE job per round instead of
+    // two, and scale-adaptive stage widths instead of a constant 32.
+    //
+    //  - STOP SIGNATURE FUSED: the old loop ran a separate surv.count()
+    //    job per round before the checkpoint job. Peeling is monotone
+    //    (each round's edge set ⊆ the previous), so edge-COUNT
+    //    stability is exact set equality, which in turn means no vertex
+    //    was removed — the same fixpoint the vertex-count probe
+    //    detected. The count rides the checkpoint materialization via
+    //    observe() (the ccLargeSmallStar trick): zero extra jobs.
+    //  - PARTITION LADDER: after round 1 the surviving edge frame is
+    //    thousands of rows; 32-way shuffles pay more scheduling than
+    //    compute. The previous round's exact count (free, observed)
+    //    sizes this round's explicit repartitions at ~64k rows per
+    //    partition — the decision AQE coalescing would make at runtime
+    //    (AQE is off in the bench session); a 100 TB peel keeps full
+    //    parallelism because the count keeps it there. The explicit
+    //    repartition(parts, key) nodes replace (not add to) the
+    //    exchanges EnsureRequirements would insert at 32.
+    //  - DEGREE VIA explode(array(pa, pb)): one reference to the
+    //    checkpointed frame instead of two (see kcorePeel).
+    val sess = edges.sparkSession
+    def partsFor(n: Long): Int =
+      math.max(4, math.min(sess.sparkContext.defaultParallelism.toLong,
+        n / 65536 + 1).toInt)
+    val obs0 = org.apache.spark.sql.Observation(
+      s"kcore_sig_${CcObsCounter.incrementAndGet()}_init")
+    var e = edges.observe(obs0, count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    var nEdges = obs0.get("n").asInstanceOf[Long]
     var rounds = 0
     var stable = false
     while (!stable && rounds < maxRounds) {
-      val deg = e.select(col("pa").as("n"))
-        .unionAll(e.select(col("pb").as("n")))
+      val parts = partsFor(nEdges)
+      val surv = e
+        .select(explode(array(col("pa"), col("pb"))).as("n"))
+        .repartition(parts, col("n"))
         .groupBy("n").agg(count(lit(1)).as("dg"))
-      val surv = deg.filter(col("dg") >= k).select("n")
-      val n = surv.count()
-      if (n == nVerts) stable = true
-      else {
-        nVerts = n
-        e = e.join(surv.withColumnRenamed("n", "pa"), Seq("pa"))
-          .join(surv.withColumnRenamed("n", "pb"), Seq("pb"))
-          .select("pa", "pb")
-          .localCheckpoint(true)
-        rounds += 1
-      }
+        .filter(col("dg") >= k).select("n")
+      val obs = org.apache.spark.sql.Observation(
+        s"kcore_sig_${CcObsCounter.incrementAndGet()}_$rounds")
+      val next = e.repartition(parts, col("pa"))
+        .join(surv.withColumnRenamed("n", "pa"), Seq("pa"))
+        .repartition(parts, col("pb"))
+        .join(surv.withColumnRenamed("n", "pb"), Seq("pb"))
+        .select("pa", "pb")
+        .observe(obs, count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val nNext = obs.get("n").asInstanceOf[Long]
+      if (nNext == nEdges) stable = true
+      else { nEdges = nNext; rounds += 1 }
+      e = next
     }
-    e.select(col("pa").as("node")).unionAll(e.select(col("pb").as("node")))
+    e.select(explode(array(col("pa"), col("pb"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
   }
 
@@ -978,15 +1029,22 @@ object Cluster extends QueryModule {
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
       .transform(graft.Caches.track)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
-      .orderBy(col("n").desc, col("cand"))
+    // (count desc, min label) pick as a struct-MAX aggregation, not a
+    // row_number window (round 12, guide §2.3 aggregate-before-shuffle):
+    // hashpartitioning(node, cand) does not satisfy the window's
+    // node-only clustering, so the old shape paid a THIRD exchange plus
+    // a per-partition sort carrying every (node, cand, n) row; max of
+    // struct(n, -cand) is partial-aggregated map-side (one row per node
+    // crosses the wire) and -(max(-cand)) = min cand reproduces the
+    // tie-break exactly. Labels are non-negative node ids, so the
+    // negation never overflows.
     def step(l: DataFrame): DataFrame =
       sym.join(l.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("lbl").as("cand"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("cand").as("lbl"))
+        .groupBy("node")
+        .agg(max(struct(col("n"), (-col("cand")).as("nc"))).as("m"))
+        .select(col("node"), (-col("m.nc")).as("lbl"))
     var l = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
     for (_ <- 1 to iters) l = step(l)
@@ -1053,15 +1111,14 @@ object Cluster extends QueryModule {
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
       .transform(graft.Caches.track)
-    val w = org.apache.spark.sql.expressions.Window.partitionBy("node")
-      .orderBy(col("n").desc, col("cand"))
+    // struct-max pick — see [[labelPropagation]] for the rationale
     def step(l: DataFrame): DataFrame =
       sym.join(l.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"), col("lbl").as("cand"))
         .agg(count(lit(1)).as("n"))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("cand").as("lbl"))
+        .groupBy("node")
+        .agg(max(struct(col("n"), (-col("cand")).as("nc"))).as("m"))
+        .select(col("node"), (-col("m.nc")).as("lbl"))
     var l = sym.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("lbl"))
       .localCheckpoint()
