@@ -37,7 +37,7 @@ object Cluster extends QueryModule {
     * orders. Two exchanges, no join, identical pair multiset — the
     * pair generation is bounded by order size, never by a hub part's
     * degree, so the shape holds at 100 TB. Measured at sf0.1
-    * (isolated, min-of-2): m11 3.3 → 2.4 s, and the same frame feeds
+    * (isolated, min-of-2): m11 3.6 → 2.5 s, and the same frame feeds
     * m15/m24. */
   private[graft] def partCoEdges(s: SparkSession, d: String): DataFrame =
     Tables.lineitem(s, d)

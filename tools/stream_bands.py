@@ -30,10 +30,13 @@ def load(path):
 
 
 def main():
-    args = [a for a in sys.argv[1:] if not a.startswith("--")]
     out = "STREAM_BANDS.json"
-    if "--out" in sys.argv:
-        out = sys.argv[sys.argv.index("--out") + 1]
+    argv = sys.argv[1:]
+    if "--out" in argv:
+        i = argv.index("--out")
+        out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2:]
+    args = [a for a in argv if not a.startswith("--")]
     if len(args) < 2:
         raise SystemExit("need >=2 run files")
     runs = [load(a) for a in args]
