@@ -30,19 +30,24 @@ object Bench {
     val spark = builder
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      // AQE default OFF for the BENCH session only (override with
-      // SPARK_GRAFT_AQE=true): at sf0.1 on local[32] every AQE stage
-      // boundary pays a driver-side re-optimization round trip, and
-      // across 139 mostly-small multi-stage queries that overhead is
-      // the dominant line — measured 132.8 s -> 102.9 s single-pass
-      // with NO per-query regression beyond +0.3 s (the m-block's
-      // iterative queries improve 1-1.7 s EACH). At production scale
-      // the trade inverts (runtime broadcast, skew splitting, coalesce
-      // actually save shuffled bytes), which is why this is a bench
-      // protocol default, not a library default — Verify and the spec
-      // sessions keep Spark's standard AQE-on.
+      // AQE back to Spark's DEFAULT (on) — round 13 re-measurement.
+      // Round 7 turned AQE off for the bench session (132.8 -> 102.9 s
+      // single-pass on the then-139-query registry, whose iterative
+      // plans were 10-100x larger before the r8-r12 plan-size fixes).
+      // Re-measured on the current 207-query tree, full registry,
+      // min-of-2 both sides, adjacent windows: AQE-on 222.0 s vs
+      // AQE-off 246.0 s, per-query geomean 1.163x FASTER — the win is
+      // partition coalescing on the ~150 small-shuffle queries (the
+      // "protocol floor" was 32-way tiny exchanges; e.g. a2_map_agg
+      // 0.97 -> 0.32 s), which is guide-§2 behavior a 100 TB run needs
+      // anyway (plus runtime broadcast + skew splitting). The handful
+      // of per-stage-replanning losers (m11/m15/m23/n10/x37, 0.5-1.5 s
+      // each in adjacent A/B) are optimized individually this round.
+      // The override is retained for A/Bs; Verify and the spec
+      // sessions always kept Spark's standard AQE-on, so this also
+      // removes the one conf where the bench diverged from them.
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // Dev affordance: SPARK_GRAFT_ONLY=d15_prefix_filter,d1_exact_dedup

@@ -2260,8 +2260,6 @@ object TextAnalysis extends QueryModule {
     GQuery("x45_ngram_eval",
       (s, d) => {
         val docs = docsSpread(s, d)
-        val pairs = docs.select(col("doc_id").as("cid"))
-          .select(col("cid"), expr("cid ^ 1").as("rid"))
         // grams as 64-bit ngramHash64 fingerprints, not strings: g is
         // only ever a groupBy/join key (the outputs are clipped COUNTS
         // in micro-units), the interpreted wordNgrams HOF chain builds
@@ -2275,22 +2273,35 @@ object TextAnalysis extends QueryModule {
             explode(graft.plans.NativeFunctions.ngramHash64(
               tokens(col("text")), n)).as("g"))
           .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        // Round-13 shape (guide §2.4, remove shuffles outright): the
+        // reference partner id rid = cid XOR 1 is a PURE FUNCTION of
+        // the doc id, so the old standalone `pairs` frame — a third
+        // documents scan joined 4× per order (onto the cand gram
+        // frame, the intersection, and both total legs) — carried no
+        // information a projection can't. rid is now attached as an
+        // expression on the gram/total frames directly; the only joins
+        // left are the ones the algebra requires: the (rid, g)
+        // candidate↔reference match and the per-pair total attach.
+        // Membership semantics are unchanged: every gram/total row's
+        // doc_id IS a document id, so the old inner joins against
+        // `pairs` filtered nothing, and pairs whose partner lacks
+        // grams at this order still drop out in the inner tr-join.
         def overlap(n: Int, tag: String) = {
           val gr = graft.Caches.track(grams(n))
           val tot = gr.groupBy("doc_id").agg(sum(col("c")).as("t"))
-          val inter = pairs
-            .join(gr.select(col("doc_id").as("cid"), col("g"),
-              col("c").as("cc")), Seq("cid"))
+          val inter = gr
+            .select(col("doc_id").as("cid"),
+              expr("doc_id ^ 1").as("rid"), col("g"), col("c").as("cc"))
             .join(gr.select(col("doc_id").as("rid"), col("g"),
               col("c").as("cr")), Seq("rid", "g"))
             .groupBy("cid", "rid")
             .agg(sum(least(col("cc"), col("cr"))).as("inter"))
-          pairs
-            .join(inter, Seq("cid", "rid"), "left")
-            .join(tot.select(col("doc_id").as("cid"),
-              col("t").as("tc")), Seq("cid"))
+          tot
+            .select(col("doc_id").as("cid"),
+              expr("doc_id ^ 1").as("rid"), col("t").as("tc"))
             .join(tot.select(col("doc_id").as("rid"),
               col("t").as("tr")), Seq("rid"))
+            .join(inter, Seq("cid", "rid"), "left")
             .select(col("cid"), col("rid"),
               expr("(coalesce(inter, 0) * 1000000) div tr")
                 .as(s"r$tag"),

@@ -28,7 +28,13 @@ object JobCount {
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit =
         stages.incrementAndGet()
     })
-    val out = graft.SparkEntry.queries.toSeq.sortBy(_._1).map { case (n, fn) =>
+    // same dev affordance as Bench: SPARK_GRAFT_ONLY=a,b,c restricts
+    // the counted set so a loop-shape investigation doesn't pay the
+    // whole registry
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val out = graft.SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.forall(_.contains(q._1)))
+      .map { case (n, fn) =>
       jobs.set(0); stages.set(0)
       try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       catch { case e: Throwable => println(s"[jobcount] $n FAILED: $e") }
