@@ -230,7 +230,14 @@ object Ann extends QueryModule {
     }
     val v0 = vecs.sparkSession.range(1)
       .select(array((0 until dims).map(_ => lit(1.0)): _*).as("vt"))
-    (1 to iters).foldLeft(v0)((vt, _) => step(vt))
+    // per-iteration EAGER localCheckpoint (round 13): vt is a 1-row
+    // direction frame, but left lazy the next step's broadcast
+    // re-plans the whole previous-iteration subtree as one deep
+    // adaptive chain (sequential broadcast/replan jobs); the cut costs
+    // one trivial job per iteration and keeps every stage chain
+    // shallow — the same discipline as the other iterate-and-broadcast
+    // loops. Same arithmetic, same rows.
+    (1 to iters).foldLeft(v0)((vt, _) => step(vt).localCheckpoint(true))
       .select(posexplode(col("vt")).as(Seq("pos", "y")))
       .select(col("pos").cast("long").as("pos"),
         round(col("y") * 1000000).cast("long").as("v_micro"))

@@ -82,12 +82,14 @@ object Cluster extends QueryModule {
     // the union form read it twice (round 12 — see kcorePeel)
     val deg = e.select(explode(array(col("pa"), col("pb"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("dg"))
-    // NOT persisted although the wedge self-join consumes it twice:
-    // both sides re-derive it from the PERSISTED edge frame via two
-    // small-broadcast degree joins, which measures 20% faster than
-    // materializing it (persist write + pipeline break cost more than
-    // the recompute — measured 2.9 vs 3.3 s at sf0.1)
-    val oriented = e
+    // PERSISTED (round 13): the wedge self-join consumes it twice. The
+    // r12 no-persist choice ("recompute beats materialize, 2.9 vs
+    // 3.3 s") was measured under the then-AQE-off protocol; under the
+    // r13 AQE-on protocol the duplicated degree-join subtrees each pay
+    // their own broadcast-exchange jobs and stage replans, and the
+    // adjacent A/B flips: tracked 3.02/2.64 s vs untracked 5.23/4.46 s
+    // at sf0.1 (16 jobs vs 22).
+    val oriented = graft.Caches.track(e
       .join(deg.select(col("n").as("pa"), col("dg").as("da")), Seq("pa"))
       .join(deg.select(col("n").as("pb"), col("dg").as("db")), Seq("pb"))
       .select(
@@ -96,7 +98,7 @@ object Cluster extends QueryModule {
           struct(col("pa").as("f"), col("pb").as("t")))
           .otherwise(struct(col("pb").as("f"), col("pa").as("t")))
           .as("oe"))
-      .select(col("oe.f").as("f"), col("oe.t").as("t"))
+      .select(col("oe.f").as("f"), col("oe.t").as("t")))
     val wedges = oriented.select(col("f"), col("t").as("b"))
       .join(oriented.select(col("f"), col("t").as("c")), Seq("f"))
       .filter(col("b") < col("c"))
@@ -411,14 +413,16 @@ object Cluster extends QueryModule {
 
     GQuery("m8_connected_components",
       (s, d) => {
-        // persisted: the distinct activity-cell summary feeds BOTH sides
-        // of the self-join and the vertex set — unpersisted, the events
-        // scan + distinct shuffle runs three times (the vertex set is
-        // derivable from `ue`: every user has >= 1 activity cell)
+        // persisted EAGERLY: the distinct activity-cell summary feeds
+        // BOTH sides of the self-join and the vertex set — unpersisted,
+        // the events scan + distinct shuffle runs three times, and a
+        // LAZY persist still lets the three consumers' stages race to
+        // first-touch the unbuilt cache under the AQE-on protocol
+        // (each recomputing the full scan+distinct — the m23 pattern).
         val ue = Tables.events(s, d)
           .withColumn("hour", expr("ts div 3600000000000"))
           .select("user_id", "hour", "event_type").distinct()
-          .transform(graft.Caches.track)
+          .localCheckpoint(true)
         val e = coActivityEdges(ue, 3)
         val v = ue.select(col("user_id").as("v")).distinct()
         Dbscan.connectedComponents(s, v, e).orderBy("v")
@@ -463,10 +467,11 @@ object Cluster extends QueryModule {
     // last top-15 sf1 oracle cell (14/14 → 15/15, SCALE.md round 10).
     GQuery("m17_cc_star",
       (s, d) => {
+        // eager persist — see m8 (three consumers racing a lazy cache)
         val ue = Tables.events(s, d)
           .withColumn("hour", expr("ts div 3600000000000"))
           .select("user_id", "hour", "event_type").distinct()
-          .transform(graft.Caches.track)
+          .localCheckpoint(true)
         val e = coActivityEdges(ue, 3)
         val v = ue.select(col("user_id").as("v")).distinct()
         val comp = ccLargeSmallStar(e)._1
@@ -772,20 +777,46 @@ object Cluster extends QueryModule {
           .select((col("o_custkey") * 2).as("a"),
             (col("l_suppkey") * 2 + 1).as("b"))
           .distinct()
-          // persisted: sym's two branches and the deg/adj consumers
-          // would otherwise re-run the scan+join+distinct up to 4×
-          .transform(graft.Caches.track)
+          // EAGER localCheckpoint, not lazy track (round 13): sym's
+          // two branches and the deg/adj consumers re-run the
+          // scan+join+distinct up to 4× without a persist, and a LAZY
+          // persist still lets the consumers race — under the AQE-on
+          // protocol the three hop joins' broadcast-subquery futures
+          // launch concurrently with the degree probe, each
+          // first-touching the unbuilt cache and re-scanning ~108 MB
+          // of base parquet (measured three concurrent duplicate scan
+          // stages). Eager cuts materialize each frame exactly once,
+          // in dependency order.
+          .localCheckpoint(true)
         val sym = e.select(col("a").as("src"), col("b").as("dst"))
           .union(e.select(col("b").as("src"), col("a").as("dst")))
-        val deg = graft.Caches.track(sym
+        val deg = sym
           .groupBy(col("src").as("cur"))
-          .agg(count(lit(1)).cast("long").as("deg")))
+          .agg(count(lit(1)).cast("long").as("deg"))
+          .localCheckpoint(true)
         // one bounded probe on the persisted degree frame decides the
-        // construction: past the hub cap the sharded ranking runs
+        // construction: past the hub cap the sharded ranking runs.
+        // (The probe also MATERIALIZES the deg cache before the hop
+        // assembly references it three times.)
         val maxDegRow = deg.agg(max(col("deg"))).head()
         val maxDeg = if (maxDegRow.isNullAt(0)) 0L else maxDegRow.getLong(0)
-        val adj = graft.Caches.track(
-          rankAdjacency(sym, sharded = maxDeg > HubRankCap))
+        // adj is EAGERLY localCheckpoint-ed, not lazily tracked (round
+        // 13): all three hop joins reference it, and under the AQE-on
+        // protocol their adjacency-side stages launch as concurrent
+        // subquery jobs — with a lazy cache each raced to first-touch
+        // it and recomputed the full sym+rank subtree (measured: four
+        // concurrent ~5 s jobs, each re-reading the base tables and
+        // re-shuffling ~15 MB, m23 ~18 s in a degraded window). The
+        // eager cut materializes the ranking exactly once; checkpoint
+        // preserves its partitioning for the hop joins.
+        // ... and pre-partitioned by the hop-join key (cur, idx), so
+        // the three hop SMJs read the checkpoint's partitioning
+        // instead of re-exchanging the full adjacency per hop (the
+        // walk frontier is the only per-hop shuffle; the composite key
+        // keeps hub adjacency sharded at any scale).
+        val adj = rankAdjacency(sym, sharded = maxDeg > HubRankCap)
+          .repartition(col("cur"), col("idx"))
+          .localCheckpoint(true)
         def hop(w: DataFrame, t: Int): DataFrame =
           w.join(deg, Seq("cur"))
             .withColumn("idx",
@@ -942,15 +973,24 @@ object Cluster extends QueryModule {
     // per-round persisted frames). explode reads e once → 3^3 = 27.
     // Same multiset of endpoint rows, same counts (guide §3.3: very
     // large plans make planning itself the bottleneck).
+    // Rounds are localCheckpoint-ed EAGERLY (round 13) instead of
+    // lazily tracked: under the AQE-on bench protocol the lazy form
+    // left all 3 rounds inside ONE action whose deep stage chain ran
+    // as ~29 sequential adaptive query-stage jobs, each paying its own
+    // replan + scheduling latency (measured 5.4/4.4 s at sf0.1); the
+    // eager per-round cut — kcoreConverged's discipline — keeps every
+    // job's stage chain shallow (adjacent A/B 3.9/3.5 s, 21 jobs).
+    // Same frames, same semantics; lineage is cut exactly as in the
+    // sibling converged loops.
     var e = edges
     for (_ <- 1 to rounds) {
       val deg = e.select(explode(array(col("pa"), col("pb"))).as("n"))
         .groupBy("n").agg(count(lit(1)).as("dg"))
       val surv = deg.filter(col("dg") >= k).select("n")
-      e = graft.Caches.track(
-        e.join(surv.withColumnRenamed("n", "pa"), Seq("pa"))
-          .join(surv.withColumnRenamed("n", "pb"), Seq("pb"))
-          .select("pa", "pb"))
+      e = e.join(surv.withColumnRenamed("n", "pa"), Seq("pa"))
+        .join(surv.withColumnRenamed("n", "pb"), Seq("pb"))
+        .select("pa", "pb")
+        .localCheckpoint(true)
     }
     e.select(explode(array(col("pa"), col("pb"))).as("node"))
       .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -1384,6 +1424,14 @@ object Cluster extends QueryModule {
       // round index could cross-read or block obs.get
       val obs = org.apache.spark.sql.Observation(
         s"cc_sig_${CcObsCounter.incrementAndGet()}_$it")
+      // NB (round 13): chaining TWO star pairs per checkpoint to halve
+      // driver round trips was tried and measured WORSE (m17 8.0 ->
+      // 10.5-16.6 s, 50 -> 64 jobs): each star op references its input
+      // through both the neighborhood-min aggregate and the probe side,
+      // so an unmaterialized intermediate pair duplicates the first
+      // pair's subtree multiplicatively and AQE fragments the deeper
+      // chain into more sequential replan jobs, not fewer. One pair per
+      // materialization stays.
       val next = smallStar(largeStar(e, parts), parts)
         .observe(obs, count(lit(1)).as("n"),
           sum(col("a")).as("sa"), sum(col("b")).as("sb"))

@@ -2759,8 +2759,17 @@ object TextAnalysis extends QueryModule {
       comp: org.apache.spark.sql.DataFrame, iters: Int)
       : org.apache.spark.sql.DataFrame = {
     val (edges, wins) = btFrames(comp)
+    // per-round EAGER localCheckpoint (round 13): p is broadcast TWICE
+    // inside each MM step, so an unmaterialized p duplicated the whole
+    // previous-round subtree 2x per round — 2^iters copies, 61 jobs
+    // with per-job wall rising 0.1 -> 0.7 s as the rounds nested
+    // (measured at sf0.1 under the AQE-on protocol). p is
+    // |sources|-bounded (the strength frame, ~20 rows here), so the
+    // per-round cut is a trivial job and every broadcast reads the
+    // materialized frame. Same integer arithmetic, same rows.
     var p = edges.select("i").distinct().withColumn("pm", lit(1000000L))
-    for (_ <- 1 to iters) p = btStep(edges, wins, p)
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) p = btStep(edges, wins, p).localCheckpoint(true)
     val wr = org.apache.spark.sql.expressions.Window
       .orderBy(col("strength_micro").desc, col("source"))
     p.join(broadcast(wins), Seq("i"), "left")
