@@ -128,23 +128,28 @@ object Dedup extends QueryModule {
     val buckets = bands.groupBy("bid", "sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) > 1)
+    // cand and shCand are EAGERLY localCheckpoint-ed (round 13): cand
+    // feeds candIds plus both verify joins and shCand feeds both verify
+    // legs — lazily persisted (or unpersisted) frames with several
+    // consumers let the concurrent verify-leg stages race to
+    // first-touch the unbuilt cache under the AQE-on protocol, each
+    // re-running the banding/shingling subtree. Both frames are
+    // bounded by the candidate set, so the cut is part of the working
+    // set even at 100 TB (unlike the full corpus shingles, which stay
+    // unmaterialized by design).
     val cand = buckets.select(explode(flatten(transform(col("ds"),
         x => transform(filter(col("ds"), y => y > x),
           y => struct(x.as("da"), y.as("db")))))).as("p"))
       .select(col("p.da").as("da"), col("p.db").as("db")).distinct()
+      .localCheckpoint(true)
     val candIds = cand
       .select(explode(array(col("da"), col("db"))).as("doc_id")).distinct()
-    // persisted: BOTH verify legs (sha, shb) read this frame — without
-    // the persist each leg re-runs the documents scan + semi-join +
-    // shingle projection. Bounded by the candidate set, so the cache is
-    // part of the working set even at 100 TB (unlike the full corpus
-    // shingles, which stay uncached by design).
     val shCand = docs
       .join(candIds, Seq("doc_id"), "left_semi")
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .select(col("doc_id"), array_distinct(
         graft.plans.NativeFunctions.ngramHash64(col("toks"), 3)).as("sh"))
-      .transform(graft.Caches.track)
+      .localCheckpoint(true)
     cand
       .join(shCand.select(col("doc_id").as("da"), col("sh").as("sha")), Seq("da"))
       .join(shCand.select(col("doc_id").as("db"), col("sh").as("shb")), Seq("db"))
@@ -633,10 +638,12 @@ object Dedup extends QueryModule {
         val pairs = lshPairs(s, d, 0.5)
           .select(col("da").as("l1"), col("db").as("l2"))
         val verts = Tables.documents(s, d).select(col("doc_id").as("v"))
-        val cc = graft.Caches.track(
-          graft.cluster.Dbscan.connectedComponents(s, verts, pairs)
-            .select(col("v").as("doc_id"),
-              col("component").as("dup_group")))
+        // eager persist (round 13): the group-size aggregate and the
+        // weight join are concurrent consumers — see lshPairsOf
+        val cc = graft.cluster.Dbscan.connectedComponents(s, verts, pairs)
+          .select(col("v").as("doc_id"),
+            col("component").as("dup_group"))
+          .localCheckpoint(true)
         val sizes = cc.groupBy("dup_group").agg(count(lit(1)).as("gsz"))
         cc.join(sizes, Seq("dup_group"))
           .select(col("doc_id"), col("dup_group"), col("gsz"),
@@ -1200,6 +1207,13 @@ object Dedup extends QueryModule {
           filter(col("ds"), y => y =!= n && (!isNewId(y) || y < n)),
           y => struct(n.as("nid"), y.as("oid")))))).as("p"))
       .select(col("p.nid").as("nid"), col("p.oid").as("oid")).distinct()
+      // eager cuts from here down (round 13, same rationale as
+      // lshPairsOf): every one of these frames is bounded by the
+      // candidate set / new batch and has 2-3 downstream consumers
+      // whose concurrent stages otherwise race the lazy caches and
+      // re-run the banding subtree (measured: six concurrent ~0.6 s
+      // duplicate jobs inside d11's action)
+      .localCheckpoint(true)
     val candIds = cand
       .select(explode(array(col("nid"), col("oid"))).as("doc_id")).distinct()
     // same bounded candidate-verify skeleton as lshPairs
@@ -1210,7 +1224,7 @@ object Dedup extends QueryModule {
         array_distinct(
               graft.plans.NativeFunctions.ngramHash64(col("toks"), 3))
               .as("sh"))
-      .transform(graft.Caches.track)
+      .localCheckpoint(true)
     val verified = cand
       .join(shCand.select(col("doc_id").as("nid"), col("sh").as("sha")),
         Seq("nid"))
@@ -1219,8 +1233,10 @@ object Dedup extends QueryModule {
       .withColumn("jac", jaccardSim(col("sha"), col("shb")))
       .filter(col("jac") >= minSim)
       .select(col("nid"), col("oid"))
+      .localCheckpoint(true)
     val dupEx = verified.filter(!isNewId(col("oid")))
       .groupBy("nid").agg(min(col("oid")).as("keeper"))
+      .localCheckpoint(true)
     // the new-batch id set re-derived from the CHEAP token-count filter
     // (the same predicate shinglesOf applies) — the previous form read
     // ids off the shingle frame, re-running the corpus-wide shingle
@@ -1231,6 +1247,7 @@ object Dedup extends QueryModule {
       .select(col("doc_id"))
       .join(dupEx.select(col("nid").as("doc_id")), Seq("doc_id"),
         "left_anti")
+      .localCheckpoint(true)
     val nn = verified.filter(isNewId(col("oid")))
       .join(remaining.select(col("doc_id").as("nid")), Seq("nid"),
         "left_semi")
