@@ -456,7 +456,7 @@ object Ann extends QueryModule {
     * amortized probe path (0.9 s) the operator is designed around. */
   private[graft] def storedIvfDir(s: SparkSession, d: String): String =
     graft.Warehouse.artifact("ivfidx", d) { dir =>
-      val vecs = graft.Caches.track(normedVecs(s, d))
+      val vecs = normedVecs(s, d).localCheckpoint(true) // see n7
       val trained = lloydStep(vecs, lloydStep(vecs, seedCentroids(vecs)))
       trained.write.mode("overwrite").parquet(s"$dir/centroids")
       val cents = s.read.parquet(s"$dir/centroids")
@@ -727,7 +727,10 @@ object Ann extends QueryModule {
     // (quantized integer statistics make the derived centroids exact).
     GQuery("n7_ann_ivf_trained",
       (s, d) => {
-        val vecs = graft.Caches.track(normedVecs(s, d))
+        // eager cut (round 13): the seed pick, both Lloyd steps and
+        // the probe/rerank all reference vecs — lazily persisted their
+        // concurrent subquery stages race the unbuilt cache
+        val vecs = normedVecs(s, d).localCheckpoint(true)
         val trained = lloydStep(vecs, lloydStep(vecs, seedCentroids(vecs)))
         ivfTopK(vecs, trained)
       },
@@ -935,7 +938,9 @@ object Ann extends QueryModule {
     // micro-quantized integer arithmetic — exact in both engines, no
     // float-sum ordering anywhere.
     GQuery("n8_ann_pq",
-      (s, d) => pqTopK(graft.Caches.track(normedVecs(s, d)), 5),
+      // eager cut — the codebook seed, the sub-vector encode and the
+      // query LUT all reference vecs (see n7)
+      (s, d) => pqTopK(normedVecs(s, d).localCheckpoint(true), 5),
       Some(vCte +
         s""",
            |seeds AS (SELECT v, CAST(row_number() OVER (
@@ -1146,11 +1151,14 @@ object Ann extends QueryModule {
     val q = vl.orderBy(md5(col("vec_id").cast("string"))).limit(queryK)
       .select(col("vec_id").as("qid"), col("v").as("qv"),
         col("label").as("qlbl"), col("nrm").as("qn"))
-    val scored = graft.Caches.track(
+    // eager cut — the positive-floor aggregate and the negative top-k
+    // read scored concurrently (see n7)
+    val scored =
       vl.join(broadcast(q), col("vec_id") =!= col("qid"))
         .select(col("qid"), col("qlbl"), col("vec_id"), col("label"),
           round(simFromNorms(col("qv"), col("v"), col("qn"),
-            col("nrm")) * 1e6).cast("long").as("simm")))
+            col("nrm")) * 1e6).cast("long").as("simm"))
+        .localCheckpoint(true)
     val posFloor = scored.filter(col("label") === col("qlbl"))
       .groupBy("qid").agg(max(col("simm")).as("np_micro"))
     val w = Window.partitionBy("qid")

@@ -2203,11 +2203,14 @@ object TextAnalysis extends QueryModule {
       (s, d) => {
         val feats = probeFeats(s, d)
         val wt = probeWeights(feats).select("f", "w2")
-        val scored = graft.Caches.track(feats
+        // eager cut — the extent probe and the binning read scored
+        // concurrently (see probeFeats)
+        val scored = feats
           .join(broadcast(wt), Seq("f"), "left")
           .groupBy("doc_id", "y")
           .agg(sum(col("c") * coalesce(col("w2"), lit(0L)))
-            .as("score")))
+            .as("score"))
+          .localCheckpoint(true)
         val ext = scored.agg(min(col("score")).as("mn"),
           max(col("score")).as("mx"))
         scored.crossJoin(broadcast(ext))
@@ -3034,7 +3037,13 @@ object TextAnalysis extends QueryModule {
         ((length(col("tok")) * 31 + ascii(col("tok"))) % 64)
           .cast("long").as("f"))
       .groupBy("doc_id", "y", "f").agg(count(lit(1)).as("c"))
-      .transform(graft.Caches.track)
+      // EAGER cut (round 13): probeWeights references this frame four
+      // times (w1, the scored step, dw, the distinct-f spine) and
+      // x33/x34/x40/x44 each add consumers — lazily persisted, those
+      // concurrent broadcast-subquery stages race to first-touch the
+      // unbuilt cache and re-run the tokenize+featurize subtree (the
+      // m23/d11 pattern).
+      .localCheckpoint(true)
 
   /** x33/x34 shared: (f, w1, w2) after the two perceptron steps over
     * a [[probeFeats]]-shaped frame. */
