@@ -191,12 +191,15 @@ object Dbscan {
       // the ball-weight groupBy(rep) and the (broadcast) core label
       // join — no dedup needed, ownership already made pairs unique
       .repartition(col("rep"))
-      // persisted: both the ball-weight aggregation and the label-spread
-      // join read this — unpersisted, the O(cell²) scan runs twice.
-      // Tracked (like every operator persist) so Caches.drain releases
-      // it on the past-cap path, where the eager unpersist below is
-      // never reached.
-      .transform(graft.Caches.track)
+      // persisted EAGERLY (round 13): both the ball-weight aggregation
+      // and the label-spread join read this — unpersisted, the O(cell²)
+      // scan runs twice, and a LAZY persist still let those two
+      // consumers' stages race to first-touch the unbuilt cache inside
+      // the label-collect action under the AQE-on protocol (each paying
+      // the full quadratic scan — the d11/m23 pattern). The eager cut
+      // materializes the scan exactly once; the checkpoint is released
+      // by the context cleaner when the query's references drop.
+      .localCheckpoint(true)
     // diagnosis only: force the scan so the timing marks isolate it
     // (extra action — never taken without the env flag)
     if (sys.env.contains("GRAFT_DBSCAN_TIMING")) {
@@ -217,7 +220,9 @@ object Dbscan {
       .join(ball, Seq("rep"), "left")
       .filter(col("w") + coalesce(col("nbrW"), lit(0L)) >= minPts)
       .select("rep")
-      .transform(graft.Caches.track)
+      // eager: labels references cores twice (direct + broadcast join)
+      // and the final output joins it again — see nbrPairs above
+      .localCheckpoint(true)
     // cores is a bounded label summary (≤ nDistinct ids, no payload) —
     // broadcast both uses so the 600k-row pair table keeps its `rep`
     // partitioning instead of sort-merge-exchanging twice more

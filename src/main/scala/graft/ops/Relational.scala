@@ -49,8 +49,16 @@ object Relational extends QueryModule {
     * exact halves/quarters, so the cut is engine-exact. The input
     * projection is persisted across the three passes. */
   private[graft] def madOutlierStats(input: DataFrame): DataFrame = {
+    // eager persist (round 13): the median subquery and both deviation
+    // passes reference li — lazily persisted, their concurrent stages
+    // raced to first-touch the unbuilt cache and re-ran the scan+
+    // repartition (measured: two concurrent ~1.8 s jobs inside a22's
+    // action under the AQE-on protocol). Footprint unchanged from the
+    // r5 single-buffer trade (exact percentiles hold the values either
+    // way); dev itself stays lazy — it is corpus-sized + 2 columns and
+    // recomputing it from the materialized li is one broadcast join.
     val li = input
-      .transform(graft.Caches.track)
+      .localCheckpoint(true)
     val med = li.groupBy("flag")
       .agg(expr("percentile(pc, 0.5D)").as("med"))
     val dev = li.join(broadcast(med), Seq("flag"))
@@ -1448,7 +1456,7 @@ object Relational extends QueryModule {
         val li = Tables.lineitem(s, d)
           .repartition(s.sparkContext.defaultParallelism)
           .select(round(col("l_extendedprice") * 100).cast("long").as("pc"))
-          .transform(graft.Caches.track)
+          .localCheckpoint(true) // eager — see madOutlierStats
         val cuts = li.agg(
           expr("percentile(pc, array(0.25D, 0.5D, 0.75D))").as("cs"))
         li.crossJoin(broadcast(cuts))
