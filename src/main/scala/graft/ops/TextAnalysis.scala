@@ -2290,7 +2290,8 @@ object TextAnalysis extends QueryModule {
         // `pairs` filtered nothing, and pairs whose partner lacks
         // grams at this order still drop out in the inner tr-join.
         def overlap(n: Int, tag: String) = {
-          val gr = graft.Caches.track(grams(n))
+          // eager — tot and both intersection legs read gr (round 13)
+          val gr = grams(n).localCheckpoint(true)
           val tot = gr.groupBy("doc_id").agg(sum(col("c")).as("t"))
           val inter = gr
             .select(col("doc_id").as("cid"),
@@ -2912,7 +2913,9 @@ object TextAnalysis extends QueryModule {
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .filter(col("tok") =!= "")
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-      .transform(graft.Caches.track)
+      // eager (round 13) — the df-rank query and the score join race a
+      // lazy cache under the AQE-on protocol (see probeFeats)
+      .localCheckpoint(true)
     // dl straight from the doc token arrays: sum(tf) per doc IS the
     // non-empty token count, so the per-doc length needs neither a
     // rescan of the (much larger) tf frame nor a doc_id shuffle of it;

@@ -84,11 +84,17 @@ object Similarity {
           org.apache.spark.sql.types.LongType, _) => col(featCol)
       case _ => graft.plans.NativeFunctions.arrayXxhash64(col(featCol))
     }
-    val base = graft.Caches.track(
+    // EAGER cut (round 13): the ML fit, the transform and both verify
+    // joins all read base — as a lazy cache their concurrent stages
+    // raced to first-touch it and re-ran the shingle+minhash subtree
+    // (the d11/m23 pattern). A checkpoint is the same pushdown barrier
+    // an InMemoryRelation was.
+    val base =
       df.select(col(idCol), col(featCol),
         transform(
           graft.plans.NativeFunctions.minhash64(featHashes),
-          (v, i) => concat_ws(":", i, v)).as("__sk")))
+          (v, i) => concat_ws(":", i, v)).as("__sk"))
+        .localCheckpoint(true)
     val featured = tf.transform(base.filter(size(col(featCol)) > 0))
     val mh = new MinHashLSH()
       .setInputCol("__features").setOutputCol("__hashes")
@@ -135,7 +141,7 @@ object Similarity {
     // and every downstream branch reads the tiny cached (ida, idb) rows.
     // (Round 3 persisted only `sym`, which still evaluated the LSH
     // subtree twice to build the union's two legs.)
-    val p = graft.Caches.track(pairs)
+    val p = pairs.localCheckpoint(true) // eager — see minhashJoin's base
     val sym = p.select(col("ida").as("__id"), col("idb").as("__nbr"))
       .union(p.select(col("idb").as("__id"), col("ida").as("__nbr")))
     val clustered = sym.groupBy("__id")
