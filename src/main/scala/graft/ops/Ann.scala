@@ -304,6 +304,8 @@ object Ann extends QueryModule {
     * deterministic md5-seed codebook and return ADC top-`k` per QueryK
     * query. Distances are micro-quantized exact longs end to end. */
   private[graft] def pqTopK(vecs: DataFrame, k: Int): DataFrame = {
+    // global window is safe: it ranks the ≤PqK-row seed frame below
+    // (ordered-limit = TakeOrdered, never a full sort), not the corpus
     val wSeed = Window.orderBy(md5(col("vec_id").cast("string")))
         val seeds = vecs.orderBy(md5(col("vec_id").cast("string")))
           .limit(PqK)

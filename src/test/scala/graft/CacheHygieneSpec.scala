@@ -20,12 +20,13 @@ class CacheHygieneSpec extends AnyFunSuite {
     Caches.drain()
     spark.catalog.clearCache()
     assert(Caches.isEmpty(spark), "pre-condition: cache manager empty")
-    // one representative per persist-tracking family: LSH pair output
-    // (Similarity via m3), shingle frames (Dedup d2), quantized
-    // projections (a21/a22), activity-cell self-join (m12), DBSCAN
-    // reps/pairs/cores/labels (m6)
-    for (name <- Seq("d2_ngram_jaccard", "a22_mad_outliers",
-        "a21_equidepth", "m3_neighbor_clusters", "m6_dbscan_jaccard")) {
+    // one representative per REMAINING persist-tracking family (round
+    // 13 converted the multi-consumer frames to eager localCheckpoints,
+    // which the cache manager does not see): shingle frames (Dedup d2),
+    // embedding near-dup vecs (d5), the oriented-edge frame (m11), the
+    // BT edges/wins frames (x37), the n10 input projection
+    for (name <- Seq("d2_ngram_jaccard", "d5_embedding_neardup",
+        "m11_triangles", "x37_bt_rank", "n10_power_iter")) {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       assert(!Caches.isEmpty(spark),
@@ -46,8 +47,9 @@ class CacheHygieneSpec extends AnyFunSuite {
     // and per-session drain scoping cannot — and should not — split it)
     val a = graft.ops.Dedup.ngramJaccardPairs(spark, sfDir, 0.8)
     a.count()
-    val b = graft.similarity.Similarity.minhashJoin(
-      graft.ops.Dedup.docShingles(other, sfDir), "doc_id", "sh", 0.5)
+    // (minhashJoin's base became an eager checkpoint in round 13 — use
+    // an operator that still registers a tracked persist in `other`)
+    val b = graft.SparkEntry.queries("n10_power_iter")(other, sfDir)
     b.count()
     // newSession() SHARES the cache manager (SharedState), so isEmpty
     // sees both sessions' persists — the scoping property under test

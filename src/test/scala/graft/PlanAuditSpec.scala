@@ -247,7 +247,10 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") ||
       p.contains("BroadcastHashJoin"),
       s"constant query set must broadcast against the corpus:\n$p")
-    assert(p.contains("InMemoryTableScan"),
-      s"scored frame must be tracked-persisted for its two consumers:\n$p")
+    // round 13: the scored frame is an EAGER localCheckpoint (its two
+    // consumers raced the old lazy cache) — the single scoring pass now
+    // shows up as a materialized RDD scan, not an InMemoryTableScan
+    assert(p.contains("Scan ExistingRDD"),
+      s"scored frame must be materialized once for its two consumers:\n$p")
   }
 }
