@@ -642,12 +642,14 @@ object Cluster extends QueryModule {
     // threshold — nothing corpus-sized is ever broadcast.
     GQuery("m18_hits",
       (s, d) => {
-        val e = graft.Caches.track(
-          Tables.lineitem(s, d)
-            .join(Tables.orders(s, d),
-              col("l_orderkey") === col("o_orderkey"))
-            .select(col("o_custkey").as("u"), col("l_suppkey").as("v"))
-            .distinct())
+        // eager persist (round 13): a1, the h1 join and the final join
+        // are three concurrent consumers — see m8/m23
+        val e = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("u"), col("l_suppkey").as("v"))
+          .distinct()
+          .localCheckpoint(true)
         val a1 = e.groupBy("v")
           .agg((count(lit(1)) * 1000000L).as("a"))
         val h1 = e.join(a1, Seq("v"))
@@ -683,14 +685,17 @@ object Cluster extends QueryModule {
     // Top 25 communities by size keeps the output bounded at any SF.
     GQuery("m19_modularity",
       (s, d) => {
-        val e = graft.Caches.track(
-          Tables.lineitem(s, d)
-            .join(Tables.orders(s, d),
-              col("l_orderkey") === col("o_orderkey"))
-            .select((col("o_custkey") * 2).as("a"),
-              (col("l_suppkey") * 2 + 1).as("b"))
-            .distinct())
-        val lbl = graft.Caches.track(labelPropagation(e, 2))
+        // eager persists (round 13): e feeds the LPA, the edge count m,
+        // the degree frame and both ein legs; lbl feeds dc and ein —
+        // lazy caches let those concurrent branches race (see m8/m23)
+        val e = Tables.lineitem(s, d)
+          .join(Tables.orders(s, d),
+            col("l_orderkey") === col("o_orderkey"))
+          .select((col("o_custkey") * 2).as("a"),
+            (col("l_suppkey") * 2 + 1).as("b"))
+          .distinct()
+          .localCheckpoint(true)
+        val lbl = labelPropagation(e, 2).localCheckpoint(true)
         val m = e.agg(count(lit(1)).as("m"))
         val deg = e.select(explode(array(col("a"), col("b"))).as("node"))
           .groupBy("node").agg(count(lit(1)).as("deg"))
@@ -1065,10 +1070,12 @@ object Cluster extends QueryModule {
     val e = edges.select(col("a"), col("b")).distinct()
     // same one-exchange-then-persist shape as [[pagerank]]: all
     // iteration joins read sym partitioned by src
+    // eager cut (round 13): l0's distinct and step 1's join are
+    // concurrent leaf stages racing a lazy cache — see pagerank
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
-      .transform(graft.Caches.track)
+      .localCheckpoint(true)
     // (count desc, min label) pick as a struct-MAX aggregation, not a
     // row_number window (round 12, guide §2.3 aggregate-before-shuffle):
     // hashpartitioning(node, cand) does not satisfy the window's
@@ -1195,10 +1202,15 @@ object Cluster extends QueryModule {
     // every iteration's contribution join all read sym partitioned by
     // src — without this each of the 1+iters consumers re-runs the
     // edge distinct AND re-shuffles (the DBSCAN nbrPairs trick)
+    // EAGER localCheckpoint (round 13): the degree aggregate and the
+    // first iteration's join are concurrent leaf stages of the one
+    // action — a lazy persist let them race to first-touch the unbuilt
+    // cache under the AQE-on protocol, each re-running the edge
+    // distinct (the m23 pattern).
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
-      .transform(graft.Caches.track)
+      .localCheckpoint(true)
     val deg = sym.groupBy("src").agg(count(lit(1)).as("deg"))
     def step(r: DataFrame): DataFrame =
       sym.join(r.join(deg, col("node") === col("src")).select(
@@ -1238,18 +1250,23 @@ object Cluster extends QueryModule {
   private[graft] def sssp(edges: DataFrame, seed: Long, rounds: Int)
       : DataFrame = {
     val e = edges.select(col("a"), col("b")).distinct()
+    // EAGER cuts (round 13, see pagerank): sym is read by every round,
+    // and each round's distance frame is referenced twice (union leg +
+    // join leg) — lazy persists let the concurrent leaf stages race on
+    // the unbuilt caches under the AQE-on protocol, and the chained
+    // lazy rounds replan as one deep adaptive chain.
     val sym = e.select(col("a").as("src"), col("b").as("dst"))
       .unionByName(e.select(col("b").as("src"), col("a").as("dst")))
       .repartition(col("src"))
-      .transform(graft.Caches.track)
+      .localCheckpoint(true)
     var dist = e.sparkSession.range(1)
       .select(lit(seed).as("node"), lit(0L).as("dist"))
     for (_ <- 1 to rounds) {
-      dist = graft.Caches.track(
-        dist.unionByName(
-            sym.join(dist.withColumnRenamed("node", "src"), Seq("src"))
-              .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
-          .groupBy("node").agg(min("dist").as("dist")))
+      dist = dist.unionByName(
+          sym.join(dist.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node"), (col("dist") + 1).as("dist")))
+        .groupBy("node").agg(min("dist").as("dist"))
+        .localCheckpoint(true)
     }
     dist
   }
